@@ -1,0 +1,139 @@
+"""Gazetteer data for the from-scratch recognizers and pseudonym providers.
+
+The sandbox ships none of the reference's model stack (presidio / spaCy /
+transformers / faker / gender-guesser), so PERSON / LOCATION / ORGANIZATION
+detection and pseudonym generation are driven by these word lists plus
+heuristics (SURVEY.md §7).  The street-word deny list reproduces the
+behaviour of the reference's custom ADDRESS recognizer
+(``named_entity_recognizer.py:115-141``): a deny-list of address-related
+words whose occurrence marks an ADDRESS mention.
+
+All data here is plain public vocabulary (common given names, US states,
+country names, …).  Lists are deliberately small — the engine's correctness
+tests embed entities drawn from exactly these lists, so detection ground
+truth is exact.
+"""
+
+from __future__ import annotations
+
+# --- street words: the ADDRESS deny list (named_entity_recognizer.py:115-141) ---
+STREET_WORDS = [
+    "Street", "Rue", "Via", "Square", "Avenue", "Place", "Strada", "St",
+    "Lane", "Road", "Boulevard", "Ln", "Rd", "HighwayDrive", "Av", "Hwy",
+    "Blvd", "Corso", "Piazza", "Calle", "Plaza", "Avenida", "Rambla",
+    "Vico", "C/",
+]
+
+# --- person names (gender split mirrors gender_guesser's buckets:
+#     named_entity_recognizer.py:203-231 / faker_generator.py:198-263) ---
+FIRST_NAMES_FEMALE = [
+    "Mary", "Emma", "Olivia", "Sophia", "Isabella", "Hillary", "Alice",
+    "Grace", "Laura", "Julia", "Clara", "Diana", "Elena", "Fiona", "Hannah",
+    "Irene", "Karen", "Linda", "Maria", "Nina", "Paula", "Rachel", "Sara",
+    "Teresa", "Valerie", "Wendy", "Chiara", "Giulia", "Francesca",
+]
+FIRST_NAMES_MALE = [
+    "James", "John", "Robert", "Michael", "David", "George", "William",
+    "Richard", "Thomas", "Charles", "Daniel", "Matthew", "Anthony", "Mark",
+    "Paul", "Steven", "Andrew", "Kenneth", "Joshua", "Kevin", "Brian",
+    "Edward", "Ronald", "Timothy", "Jason", "Jeffrey", "Frank", "Scott",
+    "Eric", "Stephen", "Marco", "Luca", "Giovanni", "Andrea",
+]
+FIRST_NAMES = set(FIRST_NAMES_FEMALE) | set(FIRST_NAMES_MALE)
+FIRST_NAME_GENDER = {n: "female" for n in FIRST_NAMES_FEMALE}
+FIRST_NAME_GENDER.update({n: "male" for n in FIRST_NAMES_MALE})
+# "andy" = androgynous in gender_guesser's vocabulary
+FIRST_NAME_GENDER["Andrea"] = "andy"
+
+LAST_NAMES = [
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
+    "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
+    "Wilson", "Anderson", "Taylor", "Moore", "Jackson", "Martin", "Lee",
+    "Thompson", "White", "Harris", "Clark", "Lewis", "Robinson", "Walker",
+    "Hall", "Young", "King", "Wright", "Scott", "Green", "Baker", "Adams",
+    "Nelson", "Hill", "Campbell", "Mitchell", "Roberts", "Carter",
+    "Phillips", "Evans", "Turner", "Bush", "Clinton", "Obama", "Rossi",
+    "Ferrari", "Russo", "Bianchi",
+]
+LAST_NAME_SET = set(LAST_NAMES)
+
+# --- locations ---
+CITIES = [
+    "New York", "Chicago", "Phoenix", "Los Angeles", "Houston", "Boston",
+    "Seattle", "Denver", "Atlanta", "Miami", "Dallas", "Detroit",
+    "Portland", "Austin", "Milan", "Rome", "Turin", "Naples", "London",
+    "Paris", "Berlin", "Madrid", "Vienna", "Dublin", "Lisbon", "Oslo",
+    "San Francisco", "Las Vegas", "New Orleans", "Salt Lake City",
+]
+US_STATES = [
+    "Alabama", "Alaska", "Arizona", "Arkansas", "California", "Colorado",
+    "Connecticut", "Delaware", "Florida", "Georgia", "Hawaii", "Idaho",
+    "Illinois", "Indiana", "Iowa", "Kansas", "Kentucky", "Louisiana",
+    "Maine", "Maryland", "Massachusetts", "Michigan", "Minnesota",
+    "Mississippi", "Missouri", "Montana", "Nebraska", "Nevada",
+    "New Hampshire", "New Jersey", "New Mexico", "New York",
+    "North Carolina", "North Dakota", "Ohio", "Oklahoma", "Oregon",
+    "Pennsylvania", "Rhode Island", "South Carolina", "South Dakota",
+    "Tennessee", "Texas", "Utah", "Vermont", "Virginia", "Washington",
+    "West Virginia", "Wisconsin", "Wyoming",
+]
+US_STATE_ABBR = [
+    "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "FL", "GA", "HI", "ID",
+    "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD", "MA", "MI", "MN", "MS",
+    "MO", "MT", "NE", "NV", "NH", "NJ", "NM", "NY", "NC", "ND", "OH", "OK",
+    "OR", "PA", "RI", "SC", "SD", "TN", "TX", "UT", "VT", "VA", "WA", "WV",
+    "WI", "WY",
+]
+COUNTRIES = [
+    "United Kingdom", "United States", "Hungary", "Italy", "France",
+    "Germany", "Spain", "Portugal", "Ireland", "Norway", "Sweden",
+    "Finland", "Denmark", "Poland", "Austria", "Switzerland", "Belgium",
+    "Netherlands", "Greece", "Turkey", "Japan", "China", "India", "Brazil",
+    "Canada", "Mexico", "Australia", "New Zealand", "South Africa",
+    "Argentina", "Chile", "Egypt", "Kenya", "Morocco",
+]
+LOCATIONS = set(CITIES) | set(US_STATES) | set(COUNTRIES)
+LOCATION_UNIGRAMS = {w for w in LOCATIONS if " " not in w}
+LOCATION_BIGRAMS = {w for w in LOCATIONS if w.count(" ") >= 1}
+
+# --- organizations (stand-in for the HF BERT NER stage,
+#     named_entity_recognizer.py:387-405, 491-521) ---
+ORG_KEYWORDS = {
+    "University", "Institute", "Inc", "Corp", "Corporation", "LLC", "Ltd",
+    "Labs", "Technologies", "Group", "Bank", "Company", "Foundation",
+    "Agency", "Department", "Systems", "Industries", "Holdings",
+}
+ORG_NAMES = [
+    "Acme Corp", "Globex Corporation", "Initech LLC", "Umbrella Group",
+    "Stark Industries", "Wayne Enterprises Inc", "Cyberdyne Systems",
+    "Tyrell Corp", "Wonka Industries", "Hooli Inc", "Pied Piper LLC",
+    "Vandelay Industries", "Oscorp Inc", "Massive Dynamic Group",
+    "Aperture Labs", "Black Mesa Institute", "Soylent Corp",
+    "Weyland Group", "Gekko Holdings", "Duff Corporation",
+]
+
+# --- stopwords for language-ID / quality scoring (documents table) ---
+STOPWORDS = {
+    "en": {"the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+           "for", "on", "with", "as", "at", "by", "or", "be", "this"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+           "por", "con", "para", "es", "al", "lo", "como", "mas"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+           "sich", "des", "auf", "ist", "im", "dem", "nicht", "ein"},
+    "fr": {"le", "la", "les", "de", "des", "et", "en", "un", "une", "du",
+           "que", "qui", "dans", "pour", "est", "pas", "sur", "au"},
+    "it": {"il", "la", "di", "che", "e", "in", "un", "una", "per", "con",
+           "del", "della", "sono", "non", "al", "si", "da", "come"},
+}
+
+# --- pseudonym-provider vocab (deterministic Faker analogue, SURVEY §2.5) ---
+EMAIL_DOMAINS = ["example.com", "mail.test", "inbox.example", "post.example"]
+STREET_NAMES = [
+    "Maple", "Oak", "Cedar", "Elm", "Pine", "Walnut", "Chestnut", "Willow",
+    "Birch", "Sunset", "Hillcrest", "Lakeview", "Meadow", "Ridge", "Park",
+]
+URL_WORDS = [
+    "horizon", "cobalt", "meadow", "lattice", "quarry", "harbor", "summit",
+    "prairie", "glacier", "canyon",
+]
+TLDS = ["com", "org", "net", "info"]

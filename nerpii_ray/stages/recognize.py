@@ -1,0 +1,158 @@
+"""Mention-detection stage: the Ray Data analogue of nerpii's analyzer pass.
+
+Reference flow: ``BatchAnalyzerEngine.analyze_dict`` runs every recognizer
+over every cell of every object column in one Python process
+(``named_entity_recognizer.py:407-430``).  Here the same semantics run as an
+actor-pool ``map_batches`` stage: the registry (regexes, gazetteers, deny
+list) is compiled once per actor in ``__init__`` — mirroring the one-time
+engine construction at ``named_entity_recognizer.py:343-385`` — and each
+call scans a zero-copy Arrow batch of turns into an exploded *mentions*
+table.
+
+Output schema (mention rows):
+  <key columns passed through> + group_key:string, entity:string,
+  surface:string, start:int32, end:int32, score:float, stage:string,
+  is_primary:bool, cnt:int32
+
+``stage`` ∈ {pattern, deny, gazetteer, model, model_span, count}.  Rows with
+``stage == "count"`` are per-(group, batch) row-count partials
+(entity="__ROWS__", cnt=k): they let the downstream assignment aggregate
+compute nerpii's 30 % support gate without a second pass over the input.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nerpii_ray.config import EngineConfig
+from nerpii_ray.state.registry import RecognizerRegistry
+
+ROWS_LABEL = "__ROWS__"
+
+
+class RecognizerActor:
+    """Callable class for ``map_batches(RecognizerActor, concurrency=N)``.
+
+    Parameters
+    ----------
+    text_col : column holding the text to scan (transcript ``text``).
+    key_cols : columns passed through onto every mention row
+        (e.g. ``("conv_id", "turn_idx", "role", "tool")``).
+    group_col : column to use as the grouping key directly (documents mode:
+        ``source``); mutually exclusive with ``group_from``.
+    group_from : build ``group_key`` as ``role:tool`` from these two columns
+        (transcript mode; nulls in the second become ``"none"``).
+    """
+
+    def __init__(
+        self,
+        registry: Optional[RecognizerRegistry] = None,
+        config: Optional[EngineConfig] = None,
+        text_col: str = "text",
+        key_cols: Sequence[str] = ("conv_id", "turn_idx", "role", "tool"),
+        group_col: Optional[str] = None,
+        group_from: Optional[Sequence[str]] = ("role", "tool"),
+        emit_group_counts: bool = True,
+    ):
+        cfg = config or EngineConfig()
+        if registry is None:
+            registry = RecognizerRegistry(
+                add_addresses_recognizer=cfg.add_addresses_recognizer
+            )
+            if cfg.additional_addresses:
+                registry.add_addresses(cfg.additional_addresses)
+        self.compiled = registry.compile()
+        self.text_col = text_col
+        self.key_cols = list(key_cols)
+        self.group_col = group_col
+        self.group_from = list(group_from) if group_from else None
+        self.emit_group_counts = emit_group_counts
+
+    def _group_keys(self, batch: pa.Table) -> pa.Array:
+        if self.group_col is not None:
+            return pc.cast(
+                pc.fill_null(batch.column(self.group_col), "none"), pa.string()
+            )
+        a = pc.fill_null(pc.cast(batch.column(self.group_from[0]), pa.string()), "none")
+        b = pc.fill_null(pc.cast(batch.column(self.group_from[1]), pa.string()), "none")
+        return pc.binary_join_element_wise(a, b, ":")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        out = self.compiled.scan(texts)
+        group_keys = self._group_keys(batch)
+
+        rows = out["row"]
+        idx = pa.array(rows, type=pa.int64())
+        cols: dict[str, pa.Array] = {}
+        for k in self.key_cols:
+            cols[k] = batch.column(k).take(idx)
+        cols["group_key"] = group_keys.take(idx)
+        cols["entity"] = pa.array(out["entity"], type=pa.string())
+        cols["surface"] = pa.array(out["surface"], type=pa.string())
+        cols["start"] = pa.array(out["start"], type=pa.int32())
+        cols["end"] = pa.array(out["end"], type=pa.int32())
+        cols["score"] = pa.array(out["score"], type=pa.float64())
+        cols["stage"] = pa.array(out["stage"], type=pa.string())
+        cols["is_primary"] = pa.array(out["is_primary"], type=pa.bool_())
+        cols["cnt"] = pa.array([1] * len(rows), type=pa.int64())
+        mentions = pa.table(cols)
+
+        if not self.emit_group_counts:
+            return mentions
+
+        # per-(group, batch) row-count partial rows
+        vc = group_keys.value_counts()
+        gk = vc.field("values")
+        n = vc.field("counts")
+        # key columns for count rows carry the group's first-seen row values
+        first_idx = pc.index_in(gk, group_keys)
+        ccols: dict[str, pa.Array] = {}
+        for k in self.key_cols:
+            ccols[k] = batch.column(k).take(first_idx)
+        m = len(gk)
+        ccols["group_key"] = pc.cast(gk, pa.string())
+        ccols["entity"] = pa.array([ROWS_LABEL] * m, type=pa.string())
+        ccols["surface"] = pa.array([""] * m, type=pa.string())
+        ccols["start"] = pa.array([0] * m, type=pa.int32())
+        ccols["end"] = pa.array([0] * m, type=pa.int32())
+        ccols["score"] = pa.array([0.0] * m, type=pa.float64())
+        ccols["stage"] = pa.array(["count"] * m, type=pa.string())
+        ccols["is_primary"] = pa.array([False] * m, type=pa.bool_())
+        ccols["cnt"] = pc.cast(n, pa.int64())
+        counts = pa.table(ccols)
+        return pa.concat_tables([mentions, counts])
+
+
+def recognize_mentions(
+    ds,
+    config: Optional[EngineConfig] = None,
+    registry: Optional[RecognizerRegistry] = None,
+    text_col: str = "text",
+    key_cols: Sequence[str] = ("conv_id", "turn_idx", "role", "tool"),
+    group_col: Optional[str] = None,
+    group_from: Optional[Sequence[str]] = ("role", "tool"),
+    emit_group_counts: bool = True,
+):
+    """Attach the recognizer actor pool to a Dataset of turns/documents."""
+    cfg = config or EngineConfig()
+    return ds.map_batches(
+        RecognizerActor,
+        fn_constructor_kwargs=dict(
+            registry=registry,
+            config=cfg,
+            text_col=text_col,
+            key_cols=key_cols,
+            group_col=group_col,
+            group_from=group_from,
+            emit_group_counts=emit_group_counts,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.recognizer_batch_size,
+        concurrency=cfg.recognizer_concurrency,
+        num_cpus=1,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,421 @@
+"""Recognizer registry — the from-scratch analogue of nerpii's detector stack.
+
+The reference wires three detector families into one analysis pass:
+
+* Presidio pattern recognizers (EMAIL / PHONE / URL / SSN / CREDIT_CARD /
+  DATE_TIME / IP, ``named_entity_recognizer.py:343-385``),
+* a custom deny-list ADDRESS recognizer over 25 street words
+  (``named_entity_recognizer.py:97-147``),
+* spaCy NER for PERSON / LOCATION (via Presidio's NLP engine) and a
+  HuggingFace BERT model for ORGANIZATION token labels
+  (``named_entity_recognizer.py:387-405, 491-503``).
+
+None of those libraries exist in this environment, so this module
+re-implements the *semantics* from scratch (SURVEY.md §7): compiled regex
+pattern recognizers, the street-word deny list, and gazetteer + title-case
+heuristics for PERSON / LOCATION / ORGANIZATION.
+
+Performance design: a batch of N turn texts is scanned as ONE concatenated
+string ("\\x00"-joined) with a single combined-regex ``finditer`` pass plus a
+single token-scan pass; global offsets are mapped back to rows with
+``np.searchsorted``.  This keeps per-row Python overhead out of the hot
+path — the per-batch cost is two C-level regex scans + dict lookups per
+token.  The registry is compiled ONCE per recognizer actor
+(``RecognizerActor.__init__``), mirroring the reference's one-time engine
+construction.
+
+Mention-priority policy ("first result per cell",
+``named_entity_recognizer.py:442-446``): the primary mention of a turn is
+the one with the highest score, ties broken by earliest start then entity
+name.  Gazetteer mentions contained inside a pattern span (e.g. the
+first-name token of an email local part) or inside an ORGANIZATION span
+(e.g. "London" in "University of London") are suppressed, matching the
+behaviour of the reference's NLP stack.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from nerpii_ray.functions.hashing import luhn_valid
+from nerpii_ray.gazetteers import (
+    FIRST_NAMES,
+    LAST_NAME_SET,
+    LOCATION_BIGRAMS,
+    LOCATION_UNIGRAMS,
+    ORG_KEYWORDS,
+    STREET_WORDS,
+)
+
+#: stage tags on emitted mentions
+STAGE_PATTERN = "pattern"      # regex pattern recognizers (Presidio analogue)
+STAGE_DENY = "deny"            # ADDRESS deny list
+STAGE_GAZETTEER = "gazetteer"  # PERSON / LOCATION (spaCy analogue)
+STAGE_MODEL = "model"          # BERT-style token labels (B-ORG / I-ORG / ...)
+STAGE_MODEL_SPAN = "model_span"  # whole ORGANIZATION spans for triples
+
+#: stages whose mentions feed the Presidio-analogue assignment cascade
+PRESIDIO_STAGES = (STAGE_PATTERN, STAGE_DENY, STAGE_GAZETTEER)
+
+_SEP = "\x00"
+_TOKEN_RE = re.compile(r"[A-Za-z][A-Za-z'\-/]*")
+_ORG_LEFT_STOP = {"The", "A", "An", "In", "On", "At", "My", "Our", "Your"}
+
+
+@dataclass
+class PatternSpec:
+    """One regex pattern recognizer (Presidio PatternRecognizer analogue)."""
+
+    entity: str
+    pattern: str
+    score: float
+    #: optional post-match validator on the matched surface (e.g. Luhn)
+    validator: Optional[Callable[[str], bool]] = None
+    #: entity to re-try on validator failure (CREDIT_CARD → PHONE_NUMBER)
+    fallback_entity: Optional[str] = None
+    fallback_score: float = 0.0
+
+
+_PHONE_PATTERN = (
+    r"(?:\+\d{1,3}[-.\s]?)?(?:\(\d{2,4}\)[-.\s]?)?\d{3,4}[-.\s]\d{3,4}"
+    r"(?:[-.\s]\d{3,4})?|\(\d{2,4}\)[-.\s]?\d{3,4}[-.\s]\d{3,4}"
+)
+
+
+def default_pattern_specs() -> List[PatternSpec]:
+    """Built-in pattern recognizers, ordered by priority (first match wins
+    at a given position in the combined alternation)."""
+    return [
+        PatternSpec(
+            "EMAIL_ADDRESS",
+            r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+            1.0,
+        ),
+        PatternSpec(
+            "URL",
+            r"(?:https?://|www\.)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}(?:/[^\s]*)?",
+            0.85,
+        ),
+        PatternSpec("IP_ADDRESS", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", 0.6),
+        PatternSpec("US_SSN", r"\b\d{3}-\d{2}-\d{4}\b", 0.85),
+        PatternSpec(
+            "CREDIT_CARD",
+            r"\b\d(?:[ \-]?\d){12,18}\b",
+            1.0,
+            validator=lambda s: luhn_valid(re.sub(r"\D", "", s))
+            and 13 <= len(re.sub(r"\D", "", s)) <= 19,
+            fallback_entity="PHONE_NUMBER",
+            fallback_score=0.4,
+        ),
+        PatternSpec(
+            "DATE_TIME",
+            r"\b\d{4}-\d{2}-\d{2}\b|\b\d{1,2}/\d{1,2}/\d{2,4}\b",
+            0.6,
+        ),
+        PatternSpec("PHONE_NUMBER", r"(?<![\w(])" + _PHONE_PATTERN + r"\b", 0.75),
+    ]
+
+
+@dataclass
+class RecognizerRegistry:
+    """User-extensible recognizer configuration (the engine analogue of
+    Presidio's ``registry.add_recognizer`` plugin surface,
+    ``named_entity_recognizer.py:374, 383`` and SURVEY §2.10)."""
+
+    patterns: List[PatternSpec] = field(default_factory=default_pattern_specs)
+    #: ADDRESS deny list; ``additional_addresses`` hook appends here
+    #: (``named_entity_recognizer.py:106-107, 142``)
+    address_words: List[str] = field(default_factory=lambda: list(STREET_WORDS))
+    add_addresses_recognizer: bool = True
+    enable_gazetteers: bool = True
+    enable_model_labels: bool = True
+
+    def add_pattern(self, spec: PatternSpec) -> "RecognizerRegistry":
+        self.patterns.append(spec)
+        return self
+
+    def add_addresses(self, words: Sequence[str]) -> "RecognizerRegistry":
+        self.address_words.extend(words)
+        return self
+
+    def compile(self) -> "CompiledRegistry":
+        return CompiledRegistry(self)
+
+
+class CompiledRegistry:
+    """Compiled scan state: built once per actor, applied per batch."""
+
+    def __init__(self, reg: RecognizerRegistry):
+        self.spec_by_group: Dict[str, PatternSpec] = {}
+        parts = []
+        for i, spec in enumerate(reg.patterns):
+            gname = f"R{i}"
+            self.spec_by_group[gname] = spec
+            parts.append(f"(?P<{gname}>{spec.pattern})")
+        self.combined = re.compile("|".join(parts)) if parts else None
+
+        self.deny_re = None
+        if reg.add_addresses_recognizer and reg.address_words:
+            words = sorted(
+                (w for w in reg.address_words if w != "C/"),
+                key=len,
+                reverse=True,
+            )
+            alts = "|".join(re.escape(w) for w in words)
+            pat = rf"(?<![A-Za-z0-9])(?:{alts})(?![A-Za-z0-9])"
+            if "C/" in reg.address_words:
+                pat += r"|C/"
+            self.deny_re = re.compile(pat)
+
+        self.enable_gazetteers = reg.enable_gazetteers
+        self.enable_model_labels = reg.enable_model_labels
+        # multi-word locations keyed by first token; values are tuples of the
+        # remaining tokens, longest first (so "Salt Lake City" wins over a
+        # hypothetical "Salt Lake")
+        self.loc_bigram_first: Dict[str, List[tuple]] = {}
+        for bg in LOCATION_BIGRAMS:
+            words = bg.split(" ")
+            self.loc_bigram_first.setdefault(words[0], []).append(tuple(words[1:]))
+        for k in self.loc_bigram_first:
+            self.loc_bigram_first[k].sort(key=len, reverse=True)
+
+    # ------------------------------------------------------------------
+    def scan(self, texts: Sequence[Optional[str]]) -> Dict[str, list]:
+        """Scan a batch of texts; return mention struct-of-lists.
+
+        Keys: row, entity, surface, start, end, score, stage, is_primary.
+        """
+        safe = ["" if t is None else t for t in texts]
+        joined = _SEP.join(safe)
+        lens = np.fromiter((len(t) + 1 for t in safe), dtype=np.int64, count=len(safe))
+        row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+        rows: List[int] = []
+        entities: List[str] = []
+        surfaces: List[str] = []
+        starts: List[int] = []
+        ends: List[int] = []
+        scores: List[float] = []
+        stages: List[str] = []
+
+        def row_of(gpos: int) -> int:
+            return int(np.searchsorted(row_starts, gpos, side="right") - 1)
+
+        def emit(r, ent, surf, s, e, sc, stage):
+            rows.append(r)
+            entities.append(ent)
+            surfaces.append(surf)
+            starts.append(s)
+            ends.append(e)
+            scores.append(sc)
+            stages.append(stage)
+
+        # pattern spans per row, for suppression of nested gazetteer hits
+        pattern_spans: Dict[int, List[tuple]] = {}
+
+        # -- pass 1: combined pattern regex over the whole batch --
+        if self.combined is not None:
+            for m in self.combined.finditer(joined):
+                gname = m.lastgroup
+                spec = self.spec_by_group[gname]
+                surf = m.group(0)
+                ent, sc = spec.entity, spec.score
+                if spec.validator is not None and not spec.validator(surf):
+                    if spec.fallback_entity is None:
+                        continue
+                    ent, sc = spec.fallback_entity, spec.fallback_score
+                r = row_of(m.start())
+                ls = m.start() - int(row_starts[r])
+                emit(r, ent, surf, ls, ls + len(surf), sc, STAGE_PATTERN)
+                pattern_spans.setdefault(r, []).append((ls, ls + len(surf)))
+
+        # -- pass 2: ADDRESS deny list --
+        if self.deny_re is not None:
+            for m in self.deny_re.finditer(joined):
+                r = row_of(m.start())
+                ls = m.start() - int(row_starts[r])
+                surf = m.group(0)
+                emit(r, "ADDRESS", surf, ls, ls + len(surf), 1.0, STAGE_DENY)
+
+        # -- pass 3: token scan → gazetteer + model labels --
+        if self.enable_gazetteers or self.enable_model_labels:
+            self._token_scan(joined, row_starts, pattern_spans, emit, row_of)
+
+        is_primary = self._mark_primary(rows, entities, starts, scores, stages)
+        return {
+            "row": rows,
+            "entity": entities,
+            "surface": surfaces,
+            "start": starts,
+            "end": ends,
+            "score": scores,
+            "stage": stages,
+            "is_primary": is_primary,
+        }
+
+    # ------------------------------------------------------------------
+    def _token_scan(self, joined, row_starts, pattern_spans, emit, row_of):
+        toks = [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(joined)]
+        n = len(toks)
+        tok_row = [row_of(pos) for _, pos in toks]
+
+        def inside_pattern(i: int) -> bool:
+            r = tok_row[i]
+            spans = pattern_spans.get(r)
+            if not spans:
+                return False
+            ls = toks[i][1] - int(row_starts[r])
+            return any(s <= ls < e for s, e in spans)
+
+        # 3a: ORGANIZATION spans around org keywords (BERT-stage analogue)
+        in_org = [False] * n
+        org_spans: List[tuple] = []  # (first_tok_idx, last_tok_idx)
+        i = 0
+        while i < n:
+            word, _ = toks[i]
+            if word in ORG_KEYWORDS and not in_org[i] and not inside_pattern(i):
+                r = tok_row[i]
+                lo = i
+                # extend left over adjacent TitleCase tokens in the same row
+                while (
+                    lo - 1 >= 0
+                    and tok_row[lo - 1] == r
+                    and toks[lo - 1][0][0].isupper()
+                    and toks[lo - 1][0] not in _ORG_LEFT_STOP
+                    and toks[lo - 1][0] not in ORG_KEYWORDS
+                    and not in_org[lo - 1]
+                    and i - (lo - 1) <= 2
+                ):
+                    lo -= 1
+                hi = i
+                # extend right over "of <TitleCase>+"
+                j = i + 1
+                if j < n and tok_row[j] == r and toks[j][0] == "of":
+                    k = j + 1
+                    while k < n and tok_row[k] == r and toks[k][0][0].isupper():
+                        k += 1
+                    if k > j + 1:
+                        hi = k - 1
+                # or directly adjacent org keywords ("Cyberdyne Systems Corp")
+                while (
+                    hi + 1 < n
+                    and tok_row[hi + 1] == r
+                    and toks[hi + 1][0] in ORG_KEYWORDS
+                ):
+                    hi += 1
+                for t in range(lo, hi + 1):
+                    in_org[t] = True
+                org_spans.append((lo, hi))
+                i = hi + 1
+            else:
+                i += 1
+
+        for lo, hi in org_spans:
+            r = tok_row[lo]
+            gstart = toks[lo][1]
+            gend = toks[hi][1] + len(toks[hi][0])
+            ls = gstart - int(row_starts[r])
+            surf = joined[gstart:gend]
+            if self.enable_model_labels:
+                pos = ls
+                for t in range(lo, hi + 1):
+                    tls = toks[t][1] - int(row_starts[r])
+                    label = "B-ORG" if t == lo else "I-ORG"
+                    emit(r, label, toks[t][0], tls, tls + len(toks[t][0]), 0.8,
+                         STAGE_MODEL)
+                emit(r, "ORGANIZATION", surf, ls, ls + (gend - gstart), 0.8,
+                     STAGE_MODEL_SPAN)
+
+        if not self.enable_gazetteers:
+            return
+
+        # 3b: LOCATION bigrams/unigrams and PERSON names
+        consumed = [False] * n
+        for i in range(n):
+            if consumed[i] or in_org[i] or inside_pattern(i):
+                continue
+            word, gpos = toks[i]
+            r = tok_row[i]
+            ls = gpos - int(row_starts[r])
+            nxt = None
+            if i + 1 < n and tok_row[i + 1] == r and not in_org[i + 1]:
+                nxt = toks[i + 1][0]
+            # multi-word location ("New York", "Rhode Island", "Salt Lake City")
+            rests = self.loc_bigram_first.get(word)
+            matched_rest = None
+            if rests is not None:
+                for rest in rests:
+                    k = len(rest)
+                    if i + k < n and all(
+                        tok_row[i + j + 1] == r
+                        and not in_org[i + j + 1]
+                        and toks[i + j + 1][0] == rest[j]
+                        for j in range(k)
+                    ):
+                        matched_rest = rest
+                        break
+            if matched_rest is not None:
+                k = len(matched_rest)
+                gend = toks[i + k][1] + len(toks[i + k][0])
+                surf = joined[gpos:gend]
+                emit(r, "LOCATION", surf, ls, ls + len(surf), 0.85,
+                     STAGE_GAZETTEER)
+                if self.enable_model_labels:
+                    emit(r, "B-LOC", word, ls, ls + len(word), 0.85, STAGE_MODEL)
+                for j in range(k + 1):
+                    consumed[i + j] = True
+                continue
+            if word in FIRST_NAMES:
+                if nxt is not None and nxt[0].isupper() and (
+                    nxt in LAST_NAME_SET or nxt in FIRST_NAMES
+                ):
+                    gend = toks[i + 1][1] + len(nxt)
+                    surf = joined[gpos:gend]
+                    emit(r, "PERSON", surf, ls, ls + len(surf), 0.85,
+                         STAGE_GAZETTEER)
+                    if self.enable_model_labels:
+                        emit(r, "B-PER", word, ls, ls + len(word), 0.85,
+                             STAGE_MODEL)
+                    consumed[i] = consumed[i + 1] = True
+                else:
+                    emit(r, "PERSON", word, ls, ls + len(word), 0.75,
+                         STAGE_GAZETTEER)
+                    if self.enable_model_labels:
+                        emit(r, "B-PER", word, ls, ls + len(word), 0.75,
+                             STAGE_MODEL)
+                    consumed[i] = True
+                continue
+            if word in LOCATION_UNIGRAMS:
+                emit(r, "LOCATION", word, ls, ls + len(word), 0.8,
+                     STAGE_GAZETTEER)
+                if self.enable_model_labels:
+                    emit(r, "B-LOC", word, ls, ls + len(word), 0.8, STAGE_MODEL)
+                consumed[i] = True
+                continue
+            if word in LAST_NAME_SET and word[0].isupper():
+                emit(r, "PERSON", word, ls, ls + len(word), 0.7,
+                     STAGE_GAZETTEER)
+                if self.enable_model_labels:
+                    emit(r, "B-PER", word, ls, ls + len(word), 0.7, STAGE_MODEL)
+                consumed[i] = True
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _mark_primary(rows, entities, starts, scores, stages) -> List[bool]:
+        """Primary = top-ranked presidio-stage mention per row
+        (``named_entity_recognizer.py:442-446``): max score, then earliest
+        start, then entity name."""
+        best: Dict[int, tuple] = {}
+        for i in range(len(rows)):
+            if stages[i] not in PRESIDIO_STAGES:
+                continue
+            key = (-scores[i], starts[i], entities[i])
+            r = rows[i]
+            if r not in best or key < best[r][0]:
+                best[r] = (key, i)
+        winners = {i for _, i in best.values()}
+        return [i in winners for i in range(len(rows))]

@@ -1,0 +1,96 @@
+"""Pure-function tests (no Ray), mirroring the reference's unit tests for
+``frequency`` / ``split_name`` / the ADDRESS deny list
+(``tests/test_named_entity_recognizer.py:14-132, 158-167``)."""
+
+import pandas as pd
+import pyarrow as pa
+
+from nerpii_ray.functions.hashing import (
+    canonical_id,
+    luhn_complete,
+    luhn_valid,
+    md5_hex,
+    stable_hash64,
+)
+from nerpii_ray.functions.textfns import (
+    fill_null_strings,
+    gender_of_first_names,
+    normalize_surface,
+    normalized_text,
+    split_name_batch,
+    token_counts,
+)
+from nerpii_ray.gazetteers import STREET_WORDS
+
+
+def test_split_name_golden():
+    # reference golden: tests/test_named_entity_recognizer.py:158-167
+    df = pd.DataFrame({"person": ["George Bush", None, "Hillary Clinton"]})
+    out = split_name_batch(df, "person")
+    assert "person" not in out.columns
+    assert list(out["first_name"]) == ["George", "-", "Hillary"]
+    assert list(out["last_name"]) == ["Bush", "-", "Clinton"]
+
+
+def test_split_name_middle_names_dropped():
+    # only first two tokens kept (named_entity_recognizer.py:66-68)
+    df = pd.DataFrame({"n": ["Anna Maria Rossi", "Cher"]})
+    out = split_name_batch(df, "n")
+    assert list(out["first_name"]) == ["Anna", "Cher"]
+    assert list(out["last_name"]) == ["Maria", "-"]
+
+
+def test_split_name_nondefault_index_aligned():
+    # engine fixes the reference's positional-assignment bug
+    # (named_entity_recognizer.py:70-71; FIXTURES.md "Known reference defects")
+    df = pd.DataFrame({"n": ["George Bush", "Hillary Clinton"]}, index=[7, 3])
+    out = split_name_batch(df, "n")
+    assert list(out["first_name"]) == ["George", "Hillary"]
+
+
+def test_street_words_deny_list():
+    # same 25-word semantic set as named_entity_recognizer.py:115-141
+    assert len(STREET_WORDS) == 25
+    for w in ("Street", "Via", "Piazza", "C/", "Blvd"):
+        assert w in STREET_WORDS
+
+
+def test_fill_null_strings():
+    t = pa.table({"a": ["x", None, "y"], "b": [1, 2, 3]})
+    out = fill_null_strings(t, ["a"], "?")
+    assert out.column("a").to_pylist() == ["x", "?", "y"]
+
+
+def test_gender_lookup():
+    s = pd.Series(["Mary", "GEORGE", "Zorblax", None, "Andrea"])
+    out = list(gender_of_first_names(s))
+    assert out == ["female", "male", "unknown", "Nan value", "andy"]
+
+
+def test_normalize_surface():
+    s = pd.Series(["  George   BUSH ", "Acme\tCorp"])
+    assert list(normalize_surface(s)) == ["george bush", "acme corp"]
+
+
+def test_token_counts_and_normalized_text():
+    arr = pa.array(["a b  c", "", None, " x "])
+    assert token_counts(arr).to_pylist() == [3, 0, 0, 1]
+    assert normalized_text(arr).to_pylist() == ["a b c", "", None, "x"]
+
+
+def test_luhn():
+    assert luhn_valid("4532015112830366")  # classic Luhn-valid test number
+    assert not luhn_valid("4532015112830367")
+    c = luhn_complete("453201511283036")
+    assert luhn_valid(c)
+
+
+def test_canonical_id_matches_sql_md5():
+    # contract: substr(md5(entity || ':' || norm), 1, 16) — DuckDB-checkable
+    assert canonical_id("PERSON", "george bush") == md5_hex("PERSON:george bush")[:16]
+    assert len(canonical_id("X", "y")) == 16
+
+
+def test_stable_hash64_is_stable():
+    assert stable_hash64("abc") == stable_hash64("abc")
+    assert stable_hash64("abc") != stable_hash64("abd")
