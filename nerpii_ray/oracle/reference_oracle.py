@@ -1,0 +1,223 @@
+"""Reference-semantics oracle: a tiny, single-process, straight-line
+implementation of the recognizer + triple rules (SURVEY §7).
+
+This is the P/R ≥ 0.95 comparison target from ``BASELINE.json``.  It is
+deliberately written as naive per-row Python — separate code from the Ray
+engine's batched scan — so the two implementations can disagree
+meaningfully.  It shares only the gazetteer *data* (the behavioural spec)
+and the published ID contract ``substr(md5(type ':' norm), 1, 16)``.
+
+Never import engine stage code here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from nerpii_ray.gazetteers import (
+    FIRST_NAMES,
+    LAST_NAME_SET,
+    LOCATIONS,
+    ORG_KEYWORDS,
+    STREET_WORDS,
+)
+
+_PATTERNS = [
+    # (entity, regex, score) in engine priority order
+    ("EMAIL_ADDRESS", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", 1.0),
+    ("URL", r"(?:https?://|www\.)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}(?:/[^\s]*)?", 0.85),
+    ("IP_ADDRESS", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", 0.6),
+    ("US_SSN", r"\b\d{3}-\d{2}-\d{4}\b", 0.85),
+    ("CREDIT_CARD", r"\b\d(?:[ \-]?\d){12,18}\b", 1.0),
+    ("DATE_TIME", r"\b\d{4}-\d{2}-\d{2}\b|\b\d{1,2}/\d{1,2}/\d{2,4}\b", 0.6),
+    (
+        "PHONE_NUMBER",
+        r"(?<![\w(])(?:(?:\+\d{1,3}[-.\s]?)?(?:\(\d{2,4}\)[-.\s]?)?\d{3,4}[-.\s]\d{3,4}"
+        r"(?:[-.\s]\d{3,4})?|\(\d{2,4}\)[-.\s]?\d{3,4}[-.\s]\d{3,4})\b",
+        0.75,
+    ),
+]
+_COMPILED = [(e, re.compile(p), s) for e, p, s in _PATTERNS]
+
+_DENY = sorted((w for w in STREET_WORDS if w != "C/"), key=len, reverse=True)
+_DENY_RE = re.compile(
+    r"(?<![A-Za-z0-9])(?:" + "|".join(re.escape(w) for w in _DENY) + r")(?![A-Za-z0-9])|C/"
+)
+_TOK_RE = re.compile(r"[A-Za-z][A-Za-z'\-/]*")
+_MULTIWORD_LOCS = sorted(
+    (loc for loc in LOCATIONS if " " in loc), key=lambda s: -len(s)
+)
+_ORG_LEFT_STOP = {"The", "A", "An", "In", "On", "At", "My", "Our", "Your"}
+
+
+def _luhn_ok(s: str) -> bool:
+    digits = [int(c) for c in s if c.isdigit()]
+    if not 13 <= len(digits) <= 19:
+        return False
+    total, flip = 0, False
+    for d in reversed(digits):
+        if flip:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+        flip = not flip
+    return total % 10 == 0
+
+
+def node_id(entity: str, surface: str) -> str:
+    norm = re.sub(r"\s+", " ", surface.strip()).lower()
+    return hashlib.md5(f"{entity}:{norm}".encode()).hexdigest()[:16]
+
+
+def oracle_mentions(text: str | None) -> list[dict]:
+    """All node-bearing mentions of one turn, naive implementation."""
+    if not text:
+        return []
+    found: list[dict] = []
+    taken: list[tuple] = []  # claimed pattern spans
+
+    # pattern recognizers: greedy by (start, priority), non-overlapping —
+    # equivalent to a single left-to-right alternation scan
+    cands = []
+    for prio, (ent, rx, score) in enumerate(_COMPILED):
+        for m in rx.finditer(text):
+            cands.append((m.start(), prio, m.end(), ent, score, m.group(0)))
+    cands.sort()
+    for start, prio, end, ent, score, surf in cands:
+        if any(not (end <= s or start >= e) for s, e in taken):
+            continue
+        if ent == "CREDIT_CARD":
+            if not _luhn_ok(surf):
+                ent, score = "PHONE_NUMBER", 0.4
+        taken.append((start, end))
+        found.append(dict(entity=ent, surface=surf, start=start, end=end, score=score))
+
+    # ADDRESS deny list (may overlap pattern spans, as in the engine)
+    for m in _DENY_RE.finditer(text):
+        found.append(
+            dict(entity="ADDRESS", surface=m.group(0), start=m.start(),
+                 end=m.end(), score=1.0)
+        )
+
+    # organizations: keyword + left/right title-case extension
+    toks = [(m.group(0), m.start(), m.end()) for m in _TOK_RE.finditer(text)]
+    org_token_idx: set[int] = set()
+    org_spans: list[tuple] = []
+    i = 0
+    while i < len(toks):
+        w = toks[i][0]
+        inside_pattern = any(s <= toks[i][1] < e for s, e in taken)
+        if w in ORG_KEYWORDS and i not in org_token_idx and not inside_pattern:
+            lo = i
+            while (
+                lo - 1 >= 0
+                and toks[lo - 1][0][0].isupper()
+                and toks[lo - 1][0] not in _ORG_LEFT_STOP
+                and toks[lo - 1][0] not in ORG_KEYWORDS
+                and lo - 1 not in org_token_idx
+                and i - (lo - 1) <= 2
+            ):
+                lo -= 1
+            hi = i
+            if i + 1 < len(toks) and toks[i + 1][0] == "of":
+                k = i + 2
+                while k < len(toks) and toks[k][0][0].isupper():
+                    k += 1
+                if k > i + 2:
+                    hi = k - 1
+            while hi + 1 < len(toks) and toks[hi + 1][0] in ORG_KEYWORDS:
+                hi += 1
+            org_token_idx.update(range(lo, hi + 1))
+            org_spans.append((lo, hi))
+            i = hi + 1
+        else:
+            i += 1
+    for lo, hi in org_spans:
+        s, e = toks[lo][1], toks[hi][2]
+        found.append(
+            dict(entity="ORGANIZATION", surface=text[s:e], start=s, end=e, score=0.8)
+        )
+
+    # locations (longest multiword first, then unigrams) and persons
+    consumed: set[int] = set()
+    for i, (w, s, e) in enumerate(toks):
+        if i in consumed or i in org_token_idx:
+            continue
+        if any(ps <= s < pe for ps, pe in taken):
+            continue
+        matched = False
+        for loc in _MULTIWORD_LOCS:
+            words = loc.split(" ")
+            if w != words[0]:
+                continue
+            js = list(range(i, i + len(words)))
+            if js[-1] < len(toks) and all(
+                toks[j][0] == words[j - i] and j not in org_token_idx for j in js
+            ):
+                found.append(
+                    dict(entity="LOCATION", surface=loc, start=s,
+                         end=toks[js[-1]][2], score=0.85)
+                )
+                consumed.update(js)
+                matched = True
+                break
+        if matched:
+            continue
+        nxt = toks[i + 1][0] if i + 1 < len(toks) and (i + 1) not in org_token_idx else None
+        if w in FIRST_NAMES:
+            if nxt and nxt[0].isupper() and (nxt in LAST_NAME_SET or nxt in FIRST_NAMES):
+                found.append(
+                    dict(entity="PERSON", surface=f"{w} {nxt}", start=s,
+                         end=toks[i + 1][2], score=0.85)
+                )
+                consumed.update({i, i + 1})
+            else:
+                found.append(dict(entity="PERSON", surface=w, start=s, end=e, score=0.75))
+                consumed.add(i)
+        elif w in LOCATIONS:
+            found.append(dict(entity="LOCATION", surface=w, start=s, end=e, score=0.8))
+            consumed.add(i)
+        elif w in LAST_NAME_SET and w[0].isupper():
+            found.append(dict(entity="PERSON", surface=w, start=s, end=e, score=0.7))
+            consumed.add(i)
+    return found
+
+
+def oracle_triples(rows: list[dict]) -> set[tuple]:
+    """Turn rows → {(subj_id, pred, obj_id, conv_id, turn_idx)}."""
+    triples: set[tuple] = set()
+    for row in rows:
+        conv, turn = row["conv_id"], int(row["turn_idx"])
+        actor = hashlib.md5(
+            f"ACTOR:{conv}:{row['role']}".encode()
+        ).hexdigest()[:16]
+        tool = row.get("tool")
+        if tool is not None and tool != "none":
+            tnode = hashlib.md5(f"TOOL:{tool}".encode()).hexdigest()[:16]
+            triples.add((actor, "used_tool", tnode, conv, turn))
+        ms = oracle_mentions(row.get("text"))
+        for m in ms:
+            triples.add((actor, "mentions", node_id(m["entity"], m["surface"]), conv, turn))
+            if tool == "send_email" and m["entity"] == "EMAIL_ADDRESS":
+                triples.add(
+                    (actor, "sent_email_to", node_id(m["entity"], m["surface"]), conv, turn)
+                )
+        by_entity: dict[str, dict] = {}
+        for m in sorted(ms, key=lambda m: (m["start"], m["surface"])):
+            by_entity.setdefault(m["entity"], m)
+        person = by_entity.get("PERSON")
+        if person:
+            pid = node_id("PERSON", person["surface"])
+            org = by_entity.get("ORGANIZATION")
+            if org:
+                triples.add(
+                    (pid, "works_for", node_id("ORGANIZATION", org["surface"]), conv, turn)
+                )
+            loc = by_entity.get("LOCATION")
+            if loc:
+                triples.add(
+                    (pid, "located_in", node_id("LOCATION", loc["surface"]), conv, turn)
+                )
+    return triples

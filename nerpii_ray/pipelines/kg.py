@@ -1,0 +1,158 @@
+"""The flagship pipeline: transcripts → knowledge graph (north rule).
+
+DAG (SURVEY §3 "Engine lifecycle"):
+
+  read_parquet(transcripts, pruned columns)
+    → RecognizerActor pool (stateful map_batches; mentions + count rows)
+    → [A] histogram combiner → groupby(group_key) → cascade → assignments
+          (tiny table; shuffle #1 moves only per-batch partials)
+    → [B] add_canonical_ids (pure fn, no shuffle) → extract_triples
+          (stateless map_batches) ∪ tool edges from turns
+    → [C] nodes: per-batch distinct → groupby(node_id) first (shuffle #2,
+          skew-proof via local distinct) → deterministic pseudonyms
+    → write_parquet nodes/ edges/ (+ assignments, lineage, _SUCCESS)
+
+Resume: ``run_kg_partitioned`` processes input shards independently, one
+output partition each; shards with a ``_SUCCESS`` marker are skipped.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import ray.data as rd
+
+from nerpii_ray.config import EngineConfig
+from nerpii_ray.sources.readers import read_transcripts
+from nerpii_ray.sources.writers import partition_done, write_partition
+from nerpii_ray.stages.assign import assign_entities, assignments_to_table
+from nerpii_ray.stages.canonicalize import add_canonical_ids, build_nodes
+from nerpii_ray.stages.recognize import recognize_mentions
+from nerpii_ray.stages.triples import (
+    dedup_edges_global,
+    extract_tool_edges,
+    extract_triples,
+)
+
+import pandas as pd
+
+from nerpii_ray.functions.textfns import md5_of_strings
+
+
+def _actor_tool_nodes(turns_batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch distinct ACTOR / TOOL nodes from the turns table."""
+    a = turns_batch[["conv_id", "role"]].drop_duplicates()
+    actors = pd.DataFrame(
+        {
+            "canonical_name": a["conv_id"].astype(str) + ":" + a["role"].astype(str),
+            "entity_type": "ACTOR",
+        }
+    )
+    t = turns_batch[
+        turns_batch["tool"].notna() & (turns_batch["tool"] != "none")
+    ][["tool"]].drop_duplicates()
+    tools = pd.DataFrame(
+        {"canonical_name": t["tool"].astype(str), "entity_type": "TOOL"}
+    )
+    out = pd.concat([actors, tools], ignore_index=True)
+    out["node_id"] = md5_of_strings(
+        out["entity_type"] + ":" + out["canonical_name"]
+    ).str[:16]
+    out["pseudonym"] = out["canonical_name"]
+    return out[["node_id", "entity_type", "canonical_name", "pseudonym"]]
+
+
+def _first(group: pd.DataFrame) -> pd.DataFrame:
+    return group.head(1)
+
+
+def run_kg(
+    turns_ds,
+    config: Optional[EngineConfig] = None,
+    dedup_edges: bool = False,
+    with_assignments: bool = True,
+):
+    """Transcripts Dataset → dict of result Datasets/tables.
+
+    Returns {"mentions": Dataset, "edges": Dataset, "nodes": Dataset,
+    "assignments": pandas.DataFrame | None}.
+    """
+    cfg = config or EngineConfig()
+    mentions = recognize_mentions(turns_ds, config=cfg)
+
+    assignments = None
+    if with_assignments:
+        assignments = assignments_to_table(assign_entities(mentions, cfg))
+
+    with_ids = mentions.map_batches(
+        add_canonical_ids, batch_format="pandas", batch_size=cfg.batch_size
+    )
+    entity_edges = with_ids.map_batches(
+        extract_triples, batch_format="pandas", batch_size=cfg.batch_size
+    )
+    tool_edges = turns_ds.map_batches(
+        extract_tool_edges, batch_format="pandas", batch_size=cfg.batch_size
+    )
+    edges = entity_edges.union(tool_edges)
+    if dedup_edges:
+        edges = dedup_edges_global(edges, cfg)
+
+    entity_nodes = build_nodes(with_ids, cfg)
+    at_local = turns_ds.map_batches(
+        _actor_tool_nodes, batch_format="pandas", batch_size=cfg.batch_size
+    )
+    at_nodes = at_local.groupby("node_id").map_groups(_first, batch_format="pandas")
+    nodes = entity_nodes.union(at_nodes)
+
+    return {
+        "mentions": with_ids,
+        "edges": edges,
+        "nodes": nodes,
+        "assignments": assignments,
+    }
+
+
+def run_kg_partitioned(
+    in_dir: str,
+    out_dir: str,
+    config: Optional[EngineConfig] = None,
+    files_per_partition: int = 8,
+    dedup_edges: bool = False,
+) -> list[dict]:
+    """Checkpointed run: input shards → independent output partitions.
+
+    Each partition is a full sub-pipeline over ``files_per_partition``
+    input files (conversations never span files, per the testgen /
+    ingest layout), written atomically with lineage; finished partitions
+    are skipped on resume.  Assignments are computed per-partition and
+    recorded in the partition lineage.
+    """
+    cfg = config or EngineConfig()
+    files = sorted(glob.glob(os.path.join(in_dir, "*.parquet")))
+    records = []
+    for p, lo in enumerate(range(0, len(files), files_per_partition)):
+        part_files = files[lo : lo + files_per_partition]
+        part_out = os.path.join(out_dir, f"part={p:05d}")
+        if partition_done(os.path.join(part_out, "edges")) and partition_done(
+            os.path.join(part_out, "nodes")
+        ):
+            records.append({"partition": p, "skipped": True})
+            continue
+        turns = read_transcripts(part_files)
+        res = run_kg(turns, cfg, dedup_edges=dedup_edges)
+        lineage = {
+            "partition": p,
+            "input_files": part_files,
+            "n_assignment_groups": len(res["assignments"]) if res["assignments"] is not None else 0,
+        }
+        rec_e = write_partition(res["edges"], os.path.join(part_out, "edges"), lineage)
+        rec_n = write_partition(res["nodes"], os.path.join(part_out, "nodes"), lineage)
+        if res["assignments"] is not None:
+            os.makedirs(part_out, exist_ok=True)
+            res["assignments"].to_parquet(
+                os.path.join(part_out, "assignments.parquet")
+            )
+        records.append({"partition": p, "edges": rec_e, "nodes": rec_n})
+    return records

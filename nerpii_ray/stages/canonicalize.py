@@ -1,0 +1,111 @@
+"""Canonicalization: normalized surfaces → deterministic node IDs → the
+distinct-nodes table (SURVEY §7 step 6 — the engine's FakerGenerator
+analogue for graph entities).
+
+Scale design:
+
+* The canonical ID is a *pure function* of (entity_type, normalized
+  surface) — ``substr(md5(type || ':' || norm), 1, 16)`` — so attaching
+  IDs to mentions/edges needs NO shuffle at all; only building the
+  distinct nodes table does.
+* Skew: hot surfaces ("Acme Corp" in 10 % of turns) would hammer one
+  groupby partition.  Each batch first collapses to its local distinct
+  set (``drop_duplicates`` — the salting-equivalent combiner: a surface
+  appearing 10^6 times in a batch contributes ONE row to the shuffle),
+  so post-shuffle group sizes are bounded by the number of batches, not
+  by surface frequency.
+* A ``top_surfaces`` census (partial count → tiny groupby → sort/limit)
+  reports the hottest surfaces for skew monitoring and for choosing
+  explicit salt factors when a downstream op must group raw mentions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from nerpii_ray.config import EngineConfig
+from nerpii_ray.functions.pseudonym import pseudonym_for
+from nerpii_ray.functions.textfns import md5_of_strings, normalize_surface
+from nerpii_ray.state.registry import PRESIDIO_STAGES, STAGE_MODEL_SPAN
+
+#: mention stages that become graph entity nodes
+NODE_STAGES = tuple(PRESIDIO_STAGES) + (STAGE_MODEL_SPAN,)
+
+
+def add_canonical_ids(batch: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-batch: add norm_surface + node_id to mention rows.
+
+    Keeps only node-bearing stages (drops model token labels and count
+    partials).  Equivalent SQL for the ID:
+    ``substr(md5(entity || ':' || lower(surface)), 1, 16)``.
+    """
+    batch = batch[batch["stage"].isin(NODE_STAGES)].copy()
+    batch["norm_surface"] = normalize_surface(batch["surface"])
+    batch["node_id"] = md5_of_strings(
+        batch["entity"].astype(str) + ":" + batch["norm_surface"]
+    ).str[:16]
+    return batch
+
+
+def _distinct_nodes_in_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    out = batch[["node_id", "entity", "norm_surface"]].drop_duplicates("node_id")
+    return out.rename(columns={"entity": "entity_type", "norm_surface": "canonical_name"})
+
+
+def _first_per_group(group: pd.DataFrame) -> pd.DataFrame:
+    return group.head(1)
+
+
+def add_pseudonyms(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic Faker-style pseudonym per canonical node
+    (``faker_generator.py`` F2-F13 semantics, seeded per surface)."""
+    batch = batch.copy()
+    batch["pseudonym"] = [
+        pseudonym_for(t, s)
+        for t, s in zip(batch["entity_type"], batch["canonical_name"])
+    ]
+    return batch
+
+
+def build_nodes(mentions_with_ids_ds, config: Optional[EngineConfig] = None):
+    """Mentions (with node_id) → distinct nodes Dataset
+    (node_id, entity_type, canonical_name, pseudonym).
+
+    Per-batch distinct (combiner) → groupby(node_id) first (shuffle #2 of
+    the pipeline) → pseudonym map.  ``map_groups`` gets an explicit
+    ``batch_format`` because its default is a dict of numpy arrays.
+    """
+    cfg = config or EngineConfig()
+    local = mentions_with_ids_ds.map_batches(
+        _distinct_nodes_in_batch, batch_format="pandas", batch_size=cfg.batch_size
+    )
+    distinct = local.groupby("node_id").map_groups(
+        _first_per_group, batch_format="pandas"
+    )
+    return distinct.map_batches(
+        add_pseudonyms, batch_format="pandas", batch_size=cfg.batch_size
+    )
+
+
+def top_surfaces(mentions_with_ids_ds, k: int = 20,
+                 config: Optional[EngineConfig] = None) -> pd.DataFrame:
+    """Top-k hottest canonical surfaces (skew census, SURVEY §2.7):
+    per-batch partial counts → small groupby sum → sort desc → limit."""
+    cfg = config or EngineConfig()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            batch.groupby(["node_id", "entity", "norm_surface"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return g
+
+    partials = mentions_with_ids_ds.map_batches(
+        partial, batch_format="pandas", batch_size=cfg.batch_size
+    )
+    agg = partials.groupby(["node_id", "entity", "norm_surface"]).sum("cnt")
+    out = agg.sort("sum(cnt)", descending=True).limit(k).to_pandas()
+    return out.rename(columns={"sum(cnt)": "cnt"})

@@ -1,0 +1,166 @@
+"""Triple extraction: mention rows → (subj, pred, obj) edge rows.
+
+Stateless ``map_batches`` stage (SURVEY §7 step 5).  All rules are
+per-turn, and every mention of a turn lands in the same batch (the
+recognizer explodes one input row's mentions contiguously), so extraction
+needs no shuffle.  The rule table:
+
+  pred            | subj                     | obj                 | when
+  ----------------+--------------------------+---------------------+--------------------------
+  mentions        | ACTOR conv:<id>:<role>   | each entity node    | any node-bearing mention
+  used_tool       | ACTOR conv:<id>:<role>   | TOOL <tool>         | turn has tool != none
+  sent_email_to   | ACTOR conv:<id>:<role>   | EMAIL node          | tool == send_email
+  works_for       | first PERSON of turn     | first ORGANIZATION  | both present in turn
+  located_in      | first PERSON of turn     | first LOCATION      | both present in turn
+
+"first" = smallest mention start offset; ties by surface.  The oracle
+(:mod:`nerpii_ray.oracle.reference_oracle`) implements the same table
+independently, which is what the P/R ≥ 0.95 gate compares.
+
+Edge identity for dedup: ``edge_key = md5(subj|pred|obj|conv|turn)[:16]``.
+Duplicates cannot arise from a single well-formed input (one turn = one
+input row = one batch slice), so global dedup is an optional hash-
+partitioned groupby for at-least-once upstreams (``EngineConfig``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from nerpii_ray.config import EngineConfig
+from nerpii_ray.functions.textfns import md5_of_strings
+
+EDGE_COLUMNS = [
+    "subj_id", "subj_type", "pred", "obj_id", "obj_type",
+    "conv_id", "turn_idx", "score",
+]
+
+
+def actor_node_ids(conv_ids: pd.Series, roles: pd.Series) -> pd.Series:
+    names = conv_ids.astype(str) + ":" + roles.astype(str)
+    return md5_of_strings("ACTOR:" + names).str[:16]
+
+
+def tool_node_ids(tools: pd.Series) -> pd.Series:
+    return md5_of_strings("TOOL:" + tools.astype(str)).str[:16]
+
+
+def extract_triples(batch: pd.DataFrame) -> pd.DataFrame:
+    """Mention rows (with node_id, from ``add_canonical_ids``) → edges."""
+    if len(batch) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in EDGE_COLUMNS})
+
+    b = batch.copy()
+    b["actor_id"] = actor_node_ids(b["conv_id"], b["role"])
+    edges = []
+
+    # mentions: one edge per entity mention
+    m = pd.DataFrame(
+        {
+            "subj_id": b["actor_id"],
+            "subj_type": "ACTOR",
+            "pred": "mentions",
+            "obj_id": b["node_id"],
+            "obj_type": b["entity"],
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"],
+            "score": b["score"],
+        }
+    )
+    edges.append(m)
+
+    # sent_email_to: EMAIL mentions in send_email turns
+    se = b[(b["tool"] == "send_email") & (b["entity"] == "EMAIL_ADDRESS")]
+    if len(se):
+        edges.append(
+            pd.DataFrame(
+                {
+                    "subj_id": se["actor_id"],
+                    "subj_type": "ACTOR",
+                    "pred": "sent_email_to",
+                    "obj_id": se["node_id"],
+                    "obj_type": "EMAIL_ADDRESS",
+                    "conv_id": se["conv_id"],
+                    "turn_idx": se["turn_idx"],
+                    "score": se["score"],
+                }
+            )
+        )
+
+    # co-occurrence rules: first PERSON × first ORGANIZATION / LOCATION
+    firsts = (
+        b.sort_values(["conv_id", "turn_idx", "start", "surface"])
+        .groupby(["conv_id", "turn_idx", "entity"], sort=False)
+        .first()
+        .reset_index()
+    )
+    per = firsts[firsts["entity"] == "PERSON"]
+    for other, pred in (("ORGANIZATION", "works_for"), ("LOCATION", "located_in")):
+        oth = firsts[firsts["entity"] == other]
+        j = per.merge(oth, on=["conv_id", "turn_idx"], suffixes=("_p", "_o"))
+        if len(j):
+            edges.append(
+                pd.DataFrame(
+                    {
+                        "subj_id": j["node_id_p"],
+                        "subj_type": "PERSON",
+                        "pred": pred,
+                        "obj_id": j["node_id_o"],
+                        "obj_type": other,
+                        "conv_id": j["conv_id"],
+                        "turn_idx": j["turn_idx"],
+                        "score": j["score_p"].astype(float) * j["score_o"].astype(float),
+                    }
+                )
+            )
+
+    out = pd.concat(edges, ignore_index=True)
+    out["edge_key"] = md5_of_strings(
+        out["subj_id"].astype(str)
+        + "|" + out["pred"].astype(str)
+        + "|" + out["obj_id"].astype(str)
+        + "|" + out["conv_id"].astype(str)
+        + "|" + out["turn_idx"].astype(str)
+    ).str[:16]
+    # local dedup (combiner): duplicates within a turn collapse here
+    out = out.drop_duplicates("edge_key").reset_index(drop=True)
+    return out
+
+
+def extract_tool_edges(turns_batch: pd.DataFrame) -> pd.DataFrame:
+    """used_tool edges straight from the TURNS table (not mentions): a turn
+    with a tool but no detected entities still yields its edge."""
+    t = turns_batch[
+        turns_batch["tool"].notna() & (turns_batch["tool"] != "none")
+    ]
+    out = pd.DataFrame(
+        {
+            "subj_id": actor_node_ids(t["conv_id"], t["role"]),
+            "subj_type": "ACTOR",
+            "pred": "used_tool",
+            "obj_id": tool_node_ids(t["tool"]),
+            "obj_type": "TOOL",
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "score": 1.0,
+        }
+    )
+    out["edge_key"] = md5_of_strings(
+        out["subj_id"].astype(str)
+        + "|used_tool|" + out["obj_id"].astype(str)
+        + "|" + out["conv_id"].astype(str)
+        + "|" + out["turn_idx"].astype(str)
+    ).str[:16]
+    return out.reset_index(drop=True)
+
+
+def dedup_edges_global(edges_ds, config: Optional[EngineConfig] = None):
+    """Optional exact global dedup: hash-partition on edge_key + first
+    (SURVEY §2.7).  Needed only for at-least-once inputs."""
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return edges_ds.groupby("edge_key").map_groups(first, batch_format="pandas")
