@@ -1,0 +1,151 @@
+"""Synthesis conformance: the F-B fixture end-to-end (the reference's de
+facto e2e golden, ``tests/test_faker_generator.py:65-82``), per-provider
+property checks (``:85-168``), null/mark semantics, and determinism."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from nerpii_ray.config import EngineConfig
+from nerpii_ray.functions.textfns import split_name_batch
+from nerpii_ray.pipelines.profile import profile_table
+from nerpii_ray.pipelines.synthesize import (
+    build_plan,
+    synthesize_dataset,
+    synthesize_table,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset_fb():
+    # F-B fixture (tests/test_faker_generator.py:12-41)
+    return pd.DataFrame(
+        {
+            "email": ["John@email.com.", "Snow@email.com", "frank@email.com"],
+            "city": ["New York", "Chicago", "Phoenix"],
+            "state": ["Washigton", "Rhode Island", "Texas"],
+            "university": [
+                "University of London",
+                "University of Georgia",
+                "University of California",
+            ],
+            "person": ["George Bush", None, "Hillary Clinton"],
+            "zipcode": ["10145", "N11RG", "56178"],
+            "phone number": ["5678-0987", "1234-4321", "0987-1234"],
+            "address": [
+                "Piazza Gae Aulenti 45",
+                "171 Upper Street",
+                "29, Russel Square",
+            ],
+            "url": ["www.levante.com", "www.amazon.it", "www.pandas.org"],
+            "credit card number": [
+                "5467-9765-0987-0000",
+                "1234-5678-9101",
+                "0987-6543-2109",
+            ],
+            "ssn": ["865-50-6891", "042-34-8377", "498-52-4970"],
+            "country": ["United Kingdom", "Hungary", "Italy"],
+            "first_name_gender": ["female", "unknown", "male"],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def assignments_fb(dataset_fb):
+    df = split_name_batch(dataset_fb.copy(), "person")
+    return profile_table(df), df
+
+
+def test_fb_entity_assignments_golden(assignments_fb):
+    """The full 3-step NER on F-B reproduces the reference's expected
+    column→entity pairs (tests/test_faker_generator.py:65-82)."""
+    assignments, _ = assignments_fb
+    expected = {
+        "email": "EMAIL_ADDRESS",
+        "city": "LOCATION",
+        "state": "LOCATION",
+        "university": "ORGANIZATION",
+        "zipcode": "ZIPCODE",
+        "phone number": "PHONE_NUMBER",
+        "address": "ADDRESS",
+        "url": "URL",
+        "credit card number": "CREDIT_CARD_NUMBER",
+        "ssn": "US_SSN",
+        "country": "LOCATION",
+        "first_name": "PERSON",
+        "last_name": "PERSON",
+    }
+    for col, ent in expected.items():
+        assert assignments[col] is not None, f"{col} unassigned"
+        assert assignments[col]["entity"] == ent, (col, assignments[col])
+        assert assignments[col]["confidence_score"] > 0.3
+
+
+def test_fb_plan_covers_all_assigned(assignments_fb):
+    assignments, df = assignments_fb
+    plan = build_plan(assignments, list(df.columns))
+    assert set(plan.provider_by_column) == {
+        "email", "city", "state", "zipcode", "phone number", "address",
+        "url", "credit card number", "ssn", "country", "first_name",
+        "last_name",
+    }
+    assert plan.first_name_cols == ["first_name"]
+    assert plan.last_name_cols == ["last_name"]
+    # ORGANIZATION has no provider (as in the reference, F14 bookkeeping:
+    # faker_generator.py:598-606) → not synthesized
+    assert ["university", "ORGANIZATION"] in plan.columns_not_synthesized
+
+
+def test_fb_synthesis_properties(assignments_fb):
+    """Per-provider checks (tests/test_faker_generator.py:85-168): columns
+    replaced, non-empty, and email == first.last@domain row-consistent."""
+    assignments, df = assignments_fb
+    out = synthesize_table(df, assignments)
+    for col in ("address", "phone number", "city", "state", "url", "zipcode",
+                "credit card number", "ssn", "country", "first_name", "last_name"):
+        assert out[col].notna().all() or df[col].isna().any()
+        changed = out[col].dropna() != df[col].dropna()
+        assert changed.all(), f"{col} not synthesized"
+    for email, first, last in zip(out["email"], out["first_name"], out["last_name"]):
+        assert "@" in email
+        assert email.startswith(f"{first.lower()}.{last.lower()}@")
+    # nulls stay null: person row 2 was None → split "-"/"-" strings remain
+    assert out["first_name"].notna().all()
+
+
+def test_null_preserved_and_deterministic(assignments_fb):
+    assignments, df = assignments_fb
+    df2 = df.copy()
+    df2.loc[1, "city"] = None
+    out1 = synthesize_table(df2, assignments)
+    out2 = synthesize_table(df2, assignments)
+    assert out1["city"].isna()[1]
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic, unlike Faker
+    # equal inputs → equal pseudonyms
+    df3 = df.copy()
+    df3.loc[1, "city"] = "New York"
+    out3 = synthesize_table(df3, assignments)
+    assert out3.loc[0, "city"] == out3.loc[1, "city"]
+
+
+def test_generation_mark_semantics(assignments_fb):
+    """mark='*' mode: only marked cells are replaced
+    (faker_generator.py:56, 91, 138-145)."""
+    assignments, df = assignments_fb
+    df2 = df.copy()
+    df2.loc[0, "city"] = "*"
+    cfg = EngineConfig(generation_mark="*")
+    out = synthesize_table(df2, assignments, cfg)
+    assert out.loc[0, "city"] != "*"
+    assert out.loc[1, "city"] == "Chicago"  # unmarked cells untouched
+
+
+def test_synthesize_dataset_matches_table(assignments_fb):
+    """Dataset path and driver path agree batch-for-batch."""
+    assignments, df = assignments_fb
+    ds = rd.from_pandas(df)
+    out_ds = synthesize_dataset(ds, assignments).to_pandas()
+    out_df = synthesize_table(df, assignments)
+    pd.testing.assert_frame_equal(
+        out_ds.reset_index(drop=True), out_df.reset_index(drop=True)
+    )
