@@ -2,14 +2,34 @@
 gate (``__ray_entry__.queries()`` / ``oracle_sql()``).
 
 Each entry is one operator/pipeline from SURVEY §2 (or a training-data
-op), expressed Ray-Data-first over the driver testdata tables.  Column
-names match the SQL exactly; floats are avoided or rounded identically on
-both sides so the driver's value-hash comparison is stable.
+op), expressed Ray-Data-first over the driver testdata tables
+(``region nation customer supplier part orders lineitem events documents
+embeddings``).  Design rules for hash-stable comparison:
+
+* column names match the SQL exactly (the driver sorts columns by name
+  and hashes values);
+* money math is integer cents end-to-end (float sums reorder across
+  engines; integer sums don't);
+* float outputs (cosine similarities, confidence scores) are rounded to
+  the same precision on both sides;
+* the documents table is synthetic word-soup, so the NER queries use a
+  document-domain gazetteer of words that actually occur (the recognizer
+  semantics are what's under test, not the vocabulary).
+
+Queries with no SQL entry (minhash/simhash/IVF/langid/multimodal/KG) are
+non-SQL-expressible; the driver records rows-only checks and pytest
+covers their semantics (test_ops.py / test_kg_pipeline.py).
 """
 
 from __future__ import annotations
 
 from typing import Any, Callable, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
 
 QUERIES: Dict[str, Callable[[str], Any]] = {}
 ORACLE_SQL: Dict[str, str] = {}
@@ -23,3 +43,866 @@ def register(name: str, sql: str | None = None):
         return fn
 
     return deco
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_half_away(x: float, digits: int = 4) -> float:
+    """DuckDB's ROUND is half-away-from-zero; Python's round() is
+    half-even — 0.40625 must become 0.4063 on both sides."""
+    import math
+
+    p = 10 ** digits
+    return math.floor(abs(x) * p + 0.5) / p * (1 if x >= 0 else -1)
+
+
+# =====================================================================
+# Relational core (M/A/S operators at scale: filter, project, aggregate,
+# sort/limit, joins, distinct, windows)
+# =====================================================================
+
+
+@register(
+    "lineitem_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS sum_disc_u,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate; integer-cent math, per-batch
+    partial aggregation before the (tiny) groupby shuffle."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].to_pandas(),
+                "l_linestatus": b["l_linestatus"].to_pandas(),
+                "sum_qty": pc.cast(b["l_quantity"], pa.int64()).to_pandas(),
+                "sum_base_cents": cents.to_pandas(),
+                "sum_disc_u": (cents.to_pandas() * (100 - disc.to_pandas())),
+                "n": 1,
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index(),
+            preserve_index=False,
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_base_cents", "sum_disc_u", "n"])
+    )
+
+    def rename(b: pd.DataFrame) -> pd.DataFrame:
+        return b.rename(columns={f"sum({c})": c for c in
+                                 ("sum_qty", "sum_base_cents", "sum_disc_u", "n")})
+
+    return agg.map_batches(rename, batch_format="pandas")
+
+
+@register(
+    "top_orders",
+    """
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_orders(sf_dir: str):
+    """Sort + limit (top-k), deterministic tie-break by key."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "total_cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()),
+            }
+        )
+
+    return top.map_batches(cents, batch_format="pyarrow")
+
+
+@register(
+    "orders_by_segment",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def orders_by_segment(sf_dir: str):
+    """Broadcast join (small dimension side, no shuffle) + aggregate."""
+    from nerpii_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(
+            total_cents=np.round(b["o_totalprice"] * 100).astype("int64"), n_orders=1
+        )
+        return (
+            b.groupby("c_mktsegment", sort=False)[["n_orders", "total_cents"]]
+            .sum()
+            .reset_index()
+            .rename(columns={"c_mktsegment": "segment"})
+        )
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby("segment").sum(
+        ["n_orders", "total_cents"]
+    )
+    return agg.map_batches(
+        lambda b: b.rename(
+            columns={"sum(n_orders)": "n_orders", "sum(total_cents)": "total_cents"}
+        ),
+        batch_format="pandas",
+    )
+
+
+@register(
+    "supplier_per_region",
+    """
+    SELECT r.r_name AS region, COUNT(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def supplier_per_region(sf_dir: str):
+    """Two chained broadcast lookups (star-schema denormalization)."""
+    from nerpii_ray.stages.joins import broadcast_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region = pd.read_parquet(f"{sf_dir}/region.parquet")
+    dim = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "r_name"]].rename(
+        columns={"n_nationkey": "s_nationkey", "r_name": "region"}
+    )
+    joined = broadcast_join(sup, dim, on=["s_nationkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("region", sort=False).size().reset_index(name="n_suppliers")
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby("region").sum(
+        "n_suppliers"
+    )
+    return agg.map_batches(
+        lambda b: b.rename(columns={"sum(n_suppliers)": "n_suppliers"}),
+        batch_format="pandas",
+    )
+
+
+@register(
+    "lineitem_orders_hash_join",
+    """
+    SELECT o.o_orderstatus AS status,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def lineitem_orders_hash_join(sf_dir: str):
+    """Large-large partitioned hash join (explicit bucketed shuffle)."""
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    joined = partitioned_hash_join(li, orders, on=["o_orderkey"], num_buckets=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(sum_qty=b["l_quantity"].astype("int64"), n_items=1)
+        return (
+            b.groupby("o_orderstatus", sort=False)[["n_items", "sum_qty"]]
+            .sum()
+            .reset_index()
+            .rename(columns={"o_orderstatus": "status"})
+        )
+
+    agg = joined.map_batches(partial, batch_format="pandas").groupby("status").sum(
+        ["n_items", "sum_qty"]
+    )
+    return agg.map_batches(
+        lambda b: b.rename(columns={"sum(n_items)": "n_items", "sum(sum_qty)": "sum_qty"}),
+        batch_format="pandas",
+    )
+
+
+@register(
+    "promo_parts",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_type = 'PROMO' AND p_size > 25
+    """,
+)
+def promo_parts(sf_dir: str):
+    """Vectorized filter + projection (pruned at the read)."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_type", "p_size"])
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["p_type"], "PROMO"), pc.greater(b["p_size"], 25))
+        ).select(["p_partkey", "p_name"]),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment AS segment FROM customer",
+)
+def distinct_segments(sf_dir: str):
+    """Distinct over one column (set op)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+
+    def local(b: pa.Table) -> pa.Table:
+        return pa.table({"segment": b["c_mktsegment"].unique()})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("segment")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT user_id,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+    FROM events GROUP BY user_id, hour_epoch
+    """,
+)
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate (stream-shaped op)."""
+    from nerpii_ray.stages.window import hourly_agg
+
+    return hourly_agg(_read(sf_dir, "events", ["user_id", "ts", "value"]))
+
+
+@register(
+    "events_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM ordered GROUP BY user_id
+    """,
+)
+def events_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user — groupby + in-group sort."""
+    from nerpii_ray.stages.window import sessionize
+
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts"]), gap_sec=1800)
+
+
+# =====================================================================
+# nerpii-semantics over the documents table (document-domain gazetteer —
+# words that actually occur in the synthetic corpus)
+# =====================================================================
+
+DOC_GAZETTEER = {
+    "ORGANIZATION": ["spark", "vector", "hash"],
+    "PERSON": ["customer", "supplier"],
+    "LOCATION": ["table", "window", "stream"],
+}
+_DOC_PATTERNS = {
+    ent: r"\b(?:" + "|".join(words) + r")\b" for ent, words in DOC_GAZETTEER.items()
+}
+#: deterministic priority for the per-doc primary-mention policy
+_DOC_ENTITY_PRIORITY = ["ORGANIZATION", "PERSON", "LOCATION"]
+
+
+def _doc_mentions_batch(b: pa.Table) -> pa.Table:
+    """Exploded (doc_id, source, entity, surface) rows — one per
+    occurrence — via vectorized extract-all per entity class."""
+    out = {"doc_id": [], "source": [], "entity": [], "surface": []}
+    doc_ids = b["doc_id"].to_pylist()
+    sources = b["source"].to_pylist()
+    # pyarrow lacks an extract-all kernel → vectorized pandas findall
+    s = b["text"].to_pandas().fillna("")
+    for ent, words in DOC_GAZETTEER.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        found = s.str.findall(pat)
+        for i, fs in enumerate(found):
+            for surf in fs:
+                out["doc_id"].append(doc_ids[i])
+                out["source"].append(sources[i])
+                out["entity"].append(ent)
+                out["surface"].append(surf)
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "source": pa.array(out["source"], pa.string()),
+            "entity": pa.array(out["entity"], pa.string()),
+            "surface": pa.array(out["surface"], pa.string()),
+        }
+    )
+
+
+_DOC_MENTIONS_SQL_PARTS = " UNION ALL ".join(
+    f"""
+    SELECT doc_id, source, '{ent}' AS entity, unnest(regexp_extract_all(text,
+        '\\b({"|".join(words)})\\b')) AS surface
+    FROM documents
+    """
+    for ent, words in DOC_GAZETTEER.items()
+)
+
+
+@register(
+    "doc_mentions",
+    f"SELECT * FROM ({_DOC_MENTIONS_SQL_PARTS})",
+)
+def doc_mentions(sf_dir: str):
+    """Per-occurrence mention extraction over documents (the T5 analogue,
+    SQL-checkable form)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return ds.map_batches(_doc_mentions_batch, batch_format="pyarrow")
+
+
+@register(
+    "doc_entity_histogram",
+    f"""
+    SELECT entity, surface, COUNT(*) AS n
+    FROM ({_DOC_MENTIONS_SQL_PARTS})
+    GROUP BY entity, surface
+    """,
+)
+def doc_entity_histogram(sf_dir: str):
+    """Label histogram (the A1 partial aggregate made visible)."""
+    ds = doc_mentions(sf_dir)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["entity", "surface"], sort=False).size().reset_index(name="n")
+        )
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby(
+        ["entity", "surface"]
+    ).sum("n")
+    return agg.map_batches(
+        lambda b: b.rename(columns={"sum(n)": "n"}), batch_format="pandas"
+    )
+
+
+@register(
+    "doc_assignments",
+    f"""
+    WITH m AS ({_DOC_MENTIONS_SQL_PARTS}),
+    hist AS (
+      SELECT source, entity, COUNT(*) AS cnt FROM m GROUP BY source, entity
+    ),
+    docs_per_source AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    mentioned AS (
+      SELECT source, COUNT(DISTINCT doc_id) AS n_mentioned FROM m GROUP BY source
+    ),
+    tot AS (SELECT source, SUM(cnt) AS total FROM hist GROUP BY source),
+    gated AS (
+      SELECT h.source, h.entity, h.cnt, t.total
+      FROM hist h JOIN tot t USING (source)
+      JOIN docs_per_source d USING (source)
+      JOIN mentioned mm USING (source)
+      WHERE mm.n_mentioned > 0.3 * d.n_docs
+    ),
+    loc AS (
+      SELECT source, CAST(cnt AS DOUBLE) / total AS loc_freq
+      FROM gated WHERE entity = 'LOCATION'
+    ),
+    winner AS (
+      SELECT source, entity, cnt, total,
+             row_number() OVER (PARTITION BY source ORDER BY cnt DESC, entity) AS rk
+      FROM gated
+    )
+    SELECT g.source,
+           CASE WHEN l.loc_freq > 0.1 THEN 'LOCATION' ELSE w.entity END AS entity,
+           ROUND(CASE WHEN l.loc_freq > 0.1 THEN l.loc_freq
+                      ELSE CAST(w.cnt AS DOUBLE) / w.total END, 4) AS confidence_score
+    FROM (SELECT DISTINCT source FROM gated) g
+    LEFT JOIN loc l USING (source)
+    JOIN winner w ON w.source = g.source AND w.rk = 1
+    """,
+)
+def doc_assignments(sf_dir: str):
+    """The nerpii threshold cascade per source group, SQL-checkable form:
+    support gate (>30 % of docs mentioned), LOCATION override (>0.1 of
+    all mentions), else majority vote; score rounded to 4 decimals.
+
+    Uses all-mentions histograms (the SQL-expressible variant); the
+    transcript pipeline's primary-mention variant is covered by
+    test_assign.py goldens.
+    """
+    ds = doc_mentions(sf_dir)
+
+    # label histogram per source: per-batch combiner → tiny groupby
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["source", "entity"], sort=False).size().reset_index(name="cnt")
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .groupby(["source", "entity"])
+        .sum("cnt")
+        .to_pandas()
+        .rename(columns={"sum(cnt)": "cnt"})
+    )
+
+    # exact distinct mentioned-docs per source: a doc's mentions may be
+    # re-batched across block boundaries, so distinct needs its own small
+    # dedup shuffle (per-batch drop_duplicates is just the combiner)
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["source", "doc_id"]].drop_duplicates()
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    mentioned = (
+        ds.map_batches(pair_partial, batch_format="pandas")
+        .groupby(["source", "doc_id"])
+        .map_groups(first, batch_format="pandas")
+        .groupby("source")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_mentioned"})
+    )
+
+    n_docs = (
+        _read(sf_dir, "documents", ["source"])
+        .groupby("source")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+
+    meta = mentioned.merge(n_docs, on="source")
+    rows = []
+    for source, g in hist.groupby("source"):
+        h = {r.entity: int(r.cnt) for r in g.itertuples()}
+        m = meta[meta["source"] == source]
+        if not len(m) or not h:
+            continue
+        if int(m["n_mentioned"].iloc[0]) <= 0.3 * int(m["n_docs"].iloc[0]):
+            continue
+        total = sum(h.values())
+        loc_freq = h.get("LOCATION", 0) / total
+        if "LOCATION" in h and loc_freq > 0.1:
+            rows.append((source, "LOCATION", _round_half_away(loc_freq)))
+        else:
+            best = max(h.values())
+            ent = min(e for e, c in h.items() if c == best)
+            rows.append((source, ent, _round_half_away(h[ent] / total)))
+    return pd.DataFrame(rows, columns=["source", "entity", "confidence_score"])
+
+
+@register(
+    "doc_canonical_nodes",
+    f"""
+    SELECT DISTINCT
+        substr(md5(entity || ':' || lower(surface)), 1, 16) AS node_id,
+        entity AS entity_type,
+        lower(surface) AS canonical_name
+    FROM ({_DOC_MENTIONS_SQL_PARTS})
+    """,
+)
+def doc_canonical_nodes(sf_dir: str):
+    """Canonicalization contract, SQL-checked: distinct nodes with the
+    md5-derived deterministic IDs."""
+    from nerpii_ray.stages.canonicalize import add_canonical_ids
+
+    ds = doc_mentions(sf_dir)
+
+    def to_mention_shape(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(stage="gazetteer")
+        return b
+
+    def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return b[["node_id", "entity", "norm_surface"]].drop_duplicates("node_id")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    with_ids = ds.map_batches(to_mention_shape, batch_format="pandas").map_batches(
+        add_canonical_ids, batch_format="pandas"
+    )
+    out = (
+        with_ids.map_batches(local_distinct, batch_format="pandas")
+        .groupby("node_id")
+        .map_groups(first, batch_format="pandas")
+    )
+    return out.map_batches(
+        lambda b: b.rename(
+            columns={"entity": "entity_type", "norm_surface": "canonical_name"}
+        ),
+        batch_format="pandas",
+    )
+
+
+@register(
+    "doc_edges",
+    f"""
+    SELECT DISTINCT
+        substr(md5('SOURCE:' || source), 1, 16) AS subj_id,
+        'mentions' AS pred,
+        substr(md5(entity || ':' || lower(surface)), 1, 16) AS obj_id,
+        doc_id
+    FROM ({_DOC_MENTIONS_SQL_PARTS})
+    """,
+)
+def doc_edges(sf_dir: str):
+    """Triple extraction over documents (source —mentions→ entity),
+    deduplicated per (doc, obj) — SQL-checked edge contract."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+
+    ds = doc_mentions(sf_dir)
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "subj_id": md5_of_strings("SOURCE:" + b["source"].astype(str)).str[:16],
+                "pred": "mentions",
+                "obj_id": md5_of_strings(
+                    b["entity"].astype(str) + ":" + b["surface"].str.lower()
+                ).str[:16],
+                "doc_id": b["doc_id"],
+            }
+        )
+        return out.drop_duplicates()
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (
+        ds.map_batches(edges, batch_format="pandas")
+        .groupby(["subj_id", "obj_id", "doc_id"])
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+@register(
+    "split_part_names",
+    """
+    SELECT p_partkey,
+           COALESCE(NULLIF(split_part(p_name, ' ', 1), ''), '-') AS first_name,
+           COALESCE(NULLIF(split_part(p_name, ' ', 2), ''), '-') AS last_name
+    FROM part
+    """,
+)
+def split_part_names(sf_dir: str):
+    """split_name semantics (M1) on a two-token column: first two tokens,
+    single-token pad '-', null → '- -'."""
+    from nerpii_ray.functions.textfns import split_name_batch
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    return ds.map_batches(
+        lambda b: split_name_batch(b, "p_name"), batch_format="pandas"
+    )
+
+
+# =====================================================================
+# Text analysis (documents)
+# =====================================================================
+
+
+@register(
+    "doc_token_counts",
+    """
+    SELECT doc_id,
+           CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def doc_token_counts(sf_dir: str):
+    from nerpii_ray.stages.textstats import add_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_token_counts(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "doc_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(toks) AS BIGINT) AS n_tokens,
+           CAST(length(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','of','to','in','is','it','that','for',
+                 'on','with','as','at','by','or','be','this'], x))) AS BIGINT)
+                AS n_stop,
+           (length(toks) BETWEEN 5 AND 5000)
+               AND length(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','of','to','in','is','it','that','for',
+                 'on','with','as','at','by','or','be','this'], x))) >= 1
+               AS is_quality
+    FROM t
+    """,
+)
+def doc_quality(sf_dir: str):
+    from nerpii_ray.stages.textstats import add_quality
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_quality(b).select(["doc_id", "n_tokens", "n_stop", "is_quality"]),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))))
+               AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(sf_dir: str):
+    from nerpii_ray.stages.textstats import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: add_fingerprint(b).select(["doc_id", "fp"]), batch_format="pyarrow"
+    )
+
+
+@register("doc_langid")  # heuristic — rows-only check; semantics in test_ops
+def doc_langid(sf_dir: str):
+    from nerpii_ray.stages.textstats import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pandas", concurrency=(1, 2)
+    ).select_columns(["doc_id", "pred_lang"])
+
+
+# =====================================================================
+# Dedup / similarity (documents, embeddings)
+# =====================================================================
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           md5(lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))) AS fp
+    FROM documents GROUP BY fp
+    """,
+)
+def doc_exact_dedup(sf_dir: str):
+    from nerpii_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@register("doc_minhash_pairs")  # LSH candidates — rows-only (non-SQL)
+def doc_minhash_pairs(sf_dir: str):
+    from nerpii_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
+@register("doc_simhash")  # rows-only; determinism tested in test_ops
+def doc_simhash(sf_dir: str):
+    from nerpii_ray.stages.dedup import add_simhash
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        out = add_simhash(b)
+        out["simhash"] = out["simhash"].astype("uint64").astype(str)
+        return out
+
+    return ds.map_batches(fmt, batch_format="pandas")
+
+
+@register("doc_ngram_jaccard_pairs")  # rows-only (bucketed exact verify)
+def doc_ngram_jaccard_pairs(sf_dir: str):
+    from nerpii_ray.stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "source", "text"]),
+        bucket_col="source",
+        threshold=0.8,
+    )
+
+
+@register(
+    "embedding_dup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.44
+    """,
+)
+def embedding_dup_pairs_q(sf_dir: str):
+    from nerpii_ray.stages.dedup import embedding_dup_pairs
+
+    # 0.44: the highest threshold that still yields pairs on the synthetic
+    # embeddings at every sf, with no pair within 1e-5 of the boundary
+    # (verified) — so float32→float64 engine differences can't flip a pair
+    out = embedding_dup_pairs(_read(sf_dir, "embeddings"), threshold=0.44)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+        )
+    return df[["id_a", "id_b"]].astype("int64")
+
+
+@register(
+    "ann_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 3)
+    SELECT * FROM (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_cosine_similarity(q.embedding, e.embedding), 4) AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id) AS BIGINT) AS rank
+      FROM q CROSS JOIN embeddings e
+    ) WHERE rank <= 5
+    """,
+)
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-k (broadcast query matrix, per-batch matmul,
+    local-top-k merge) vs an exhaustive SQL cross join."""
+    from nerpii_ray.stages.similarity import brute_force_topk
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    qs = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    out = brute_force_topk(vecs, qs, k=5)
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["cos_sim"] = np.round(b["cos_sim"], 4)
+        b["q_id"] = b["q_id"].astype("int64")
+        b["rank"] = b["rank"].astype("int64")
+        return b
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+@register("ann_ivf_topk")  # approximate — rows-only; recall tested in test_ops
+def ann_ivf_topk(sf_dir: str):
+    from nerpii_ray.stages.similarity import ivf_topk
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = qdf[qdf["vec_id"] < 3].sort_values("vec_id")
+    qs = np.stack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    return ivf_topk(vecs, qs, k=5, nlist=16, nprobe=4)
+
+
+@register("multimodal_features")  # stubbed decode — rows-only
+def multimodal_features(sf_dir: str):
+    from nerpii_ray.stages.multimodal import media_pipeline
+
+    out = media_pipeline(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return out.select_columns(["media_id", "media_type", "n_bytes"])
+
+
+# =====================================================================
+# KG pipeline over deterministic synthetic transcripts (rows-only: the
+# strong P/R check is the oracle gate in test_kg_pipeline.py)
+# =====================================================================
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.001
+
+
+@register("kg_edges")
+def kg_edges(sf_dir: str):
+    import ray.data as _rd
+
+    from nerpii_ray.config import EngineConfig
+    from nerpii_ray.pipelines.kg import run_kg
+    from nerpii_ray.testgen import transcripts_for_sf
+
+    tdir = transcripts_for_sf(_sf_of(sf_dir))
+    res = run_kg(_rd.read_parquet(tdir), EngineConfig(), with_assignments=False)
+    return res["edges"]
+
+
+@register("kg_nodes")
+def kg_nodes(sf_dir: str):
+    import ray.data as _rd
+
+    from nerpii_ray.config import EngineConfig
+    from nerpii_ray.pipelines.kg import run_kg
+    from nerpii_ray.testgen import transcripts_for_sf
+
+    tdir = transcripts_for_sf(_sf_of(sf_dir))
+    res = run_kg(_rd.read_parquet(tdir), EngineConfig(), with_assignments=False)
+    return res["nodes"]
+
+
+@register("kg_assignments")
+def kg_assignments(sf_dir: str):
+    import ray.data as _rd
+
+    from nerpii_ray.config import EngineConfig
+    from nerpii_ray.stages.assign import assign_entities, assignments_to_table
+    from nerpii_ray.stages.recognize import recognize_mentions
+    from nerpii_ray.testgen import transcripts_for_sf
+
+    tdir = transcripts_for_sf(_sf_of(sf_dir))
+    mentions = recognize_mentions(_rd.read_parquet(tdir), config=EngineConfig())
+    return assignments_to_table(assign_entities(mentions, EngineConfig()))

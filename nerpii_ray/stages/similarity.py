@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (list<float>).
+
+* brute_force_topk — the exact baseline: the query matrix is broadcast
+  once as an actor-pool constructor argument (Ray stores ctor args in the
+  object store once; each actor deserializes them a single time in
+  ``__init__`` — never per batch).  Each batch does ONE float matmul and
+  emits its local top-k per query; a tiny groupby merge produces the
+  global top-k.  Shuffle volume is O(k × batches × queries), never
+  O(rows).  (A bare ``ray.put`` ref inside ``fn_constructor_kwargs``
+  deadlocks restartable actor pools — Ray issue 53727 — hence args by
+  value.)
+* ivf_topk — the scale path: a sampled k-means codebook (built once on
+  the driver from a small sample), batches prune to rows whose nearest
+  centroid is in the query's probe list, then the same local-top-k merge.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+class _BruteForceScorer:
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        self.q = _normalize(np.asarray(queries_ref, dtype=np.float64))
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col]])
+        )
+        sims = m @ self.q.T  # (rows × queries)
+        ids = batch[self.id_col].to_numpy()
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            top = np.argpartition(-sims[:, qi], k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top])
+            out_sim.extend(sims[top, qi])
+        return pd.DataFrame({"q_id": out_q, self.id_col: out_id, "cos_sim": out_sim})
+
+
+def _merge_topk(k: int, id_col: str):
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        g["cos_sim"] = np.round(g["cos_sim"], 6)
+        return g
+
+    return merge
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 4),
+    batch_size: int = 4096,
+):
+    """Exact cosine top-k for each query row.  Returns
+    (q_id, <id_col>, cos_sim, rank), ties broken by id."""
+    local = ds.map_batches(
+        _BruteForceScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=np.asarray(queries, dtype=np.float64), k=k,
+            vec_col=vec_col, id_col=id_col,
+        ),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return local.groupby("q_id").map_groups(_merge_topk(k, id_col), batch_format="pandas")
+
+
+# ----------------------------------------------------------------- IVF
+def train_codebook(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 13) -> np.ndarray:
+    """Small k-means (k-means++-ish init + Lloyd) on a driver-side sample."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    centroids = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+class _IVFScorer:
+    def __init__(self, queries_ref, codebook_ref, k, nprobe, vec_col, id_col):
+        self.q = _normalize(np.asarray(queries_ref, dtype=np.float64))
+        self.cb = np.asarray(codebook_ref, dtype=np.float64)
+        # per query: the nprobe closest centroids
+        qc = self.q @ self.cb.T
+        self.probes = [set(np.argsort(-qc[i])[:nprobe]) for i in range(len(self.q))]
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(
+            np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col]])
+        )
+        ids = batch[self.id_col].to_numpy()
+        cells = (m @ self.cb.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(self.q)):
+            mask = np.fromiter((c in self.probes[qi] for c in cells), dtype=bool, count=len(cells))
+            if not mask.any():
+                continue
+            sims = m[mask] @ self.q[qi]
+            sel_ids = ids[mask]
+            k = min(self.k, len(sel_ids))
+            top = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(sel_ids[top])
+            out_sim.extend(sims[top])
+        return pd.DataFrame({"q_id": out_q, self.id_col: out_id, "cos_sim": out_sim})
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+    concurrency=(1, 4),
+):
+    """Approximate top-k: IVF cell pruning (codebook from a sample) then
+    exact rescoring inside probed cells.  Recall measured against
+    brute_force_topk in tests."""
+    sample = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in ds.limit(sample_rows).to_pandas()[vec_col]]
+    )
+    cb = train_codebook(sample, nlist)
+    local = ds.map_batches(
+        _IVFScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=np.asarray(queries, dtype=np.float64), codebook_ref=cb,
+            k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
+        ),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+    return local.groupby("q_id").map_groups(_merge_topk(k, id_col), batch_format="pandas")

@@ -1,0 +1,115 @@
+"""Text-analysis operators for the documents table (large-scale
+training-data pipeline ops): token counting, quality scoring, language
+ID, document fingerprinting.
+
+All stateless batch kernels except LangId, which compiles its stopword
+lookup once per actor.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from nerpii_ray.functions.textfns import md5_of_strings, normalized_text, token_counts
+from nerpii_ray.gazetteers import STOPWORDS
+
+_WORD_RE = re.compile(r"[a-z]+")
+
+
+def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """+ n_tokens (whitespace tokens; empty/null → 0).  SQL-equivalent:
+    ``length(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> ''))``."""
+    return batch.append_column(
+        "n_tokens", pc.cast(token_counts(batch.column(text_col)), pa.int64())
+    )
+
+
+def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """+ n_tokens, n_stop (English stopword hits), is_quality.
+
+    is_quality = 5 ≤ n_tokens ≤ 5000 AND n_stop ≥ 1 — a simple
+    length/stopword-ratio gate in the spirit of C4-style quality filters.
+    SQL-expressible (the oracle reproduces it with list_filter + IN).
+    """
+    texts = batch.column(text_col)
+    ntok = pc.cast(token_counts(texts), pa.int64())
+    stop_pat = r"\b(?:" + "|".join(sorted(STOPWORDS["en"])) + r")\b"
+    nstop = pc.cast(
+        pc.fill_null(pc.count_substring_regex(pc.utf8_lower(pc.fill_null(texts, "")), pattern=stop_pat), 0),
+        pa.int64(),
+    )
+    ok = pc.and_(
+        pc.and_(pc.greater_equal(ntok, 5), pc.less_equal(ntok, 5000)),
+        pc.greater_equal(nstop, 1),
+    )
+    batch = batch.append_column("n_tokens", ntok)
+    batch = batch.append_column("n_stop", nstop)
+    return batch.append_column("is_quality", ok)
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """+ fp: md5 of the whitespace-normalized lowercased text.  Content-
+    defined document fingerprint; SQL-equivalent
+    ``md5(lower(trim(regexp_replace(text,'\\s+',' ','g'))))``."""
+    norm = pd.Series(normalized_text(batch.column(text_col)).to_pandas()).fillna("")
+    fp = md5_of_strings(norm)
+    return batch.append_column("fp", pa.array(fp, pa.string()))
+
+
+class LangId:
+    """Actor-pool language ID: stopword-profile argmax over
+    {en, es, de, fr, it}; 'und' when no stopword hits.
+
+    Vectorized: one explode of tokens per batch, one ``isin`` per
+    language — no per-row Python.
+    """
+
+    def __init__(self, text_col: str = "text", langs: tuple = ("de", "en", "es", "fr", "it")):
+        self.text_col = text_col
+        self.langs = langs
+        self.stops = {lang: frozenset(STOPWORDS[lang]) for lang in langs}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            batch[self.text_col]
+            .fillna("")
+            .str.lower()
+            .str.findall(_WORD_RE)
+        )
+        ex = toks.explode().dropna()
+        scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
+        if len(ex):
+            pos = ex.index.to_numpy()
+            # map positional index of the original row
+            pos_lookup = {idx: i for i, idx in enumerate(batch.index)}
+            rows = np.fromiter((pos_lookup[p] for p in pos), dtype=np.int64, count=len(ex))
+            vals = ex.to_numpy()
+            for j, lang in enumerate(self.langs):
+                hit = np.fromiter((v in self.stops[lang] for v in vals), dtype=bool, count=len(vals))
+                np.add.at(scores[:, j], rows[hit], 1)
+        best = scores.argmax(axis=1)
+        none = scores.max(axis=1) == 0
+        out = batch.copy()
+        out["pred_lang"] = np.where(none, "und", np.array(self.langs)[best])
+        return out
+
+
+def text_stats_pipeline(docs_ds, text_col: str = "text", batch_size: int = 8192):
+    """documents → + n_tokens, n_stop, is_quality, fp, pred_lang."""
+    ds = docs_ds.map_batches(
+        lambda b: add_fingerprint(add_quality(b, text_col), text_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return ds.map_batches(
+        LangId,
+        fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=(1, 2),
+    )

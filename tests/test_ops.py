@@ -1,0 +1,221 @@
+"""Training-data operator tests over the driver testdata (sf0.001):
+text stats, dedup family, similarity search, windows, joins, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from nerpii_ray.stages.dedup import (
+    add_simhash,
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from nerpii_ray.stages.joins import broadcast_join, partitioned_hash_join
+from nerpii_ray.stages.multimodal import DecodeStub, frame_sample, media_pipeline
+from nerpii_ray.stages.similarity import brute_force_topk, ivf_topk
+from nerpii_ray.stages.textstats import text_stats_pipeline
+from nerpii_ray.stages.window import hourly_agg, sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_text_stats(docs, docs_df):
+    out = text_stats_pipeline(docs).to_pandas().sort_values("doc_id")
+    assert len(out) == len(docs_df)
+    row = out.iloc[1]
+    want_tokens = len(docs_df.iloc[1]["text"].split())
+    assert row["n_tokens"] == want_tokens
+    assert set(out["pred_lang"]) <= {"en", "es", "de", "fr", "it", "und"}
+    assert out["fp"].str.len().eq(32).all()
+    # empty text → 0 tokens, not quality
+    empties = out[out["n_tokens"] == 0]
+    assert (~empties["is_quality"]).all()
+
+
+def test_exact_dedup(docs, docs_df):
+    kept = exact_dedup(docs).to_pandas()
+    # testdata documents are all distinct → everything kept
+    assert len(kept) == docs_df["text"].str.lower().str.replace(r"\s+", " ", regex=True).str.strip().nunique()
+    # inject duplicates → smallest id wins
+    dup = pd.concat(
+        [docs_df, docs_df.head(5).assign(doc_id=lambda d: d["doc_id"] + 100000)]
+    )
+    kept2 = exact_dedup(rd.from_pandas(dup)).to_pandas()
+    assert len(kept2) == len(kept)
+    assert kept2["doc_id"].max() < 100000
+
+
+def test_minhash_lsh_finds_injected_near_dups(docs_df):
+    base = docs_df.head(50).copy()
+    near = base.head(5).copy()
+    near["doc_id"] = near["doc_id"] + 1000
+    # perturb one word → high Jaccard
+    near["text"] = near["text"].str.replace("the", "teh", n=1)
+    ds = rd.from_pandas(pd.concat([base, near], ignore_index=True))
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for did in near["doc_id"]:
+        assert (did - 1000, did) in found, f"missed near-dup pair for {did}"
+
+
+def test_simhash_deterministic_and_near(docs_df):
+    b = docs_df.head(10)
+    out1 = add_simhash(b)
+    out2 = add_simhash(b)
+    assert (out1["simhash"] == out2["simhash"]).all()
+    # near-identical docs → small Hamming distance
+    a = add_simhash(pd.DataFrame({"doc_id": [1], "text": [b.iloc[1]["text"]]}))
+    c = add_simhash(
+        pd.DataFrame({"doc_id": [2], "text": [b.iloc[1]["text"].replace("the", "teh", 1)]})
+    )
+    ham = bin(int(a["simhash"][0]) ^ int(c["simhash"][0])).count("1")
+    assert ham <= 12
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    base = docs_df.head(20).copy()
+    near = base.head(3).copy()
+    near["doc_id"] += 500
+    ds = rd.from_pandas(pd.concat([base, near], ignore_index=True))
+    pairs = ngram_jaccard_pairs(ds, bucket_col="source", threshold=0.9).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert {(d - 500, d) for d in near["doc_id"]} <= found
+
+
+def test_embedding_dup_and_ann():
+    vecs = rd.read_parquet(f"{SF}/embeddings.parquet")
+    vdf = vecs.to_pandas()
+    qs = np.stack([np.asarray(v) for v in vdf.head(3)["embedding"]])
+
+    top = brute_force_topk(vecs, qs, k=5).to_pandas()
+    assert len(top) == 15
+    # each query's best hit is itself (cos ≈ 1)
+    for qi in range(3):
+        best = top[(top["q_id"] == qi) & (top["rank"] == 1)].iloc[0]
+        assert best["vec_id"] == vdf.iloc[qi]["vec_id"]
+        assert best["cos_sim"] >= 0.999
+
+    # IVF recall vs brute force
+    approx = ivf_topk(vecs, qs, k=5, nlist=8, nprobe=4).to_pandas()
+    recall = len(
+        set(zip(approx["q_id"], approx["vec_id"]))
+        & set(zip(top["q_id"], top["vec_id"]))
+    ) / len(top)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+    # random embeddings have no 0.999-cosine pairs → empty result is valid
+    dups = embedding_dup_pairs(vecs, threshold=0.999).to_pandas()
+    if len(dups):
+        assert (dups["id_a"] < dups["id_b"]).all()
+    # inject an exact duplicate vector → the pair must surface
+    vdf2 = vdf.copy()
+    dup_row = vdf2.iloc[[0]].assign(vec_id=99999)
+    dups2 = embedding_dup_pairs(
+        rd.from_pandas(pd.concat([vdf2, dup_row], ignore_index=True)),
+        threshold=0.999,
+    ).to_pandas()
+    assert (99999 in set(dups2.get("id_b", pd.Series(dtype="int64"))))
+
+
+def test_windows():
+    events = rd.read_parquet(f"{SF}/events.parquet")
+    edf = events.to_pandas()
+    hourly = hourly_agg(events).to_pandas()
+    want = (
+        edf.assign(
+            hour_epoch=(edf["ts"].astype("int64") // 3_600_000_000) * 3600,
+            cents=np.round(edf["value"] * 100).astype("int64"),
+        )
+        .groupby(["user_id", "hour_epoch"])
+        .agg(n_events=("cents", "size"), value_cents=("cents", "sum"))
+        .reset_index()
+    )
+    got = hourly.sort_values(["user_id", "hour_epoch"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "hour_epoch"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "hour_epoch", "n_events", "value_cents"]].astype("int64"),
+        want.astype("int64"),
+    )
+
+    sess = sessionize(events, gap_sec=1800).to_pandas()
+    assert sess["n_events"].sum() == len(edf)
+    assert (sess["n_sessions"] >= 1).all()
+
+
+def test_broadcast_join():
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    joined = broadcast_join(
+        orders, cust[["c_custkey", "c_mktsegment"]].rename(columns={"c_custkey": "o_custkey"}),
+        on=["o_custkey"],
+    ).to_pandas()
+    odf = pd.read_parquet(f"{SF}/orders.parquet")
+    want = odf.merge(
+        cust[["c_custkey", "c_mktsegment"]],
+        left_on="o_custkey", right_on="c_custkey",
+    )
+    assert len(joined) == len(want)
+    assert joined.groupby("c_mktsegment").size().to_dict() == want.groupby("c_mktsegment").size().to_dict()
+
+
+def test_partitioned_hash_join():
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    lineitem = rd.read_parquet(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def key(b):
+        return b.rename(columns={"l_orderkey": "o_orderkey"})
+
+    li = lineitem.map_batches(key, batch_format="pandas")
+    joined = partitioned_hash_join(
+        orders.select_columns(["o_orderkey", "o_totalprice"]), li,
+        on=["o_orderkey"], num_buckets=8,
+    ).to_pandas()
+    want = pd.read_parquet(f"{SF}/lineitem.parquet").merge(
+        pd.read_parquet(f"{SF}/orders.parquet"),
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    assert len(joined) == len(want)
+
+
+def test_multimodal(docs):
+    feats = media_pipeline(docs).to_pandas()
+    assert len(feats) == docs.count()
+    assert feats["feature"].map(len).eq(8).all()
+    # deterministic features
+    feats2 = media_pipeline(docs).to_pandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+    # real decode is an explicit seam
+    with pytest.raises(NotImplementedError):
+        DecodeStub(mode="real")
+    # frame explode layout
+    import pyarrow as pa
+
+    blobs = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([b"x" * 200], pa.binary()),
+        }
+    )
+    frames = frame_sample(blobs)
+    assert frames.num_rows == 4  # ceil(200/64)
+    assert frames.column("frame_idx").to_pylist() == [0, 1, 2, 3]
