@@ -1,0 +1,150 @@
+"""Benchmark driver.
+
+Runs the headline KG-construction pipeline (transcripts → mentions →
+assignments → triples → canonical nodes → parquet graph) plus a set of
+representative operator queries over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), and prints ONE JSON line:
+
+  {"metric": "kg_pipeline_sec", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": R}
+
+``--scaling`` runs the identical job twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same (pre-generated, page-warm) input
+and reports both throughputs + scaling efficiency — the sandbox protocol
+for the two-cluster-size criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data as rd
+
+    from nerpii_ray.config import EngineConfig
+    from nerpii_ray.pipelines.kg import run_kg, write_graph
+    from nerpii_ray.pipelines.queries import QUERIES
+    from nerpii_ray.testgen import transcripts_for_sf
+
+    sf = 0.1
+    for tok in sf_dir.rstrip("/").split("/"):
+        if tok.startswith("sf"):
+            try:
+                sf = float(tok[2:])
+            except ValueError:
+                pass
+    # --scaling runs use a larger transcript set (same input at both CPU
+    # levels) so compute, not fixed per-pipeline overhead, dominates
+    mult = float(os.environ.get("RAY_GRAFT_SCALE_MULT", "1"))
+
+    # pre-generate + page-warm the transcript input (untimed)
+    tdir = transcripts_for_sf(sf * mult)
+    rd.read_parquet(tdir).count()
+
+    cfg = EngineConfig(
+        recognizer_concurrency=max(2, num_cpus - 4),
+        recognizer_min_concurrency=max(2, num_cpus - 4),
+        recognizer_batch_size=8192,
+    )
+
+    # headline: full KG pipeline, consumed by writing the graph
+    out_dir = f"/tmp/nerpii_ray_bench/graph-{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    turns_ds = rd.read_parquet(tdir)
+    n_turns = turns_ds.count()
+    t0 = time.monotonic()
+    res = run_kg(turns_ds, cfg, with_assignments=True)
+    write_graph(res, out_dir)
+    headline = time.monotonic() - t0
+
+    # representative operator queries over the driver testdata
+    query_names = [
+        "lineitem_pricing_summary",
+        "orders_by_segment",
+        "events_hourly",
+        "doc_mentions",
+        "doc_exact_dedup",
+        "doc_minhash_pairs",
+        "ann_topk",
+        "doc_quality",
+    ]
+    qtimes = {}
+    for name in query_names:
+        t0 = time.monotonic()
+        out = QUERIES[name](sf_dir)
+        if hasattr(out, "to_pandas"):
+            out.to_pandas()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 then 32; efficiency =
+    (R32/R8)/4 where R = turns/sec."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "4"),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    r8 = results[8]["turns_per_sec"]
+    r32 = results[32]["turns_per_sec"]
+    return {
+        "metric": "scaling_efficiency",
+        "turns_per_sec_8": r8,
+        "turns_per_sec_32": r32,
+        "sec_8": results[8]["value"],
+        "sec_32": results[32]["value"],
+        "scaling_efficiency": round((r32 / r8) / 4, 3),
+        "sf": results[32]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -39,6 +39,9 @@ class EngineConfig:
     recognizer_batch_size: int = 4096
     #: actor pool size for the recognizer stage; None → stateless tasks
     recognizer_concurrency: int = 4
+    #: autoscaling pool minimum — raise for benchmarks so ramp-up latency
+    #: doesn't serialize the first blocks; keep 1 for small ad-hoc runs
+    recognizer_min_concurrency: int = 1
     #: salting factor for hot canonical surfaces (top-k census, SURVEY §4)
     hot_surface_salt: int = 16
     #: batch size for stateless transform stages

@@ -64,10 +64,6 @@ def _actor_tool_nodes(turns_batch: pd.DataFrame) -> pd.DataFrame:
     return out[["node_id", "entity_type", "canonical_name", "pseudonym"]]
 
 
-def _first(group: pd.DataFrame) -> pd.DataFrame:
-    return group.head(1)
-
-
 def run_kg(
     turns_ds,
     config: Optional[EngineConfig] = None,
@@ -81,14 +77,23 @@ def run_kg(
     """
     cfg = config or EngineConfig()
     mentions = recognize_mentions(turns_ds, config=cfg)
+    # Three consumers read the mentions (assignment aggregate, triple
+    # extraction, node build); without pinning, each would re-run the
+    # recognizer scan from scratch.  Mentions are a fraction of the input
+    # size and the object store spills to disk, so materializing once is
+    # the right trade at every scale short of writing the stage to Parquet
+    # (which run_kg_partitioned effectively does per partition).
+    mentions = mentions.materialize()
 
     assignments = None
     if with_assignments:
         assignments = assignments_to_table(assign_entities(mentions, cfg))
 
+    # with_ids feeds both the edge extraction and the node build; pin it
+    # too (node-stage mention rows only — smaller than the full mentions)
     with_ids = mentions.map_batches(
         add_canonical_ids, batch_format="pandas", batch_size=cfg.batch_size
-    )
+    ).materialize()
     entity_edges = with_ids.map_batches(
         extract_triples, batch_format="pandas", batch_size=cfg.batch_size
     )
@@ -99,11 +104,15 @@ def run_kg(
     if dedup_edges:
         edges = dedup_edges_global(edges, cfg)
 
+    from nerpii_ray.stages.agg import tree_dedup
+
     entity_nodes = build_nodes(with_ids, cfg)
-    at_local = turns_ds.map_batches(
-        _actor_tool_nodes, batch_format="pandas", batch_size=cfg.batch_size
+    at_nodes = tree_dedup(
+        turns_ds,
+        keys=["node_id"],
+        partial_fn=_actor_tool_nodes,
+        batch_size=cfg.batch_size,
     )
-    at_nodes = at_local.groupby("node_id").map_groups(_first, batch_format="pandas")
     nodes = entity_nodes.union(at_nodes)
 
     return {
@@ -112,6 +121,41 @@ def run_kg(
         "nodes": nodes,
         "assignments": assignments,
     }
+
+
+def write_graph(res: dict, out_dir: str) -> None:
+    """Write edges/ and nodes/ concurrently — two independent datasets
+    branching off the same materialized intermediate, so their executions
+    overlap instead of serializing (driver-side threads; Ray Data
+    supports concurrent dataset execution)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # Ray's write path probes `from fsspec.implementations.http import
+    # HTTPFileSystem`, catching only ModuleNotFoundError.  Without aiohttp
+    # that import fails, and two threads racing it can observe a partially
+    # initialized module → plain ImportError → crash.  Pin a stub module
+    # once so the probe import is deterministic (the isinstance check
+    # against the stub class is simply never true).
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class _NeverHTTPFileSystem:
+            pass
+
+        stub.HTTPFileSystem = _NeverHTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+    os.makedirs(out_dir, exist_ok=True)
+    with ThreadPoolExecutor(2) as ex:
+        fe = ex.submit(res["edges"].write_parquet, os.path.join(out_dir, "edges"))
+        fn = ex.submit(res["nodes"].write_parquet, os.path.join(out_dir, "nodes"))
+        fe.result()
+        fn.result()
 
 
 def run_kg_partitioned(

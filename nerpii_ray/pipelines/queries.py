@@ -84,37 +84,31 @@ def lineitem_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def partial(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
-        disc = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+    from nerpii_ray.stages.agg import grouped_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
         df = pd.DataFrame(
             {
-                "l_returnflag": b["l_returnflag"].to_pandas(),
-                "l_linestatus": b["l_linestatus"].to_pandas(),
-                "sum_qty": pc.cast(b["l_quantity"], pa.int64()).to_pandas(),
-                "sum_base_cents": cents.to_pandas(),
-                "sum_disc_u": (cents.to_pandas() * (100 - disc.to_pandas())),
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": b["l_quantity"].astype("int64"),
+                "sum_base_cents": cents,
+                "sum_disc_u": cents * (100 - disc),
                 "n": 1,
             }
         )
-        return pa.Table.from_pandas(
+        return (
             df.groupby(["l_returnflag", "l_linestatus"], sort=False)
             .sum()
-            .reset_index(),
-            preserve_index=False,
+            .reset_index()
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .sum(["sum_qty", "sum_base_cents", "sum_disc_u", "n"])
+    return grouped_sum(
+        ds, ["l_returnflag", "l_linestatus"],
+        ["sum_qty", "sum_base_cents", "sum_disc_u", "n"], partial_fn=partial,
     )
-
-    def rename(b: pd.DataFrame) -> pd.DataFrame:
-        return b.rename(columns={f"sum({c})": c for c in
-                                 ("sum_qty", "sum_base_cents", "sum_disc_u", "n")})
-
-    return agg.map_batches(rename, batch_format="pandas")
 
 
 @register(
@@ -171,14 +165,10 @@ def orders_by_segment(sf_dir: str):
             .rename(columns={"c_mktsegment": "segment"})
         )
 
-    agg = joined.map_batches(partial, batch_format="pandas").groupby("segment").sum(
-        ["n_orders", "total_cents"]
-    )
-    return agg.map_batches(
-        lambda b: b.rename(
-            columns={"sum(n_orders)": "n_orders", "sum(total_cents)": "total_cents"}
-        ),
-        batch_format="pandas",
+    from nerpii_ray.stages.agg import grouped_sum
+
+    return grouped_sum(
+        joined, ["segment"], ["n_orders", "total_cents"], partial_fn=partial
     )
 
 
@@ -209,13 +199,9 @@ def supplier_per_region(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("region", sort=False).size().reset_index(name="n_suppliers")
 
-    agg = joined.map_batches(partial, batch_format="pandas").groupby("region").sum(
-        "n_suppliers"
-    )
-    return agg.map_batches(
-        lambda b: b.rename(columns={"sum(n_suppliers)": "n_suppliers"}),
-        batch_format="pandas",
-    )
+    from nerpii_ray.stages.agg import grouped_sum
+
+    return grouped_sum(joined, ["region"], ["n_suppliers"], partial_fn=partial)
 
 
 @register(
@@ -248,13 +234,9 @@ def lineitem_orders_hash_join(sf_dir: str):
             .rename(columns={"o_orderstatus": "status"})
         )
 
-    agg = joined.map_batches(partial, batch_format="pandas").groupby("status").sum(
-        ["n_items", "sum_qty"]
-    )
-    return agg.map_batches(
-        lambda b: b.rename(columns={"sum(n_items)": "n_items", "sum(sum_qty)": "sum_qty"}),
-        batch_format="pandas",
-    )
+    from nerpii_ray.stages.agg import grouped_sum
+
+    return grouped_sum(joined, ["status"], ["n_items", "sum_qty"], partial_fn=partial)
 
 
 @register(
@@ -281,19 +263,14 @@ def promo_parts(sf_dir: str):
 )
 def distinct_segments(sf_dir: str):
     """Distinct over one column (set op)."""
+    from nerpii_ray.stages.agg import tree_dedup
+
     ds = _read(sf_dir, "customer", ["c_mktsegment"])
 
-    def local(b: pa.Table) -> pa.Table:
-        return pa.table({"segment": b["c_mktsegment"].unique()})
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"segment": b["c_mktsegment"].unique()})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return (
-        ds.map_batches(local, batch_format="pyarrow")
-        .groupby("segment")
-        .map_groups(first, batch_format="pandas")
-    )
+    return tree_dedup(ds, keys=["segment"], partial_fn=local)
 
 
 @register(
@@ -410,6 +387,8 @@ def doc_mentions(sf_dir: str):
 )
 def doc_entity_histogram(sf_dir: str):
     """Label histogram (the A1 partial aggregate made visible)."""
+    from nerpii_ray.stages.agg import grouped_sum
+
     ds = doc_mentions(sf_dir)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -417,12 +396,7 @@ def doc_entity_histogram(sf_dir: str):
             b.groupby(["entity", "surface"], sort=False).size().reset_index(name="n")
         )
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby(
-        ["entity", "surface"]
-    ).sum("n")
-    return agg.map_batches(
-        lambda b: b.rename(columns={"sum(n)": "n"}), batch_format="pandas"
-    )
+    return grouped_sum(ds, ["entity", "surface"], ["n"], partial_fn=partial)
 
 
 @register(
@@ -475,44 +449,37 @@ def doc_assignments(sf_dir: str):
     """
     ds = doc_mentions(sf_dir)
 
-    # label histogram per source: per-batch combiner → tiny groupby
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    # label histogram per source: per-batch combiner → merge tree
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby(["source", "entity"], sort=False).size().reset_index(name="cnt")
 
-    hist = (
-        ds.map_batches(hist_partial, batch_format="pandas")
-        .groupby(["source", "entity"])
-        .sum("cnt")
-        .to_pandas()
-        .rename(columns={"sum(cnt)": "cnt"})
-    )
+    hist = grouped_sum(
+        ds, ["source", "entity"], ["cnt"], partial_fn=hist_partial
+    ).to_pandas()
 
     # exact distinct mentioned-docs per source: a doc's mentions may be
-    # re-batched across block boundaries, so distinct needs its own small
-    # dedup shuffle (per-batch drop_duplicates is just the combiner)
+    # re-batched across block boundaries, so distinct needs its own dedup
+    # (per-batch drop_duplicates is just the combiner)
     def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b[["source", "doc_id"]].drop_duplicates()
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
     mentioned = (
-        ds.map_batches(pair_partial, batch_format="pandas")
-        .groupby(["source", "doc_id"])
-        .map_groups(first, batch_format="pandas")
-        .groupby("source")
-        .count()
+        tree_dedup(ds, keys=["source", "doc_id"], partial_fn=pair_partial)
         .to_pandas()
-        .rename(columns={"count()": "n_mentioned"})
+        .groupby("source")
+        .size()
+        .reset_index(name="n_mentioned")
     )
 
-    n_docs = (
-        _read(sf_dir, "documents", ["source"])
-        .groupby("source")
-        .count()
-        .to_pandas()
-        .rename(columns={"count()": "n_docs"})
-    )
+    def docs_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", sort=False).size().reset_index(name="n_docs")
+
+    n_docs = grouped_sum(
+        _read(sf_dir, "documents", ["source"]), ["source"], ["n_docs"],
+        partial_fn=docs_partial,
+    ).to_pandas()
 
     meta = mentioned.merge(n_docs, on="source")
     rows = []
@@ -555,20 +522,15 @@ def doc_canonical_nodes(sf_dir: str):
         b = b.assign(stage="gazetteer")
         return b
 
+    from nerpii_ray.stages.agg import tree_dedup
+
     def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
         return b[["node_id", "entity", "norm_surface"]].drop_duplicates("node_id")
-
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
 
     with_ids = ds.map_batches(to_mention_shape, batch_format="pandas").map_batches(
         add_canonical_ids, batch_format="pandas"
     )
-    out = (
-        with_ids.map_batches(local_distinct, batch_format="pandas")
-        .groupby("node_id")
-        .map_groups(first, batch_format="pandas")
-    )
+    out = tree_dedup(with_ids, keys=["node_id"], partial_fn=local_distinct)
     return out.map_batches(
         lambda b: b.rename(
             columns={"entity": "entity_type", "norm_surface": "canonical_name"}
@@ -608,14 +570,9 @@ def doc_edges(sf_dir: str):
         )
         return out.drop_duplicates()
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from nerpii_ray.stages.agg import tree_dedup
 
-    return (
-        ds.map_batches(edges, batch_format="pandas")
-        .groupby(["subj_id", "obj_id", "doc_id"])
-        .map_groups(first, batch_format="pandas")
-    )
+    return tree_dedup(ds, keys=["subj_id", "obj_id", "doc_id"], partial_fn=edges)
 
 
 @register(

@@ -64,16 +64,20 @@ def partial_label_counts(batch: pd.DataFrame) -> pd.DataFrame:
 def aggregate_label_histograms(mentions_ds, config: Optional[EngineConfig] = None):
     """mentions Dataset → tiny merged histogram pandas DataFrame.
 
-    The groupby input is already combined per batch, so the shuffle moves
-    at most (groups × labels) rows per batch, not per mention.
+    Tree aggregate (stages/agg.py): the exchange moves at most
+    (groups × labels) rows per batch — combiner output, never mentions.
     """
+    from nerpii_ray.stages.agg import grouped_sum
+
     cfg = config or EngineConfig()
-    partials = mentions_ds.map_batches(
-        partial_label_counts, batch_format="pandas", batch_size=cfg.batch_size
+    out = grouped_sum(
+        mentions_ds,
+        ["group_key", "kind", "entity"],
+        ["cnt"],
+        partial_fn=partial_label_counts,
+        batch_size=cfg.batch_size,
     )
-    agg = partials.groupby(["group_key", "kind", "entity"]).sum("cnt")
-    out = agg.to_pandas()  # tiny: one row per (group, kind, label)
-    return out.rename(columns={"sum(cnt)": "cnt"})
+    return out.to_pandas()  # tiny: one row per (group, kind, label)
 
 
 def histograms_to_dicts(hist_df: pd.DataFrame) -> Dict[str, dict]:

@@ -43,19 +43,18 @@ def add_canonical_ids(batch: pd.DataFrame) -> pd.DataFrame:
     """
     batch = batch[batch["stage"].isin(NODE_STAGES)].copy()
     batch["norm_surface"] = normalize_surface(batch["surface"])
-    batch["node_id"] = md5_of_strings(
-        batch["entity"].astype(str) + ":" + batch["norm_surface"]
-    ).str[:16]
+    keys = batch["entity"].astype(str) + ":" + batch["norm_surface"]
+    # hash each distinct surface once per batch — hot surfaces ("Acme
+    # Corp" in 10% of turns) repeat heavily, so this halves md5 work
+    uniq = keys.drop_duplicates()
+    lut = dict(zip(uniq, md5_of_strings(uniq).str[:16]))
+    batch["node_id"] = keys.map(lut)
     return batch
 
 
 def _distinct_nodes_in_batch(batch: pd.DataFrame) -> pd.DataFrame:
     out = batch[["node_id", "entity", "norm_surface"]].drop_duplicates("node_id")
     return out.rename(columns={"entity": "entity_type", "norm_surface": "canonical_name"})
-
-
-def _first_per_group(group: pd.DataFrame) -> pd.DataFrame:
-    return group.head(1)
 
 
 def add_pseudonyms(batch: pd.DataFrame) -> pd.DataFrame:
@@ -73,16 +72,18 @@ def build_nodes(mentions_with_ids_ds, config: Optional[EngineConfig] = None):
     """Mentions (with node_id) → distinct nodes Dataset
     (node_id, entity_type, canonical_name, pseudonym).
 
-    Per-batch distinct (combiner) → groupby(node_id) first (shuffle #2 of
-    the pipeline) → pseudonym map.  ``map_groups`` gets an explicit
-    ``batch_format`` because its default is a dict of numpy arrays.
+    Per-batch distinct (combiner) → tree dedup (stages/agg.py — a
+    surface appearing 10^6 times still contributes one row per batch to
+    the exchange) → pseudonym map.
     """
+    from nerpii_ray.stages.agg import tree_dedup
+
     cfg = config or EngineConfig()
-    local = mentions_with_ids_ds.map_batches(
-        _distinct_nodes_in_batch, batch_format="pandas", batch_size=cfg.batch_size
-    )
-    distinct = local.groupby("node_id").map_groups(
-        _first_per_group, batch_format="pandas"
+    distinct = tree_dedup(
+        mentions_with_ids_ds,
+        keys=["node_id"],
+        partial_fn=_distinct_nodes_in_batch,
+        batch_size=cfg.batch_size,
     )
     return distinct.map_batches(
         add_pseudonyms, batch_format="pandas", batch_size=cfg.batch_size
@@ -92,20 +93,23 @@ def build_nodes(mentions_with_ids_ds, config: Optional[EngineConfig] = None):
 def top_surfaces(mentions_with_ids_ds, k: int = 20,
                  config: Optional[EngineConfig] = None) -> pd.DataFrame:
     """Top-k hottest canonical surfaces (skew census, SURVEY §2.7):
-    per-batch partial counts → small groupby sum → sort desc → limit."""
+    per-batch partial counts → tree sum → top-k cut at the root."""
+    from nerpii_ray.stages.agg import grouped_sum
+
     cfg = config or EngineConfig()
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = (
+        return (
             batch.groupby(["node_id", "entity", "norm_surface"], sort=False)
             .size()
             .reset_index(name="cnt")
         )
-        return g
 
-    partials = mentions_with_ids_ds.map_batches(
-        partial, batch_format="pandas", batch_size=cfg.batch_size
+    agg = grouped_sum(
+        mentions_with_ids_ds,
+        ["node_id", "entity", "norm_surface"],
+        ["cnt"],
+        partial_fn=partial,
+        batch_size=cfg.batch_size,
     )
-    agg = partials.groupby(["node_id", "entity", "norm_surface"]).sum("cnt")
-    out = agg.sort("sum(cnt)", descending=True).limit(k).to_pandas()
-    return out.rename(columns={"sum(cnt)": "cnt"})
+    return agg.to_pandas().nlargest(k, "cnt").reset_index(drop=True)

@@ -38,6 +38,8 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     16-byte digest, never the document text.
     """
 
+    from nerpii_ray.stages.agg import tree_dedup
+
     def fp_batch(b: pd.DataFrame) -> pd.DataFrame:
         norm = (
             b[text_col].fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
@@ -46,11 +48,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         # local combiner: one candidate per fingerprint per batch
         return out.sort_values(id_col).drop_duplicates("fp")
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
-
-    local = ds.map_batches(fp_batch, batch_format="pandas")
-    return local.groupby("fp").map_groups(keep_min, batch_format="pandas")
+    return tree_dedup(ds, keys=["fp"], partial_fn=fp_batch, keep_min=id_col)
 
 
 # ------------------------------------------------------------- minhash
@@ -145,42 +143,50 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(explode_bands, batch_format="pandas")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "est_jaccard": pd.Series(dtype="float64")}
-            )
-        g = g.sort_values(id_col).head(max_bucket)
-        sig = np.stack(list(g["sig"]))
-        ids = g[id_col].to_numpy()
-        n = len(ids)
+    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
+        """Pair up multi-member buckets within one block (vectorized
+        pandas groupby; the quadratic loop only touches buckets with ≥2
+        members, which near-dup rates keep tiny)."""
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
+        if df.empty:
+            return empty
+        sizes = df.groupby(["band", "band_hash"], sort=False)["band"].transform("size")
+        multi = df[sizes > 1]
+        if multi.empty:
+            return empty
         ia, ib, est = [], [], []
-        for i in range(n):
-            agree = (sig[i + 1 :] == sig[i]).mean(axis=1)
-            hit = np.nonzero(agree >= threshold)[0]
-            for j in hit:
-                ia.append(ids[i])
-                ib.append(ids[i + 1 + j])
-                est.append(float(agree[j]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+        for _, g in multi.groupby(["band", "band_hash"], sort=False):
+            g = g.sort_values(id_col).head(max_bucket)
+            sig = np.stack(list(g["sig"]))
+            ids = g[id_col].to_numpy()
+            for i in range(len(ids)):
+                agree = (sig[i + 1 :] == sig[i]).mean(axis=1)
+                hit = np.nonzero(agree >= threshold)[0]
+                for j in hit:
+                    ia.append(int(ids[i]))
+                    ib.append(int(ids[i + 1 + j]))
+                    est.append(float(agree[j]))
+        return pd.DataFrame(
+            {"id_a": pd.array(ia, dtype="int64"), "id_b": pd.array(ib, dtype="int64"),
+             "est_jaccard": pd.array(est, dtype="float64")}
+        )
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    # A bucket's members must meet in one place.  The banded table is
+    # docs × bands rows (metadata + signature only, never text), so the
+    # cheapest exact exchange is a single-root coalesce — the root task
+    # holds docs × bands key rows, fine to ~10^8; past that, switch the
+    # repartition(1) for a keyed shuffle on (band, band_hash).
+    pairs = banded.repartition(1).map_batches(
+        pair_block, batch_format="pandas", batch_size=None
     )
 
-    def local_dedup(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates(["id_a", "id_b"])
+    # the same pair can surface from several bands → dedup (tiny)
+    from nerpii_ray.stages.agg import tree_dedup
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    # the same pair can surface from several bands → global dedup
-    return (
-        pairs.map_batches(local_dedup, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .map_groups(keep_first, batch_format="pandas")
-    )
+    return tree_dedup(pairs, keys=["id_a", "id_b"], levels=(1,))
 
 
 # ------------------------------------------------------------- simhash

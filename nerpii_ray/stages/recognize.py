@@ -152,7 +152,10 @@ def recognize_mentions(
         ),
         batch_format="pyarrow",
         batch_size=cfg.recognizer_batch_size,
-        concurrency=(1, cfg.recognizer_concurrency),
+        concurrency=(
+            min(cfg.recognizer_min_concurrency, cfg.recognizer_concurrency),
+            cfg.recognizer_concurrency,
+        ),
         num_cpus=1,
         zero_copy_batch=True,
     )

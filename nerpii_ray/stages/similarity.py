@@ -48,15 +48,28 @@ class _BruteForceScorer:
         return pd.DataFrame({"q_id": out_q, self.id_col: out_id, "cos_sim": out_sim})
 
 
-def _merge_topk(k: int, id_col: str):
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1)
-        g["cos_sim"] = np.round(g["cos_sim"], 6)
-        return g
+def _topk_tree(local_ds, k: int, id_col: str):
+    """Merge per-batch local top-k into the global top-k per query via the
+    tree (stages/agg.py): each level keeps ≤k rows per query."""
+    from nerpii_ray.stages.agg import tree_aggregate
 
-    return merge
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        return (
+            df.sort_values(["cos_sim", id_col], ascending=[False, True])
+            .groupby("q_id", sort=False)
+            .head(k)
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["q_id", "cos_sim", id_col], ascending=[True, False, True])
+        df = df.copy()
+        df["rank"] = df.groupby("q_id", sort=False).cumcount() + 1
+        df["cos_sim"] = np.round(df["cos_sim"], 6)
+        return df.reset_index(drop=True)
+
+    return tree_aggregate(local_ds, merge, merge, final_fn=finalize)
 
 
 def brute_force_topk(
@@ -80,7 +93,7 @@ def brute_force_topk(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    return local.groupby("q_id").map_groups(_merge_topk(k, id_col), batch_format="pandas")
+    return _topk_tree(local, k, id_col)
 
 
 # ----------------------------------------------------------------- IVF
@@ -156,4 +169,4 @@ def ivf_topk(
         batch_format="pandas",
         concurrency=concurrency,
     )
-    return local.groupby("q_id").map_groups(_merge_topk(k, id_col), batch_format="pandas")
+    return _topk_tree(local, k, id_col)

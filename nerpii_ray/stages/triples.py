@@ -157,10 +157,10 @@ def extract_tool_edges(turns_batch: pd.DataFrame) -> pd.DataFrame:
 
 
 def dedup_edges_global(edges_ds, config: Optional[EngineConfig] = None):
-    """Optional exact global dedup: hash-partition on edge_key + first
-    (SURVEY §2.7).  Needed only for at-least-once inputs."""
+    """Optional exact global dedup by edge_key (SURVEY §2.7) via the tree
+    (local dedup per batch happened in extract_triples, so the exchange
+    only carries already-unique-per-batch rows).  Needed only for
+    at-least-once inputs."""
+    from nerpii_ray.stages.agg import tree_dedup
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return edges_ds.groupby("edge_key").map_groups(first, batch_format="pandas")
+    return tree_dedup(edges_ds, keys=["edge_key"])

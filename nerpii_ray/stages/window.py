@@ -22,6 +22,8 @@ def hourly_agg(events_ds, value_col: str = "value", user_col: str = "user_id"):
     BIGINT).  Money in integer cents so the result hash-matches SQL.
     """
 
+    from nerpii_ray.stages.agg import grouped_sum
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         hour = (b["ts"].astype("int64") // 3_600_000_000) * 3600
         cents = np.round(b[value_col].to_numpy() * 100).astype(np.int64)
@@ -34,15 +36,10 @@ def hourly_agg(events_ds, value_col: str = "value", user_col: str = "user_id"):
             .reset_index()
         )
 
-    partials = events_ds.map_batches(partial, batch_format="pandas")
-    agg = partials.groupby([user_col, "hour_epoch"]).sum(["n_events", "value_cents"])
-
-    def rename(b: pd.DataFrame) -> pd.DataFrame:
-        return b.rename(
-            columns={"sum(n_events)": "n_events", "sum(value_cents)": "value_cents"}
-        )
-
-    return agg.map_batches(rename, batch_format="pandas")
+    return grouped_sum(
+        events_ds, [user_col, "hour_epoch"], ["n_events", "value_cents"],
+        partial_fn=partial,
+    )
 
 
 def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
