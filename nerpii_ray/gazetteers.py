@@ -31,6 +31,16 @@ FIRST_NAMES_FEMALE = [
     "Grace", "Laura", "Julia", "Clara", "Diana", "Elena", "Fiona", "Hannah",
     "Irene", "Karen", "Linda", "Maria", "Nina", "Paula", "Rachel", "Sara",
     "Teresa", "Valerie", "Wendy", "Chiara", "Giulia", "Francesca",
+    "Patricia", "Jennifer", "Elizabeth", "Barbara", "Susan", "Jessica",
+    "Sarah", "Lisa", "Nancy", "Betty", "Margaret", "Sandra", "Ashley",
+    "Kimberly", "Emily", "Donna", "Michelle", "Carol", "Amanda", "Dorothy",
+    "Melissa", "Deborah", "Stephanie", "Rebecca", "Sharon", "Cynthia",
+    "Kathleen", "Amy", "Angela", "Shirley", "Anna", "Brenda", "Pamela",
+    "Nicole", "Ruth", "Katherine", "Samantha", "Christine", "Catherine",
+    "Janet", "Debra", "Carolyn", "Rachael", "Heather", "Diane", "Josephine",
+    "Julie", "Joyce", "Victoria", "Kelly", "Christina", "Lauren", "Joan",
+    "Evelyn", "Judith", "Megan", "Andrea", "Cheryl", "Hannelore", "Jacqueline",
+    "Martha", "Gloria", "Teri", "Ann", "Simona", "Mitsue",
 ]
 FIRST_NAMES_MALE = [
     "James", "John", "Robert", "Michael", "David", "George", "William",
@@ -38,6 +48,16 @@ FIRST_NAMES_MALE = [
     "Paul", "Steven", "Andrew", "Kenneth", "Joshua", "Kevin", "Brian",
     "Edward", "Ronald", "Timothy", "Jason", "Jeffrey", "Frank", "Scott",
     "Eric", "Stephen", "Marco", "Luca", "Giovanni", "Andrea",
+    "Christopher", "Joseph", "Donald", "Gary", "Nicholas", "Jonathan",
+    "Larry", "Justin", "Benjamin", "Samuel", "Gregory", "Alexander",
+    "Patrick", "Raymond", "Jack", "Dennis", "Jerry", "Tyler", "Aaron",
+    "Jose", "Adam", "Nathan", "Henry", "Douglas", "Zachary", "Peter",
+    "Kyle", "Noah", "Ethan", "Jeremy", "Walter", "Christian", "Keith",
+    "Roger", "Terry", "Sean", "Gerald", "Carl", "Harold",
+    "Dylan", "Arthur", "Lawrence", "Jordan", "Jesse", "Bryan", "Billy",
+    "Bruce", "Gabriel", "Joe", "Logan", "Alan", "Juan", "Albert", "Willie",
+    "Elijah", "Wayne", "Randy", "Vincent", "Mason", "Roy", "Ralph", "Bobby",
+    "Russell", "Bradley", "Philip", "Eugene",
 ]
 FIRST_NAMES = set(FIRST_NAMES_FEMALE) | set(FIRST_NAMES_MALE)
 FIRST_NAME_GENDER = {n: "female" for n in FIRST_NAMES_FEMALE}
@@ -54,6 +74,18 @@ LAST_NAMES = [
     "Nelson", "Hill", "Campbell", "Mitchell", "Roberts", "Carter",
     "Phillips", "Evans", "Turner", "Bush", "Clinton", "Obama", "Rossi",
     "Ferrari", "Russo", "Bianchi",
+    "Perez", "Torres", "Parker", "Collins", "Edwards", "Stewart", "Flores",
+    "Morris", "Nguyen", "Murphy", "Rivera", "Cook", "Rogers", "Morgan",
+    "Peterson", "Cooper", "Reed", "Bailey", "Bell", "Gomez", "Kelly",
+    "Howard", "Ward", "Cox", "Diaz", "Richardson", "Wood", "Watson",
+    "Brooks", "Bennett", "Gray", "James", "Reyes", "Cruz", "Hughes",
+    "Price", "Myers", "Long", "Foster", "Sanders", "Ross", "Morales",
+    "Powell", "Sullivan", "Russell", "Ortiz", "Jenkins", "Gutierrez",
+    "Perry", "Butler", "Barnes", "Fisher", "Henderson", "Coleman",
+    "Simmons", "Patterson", "Jordan", "Reynolds", "Hamilton", "Graham",
+    "Kim", "Wallace", "Moreno", "West", "Cole", "Hayes", "Bryant",
+    "Herrera", "Gibson", "Ellis", "Tran", "Medina", "Aguilar", "Stevens",
+    "Murray", "Ford", "Castro", "Marshall", "Owens", "Harrison",
 ]
 LAST_NAME_SET = set(LAST_NAMES)
 
@@ -95,6 +127,9 @@ COUNTRIES = [
 LOCATIONS = set(CITIES) | set(US_STATES) | set(COUNTRIES)
 LOCATION_UNIGRAMS = {w for w in LOCATIONS if " " not in w}
 LOCATION_BIGRAMS = {w for w in LOCATIONS if w.count(" ") >= 1}
+#: state abbreviations recognized as LOCATION when they appear as
+#: uppercase 2-letter tokens; ambiguous English words excluded
+US_STATE_ABBR_SAFE = set(US_STATE_ABBR) - {"IN", "OR", "ME", "OK", "HI", "ID"}
 
 # --- organizations (stand-in for the HF BERT NER stage,
 #     named_entity_recognizer.py:387-405, 491-521) ---

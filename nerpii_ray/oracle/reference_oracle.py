@@ -21,6 +21,7 @@ from nerpii_ray.gazetteers import (
     LOCATIONS,
     ORG_KEYWORDS,
     STREET_WORDS,
+    US_STATE_ABBR_SAFE,
 )
 
 _PATTERNS = [
@@ -178,6 +179,9 @@ def oracle_mentions(text: str | None) -> list[dict]:
                 consumed.add(i)
         elif w in LOCATIONS:
             found.append(dict(entity="LOCATION", surface=w, start=s, end=e, score=0.8))
+            consumed.add(i)
+        elif w in US_STATE_ABBR_SAFE and w.isupper():
+            found.append(dict(entity="LOCATION", surface=w, start=s, end=e, score=0.7))
             consumed.add(i)
         elif w in LAST_NAME_SET and w[0].isupper():
             found.append(dict(entity="PERSON", surface=w, start=s, end=e, score=0.7))

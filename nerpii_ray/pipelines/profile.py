@@ -69,6 +69,16 @@ def profile_table(
     and the histogram aggregate run distributed.
     """
     cfg = config or EngineConfig()
+    if registry is None:
+        # per-cell analysis mode, as the reference's analyze_dict treats
+        # each cell as its own text (named_entity_recognizer.py:417-430):
+        # enables the TitleCase-cell PERSON fallback (state/registry.py)
+        registry = RecognizerRegistry(
+            add_addresses_recognizer=cfg.add_addresses_recognizer,
+            cell_mode=True,
+        )
+        if cfg.additional_addresses:
+            registry.add_addresses(cfg.additional_addresses)
     if get_gender_option:
         df = add_gender_column(df)
     melted = melt_table(df, cfg.nan_filler)

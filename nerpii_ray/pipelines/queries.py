@@ -863,3 +863,92 @@ def kg_assignments(sf_dir: str):
     tdir = transcripts_for_sf(_sf_of(sf_dir))
     mentions = recognize_mentions(_rd.read_parquet(tdir), config=EngineConfig())
     return assignments_to_table(assign_entities(mentions, EngineConfig()))
+
+
+@register(
+    "doc_redact_tags",
+    f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(coalesce(text, ''),
+                 '\\b({"|".join(DOC_GAZETTEER["ORGANIZATION"])})\\b', '[ORGANIZATION]', 'g'),
+               '\\b({"|".join(DOC_GAZETTEER["PERSON"])})\\b', '[PERSON]', 'g'),
+             '\\b({"|".join(DOC_GAZETTEER["LOCATION"])})\\b', '[LOCATION]', 'g')
+             AS redacted
+    FROM documents
+    """,
+)
+def doc_redact_tags(sf_dir: str):
+    """Tag-mode text redaction over documents with the doc-domain
+    gazetteer — vectorized chained replace, SQL-checked character-for-
+    character against DuckDB regexp_replace."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def redact(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("")
+        for ent in ("ORGANIZATION", "PERSON", "LOCATION"):
+            pat = r"\b(" + "|".join(DOC_GAZETTEER[ent]) + r")\b"
+            s = s.str.replace(pat, f"[{ent}]", regex=True)
+        return pd.DataFrame({"doc_id": b["doc_id"], "redacted": s})
+
+    return ds.map_batches(redact, batch_format="pandas")
+
+
+@register("transcript_redact")  # rows-only; semantics in test_redact.py
+def transcript_redact(sf_dir: str):
+    import ray.data as _rd
+
+    from nerpii_ray.config import EngineConfig
+    from nerpii_ray.stages.redact import redact_transcripts
+    from nerpii_ray.testgen import transcripts_for_sf
+
+    tdir = transcripts_for_sf(_sf_of(sf_dir))
+    return redact_transcripts(_rd.read_parquet(tdir), EngineConfig(), mode="pseudonym")
+
+
+@register(
+    "events_props_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_extract(sf_dir: str):
+    """JSON-ish field parser (normalizer op): extract props.k per event,
+    aggregate per event type — regex extraction matched in SQL."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        df = pd.DataFrame({"event_type": b["event_type"], "sum_k": k, "n": 1})
+        return df.groupby("event_type", sort=False).sum().reset_index()
+
+    return grouped_sum(ds, ["event_type"], ["sum_k", "n"], partial_fn=partial)
+
+
+@register("transcript_gender_enrich")  # rows-only; M5 analogue over transcripts
+def transcript_gender_enrich(sf_dir: str):
+    """Gender enrichment (get_gender, named_entity_recognizer.py:203-231)
+    applied to PERSON mentions of the transcript stream."""
+    import ray.data as _rd
+
+    from nerpii_ray.config import EngineConfig
+    from nerpii_ray.functions.textfns import gender_of_first_names
+    from nerpii_ray.stages.recognize import recognize_mentions
+    from nerpii_ray.testgen import transcripts_for_sf
+
+    tdir = transcripts_for_sf(_sf_of(sf_dir))
+    mentions = recognize_mentions(_rd.read_parquet(tdir), config=EngineConfig())
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["entity"] == "PERSON"].copy()
+        first = b["surface"].str.split().str[0]
+        b["first_name_gender"] = gender_of_first_names(first)
+        return b[["conv_id", "turn_idx", "surface", "first_name_gender"]]
+
+    return mentions.map_batches(enrich, batch_format="pandas")

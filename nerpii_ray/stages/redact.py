@@ -1,0 +1,128 @@
+"""Transcript redaction: rewrite turn text with PII mentions replaced.
+
+The engine analogue of running nerpii's detect→synthesize loop over free
+text instead of columns: a single stateful pass that scans each turn with
+the compiled registry and splices replacements into the text.  Two modes:
+
+* ``pseudonym`` — deterministic Faker-style surrogates
+  (``functions/pseudonym.py``): the same surface gets the same surrogate
+  everywhere in the corpus, preserving entity co-reference across turns
+  (what makes redacted transcripts still usable as training data);
+* ``tag`` — typed placeholders ``[ENTITY_TYPE]`` (classic scrubbing).
+
+Single-pass design: no join of a mentions table back onto turns — the
+scan and the splice happen in the same actor, so redaction costs one read
+and zero shuffles at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from nerpii_ray.config import EngineConfig
+from nerpii_ray.functions.pseudonym import pseudonym_for
+from nerpii_ray.functions.textfns import normalize_surface_one
+from nerpii_ray.state.registry import (
+    PRESIDIO_STAGES,
+    STAGE_MODEL_SPAN,
+    RecognizerRegistry,
+)
+
+_REPLACE_STAGES = set(PRESIDIO_STAGES) | {STAGE_MODEL_SPAN}
+
+
+class RedactorActor:
+    """map_batches callable: registry compiled once per actor."""
+
+    def __init__(
+        self,
+        registry: Optional[RecognizerRegistry] = None,
+        config: Optional[EngineConfig] = None,
+        text_col: str = "text",
+        mode: str = "pseudonym",
+    ):
+        cfg = config or EngineConfig()
+        if registry is None:
+            registry = RecognizerRegistry(
+                add_addresses_recognizer=cfg.add_addresses_recognizer
+            )
+            if cfg.additional_addresses:
+                registry.add_addresses(cfg.additional_addresses)
+        self.compiled = registry.compile()
+        self.text_col = text_col
+        if mode not in ("pseudonym", "tag"):
+            raise ValueError(f"unknown redaction mode: {mode}")
+        self.mode = mode
+
+    def _replacement(self, entity: str, surface: str) -> str:
+        if self.mode == "tag":
+            return f"[{entity}]"
+        return pseudonym_for(entity, normalize_surface_one(surface))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        out = self.compiled.scan(texts)
+
+        # group span replacements per row; prefer higher-score spans when
+        # overlapping (e.g. EMAIL over the PERSON token inside it)
+        spans_by_row: dict[int, list] = {}
+        for i in range(len(out["row"])):
+            if out["stage"][i] not in _REPLACE_STAGES:
+                continue
+            spans_by_row.setdefault(out["row"][i], []).append(
+                (
+                    -out["score"][i],
+                    out["start"][i],
+                    out["end"][i],
+                    out["entity"][i],
+                    out["surface"][i],
+                )
+            )
+
+        new_texts = list(texts)
+        for r, spans in spans_by_row.items():
+            text = texts[r]
+            if text is None:
+                continue
+            spans.sort()  # score desc, then start
+            accepted: list = []
+            for _, s, e, ent, surf in spans:
+                if any(not (e <= as_ or s >= ae) for as_, ae in ((a[0], a[1]) for a in accepted)):
+                    continue
+                accepted.append((s, e, ent, surf))
+            # splice right-to-left so offsets stay valid
+            for s, e, ent, surf in sorted(accepted, reverse=True):
+                text = text[:s] + self._replacement(ent, surf) + text[e:]
+            new_texts[r] = text
+
+        idx = batch.schema.get_field_index(self.text_col)
+        return batch.set_column(
+            idx, self.text_col, pa.array(new_texts, pa.string())
+        )
+
+
+def redact_transcripts(
+    turns_ds,
+    config: Optional[EngineConfig] = None,
+    registry: Optional[RecognizerRegistry] = None,
+    mode: str = "pseudonym",
+    text_col: str = "text",
+):
+    """Dataset of turns → same schema with ``text`` redacted."""
+    cfg = config or EngineConfig()
+    return turns_ds.map_batches(
+        RedactorActor,
+        fn_constructor_kwargs=dict(
+            registry=registry, config=cfg, text_col=text_col, mode=mode
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.recognizer_batch_size,
+        concurrency=(
+            min(cfg.recognizer_min_concurrency, cfg.recognizer_concurrency),
+            cfg.recognizer_concurrency,
+        ),
+        num_cpus=1,
+        zero_copy_batch=True,
+    )

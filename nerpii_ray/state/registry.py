@@ -49,6 +49,7 @@ from nerpii_ray.gazetteers import (
     LOCATION_UNIGRAMS,
     ORG_KEYWORDS,
     STREET_WORDS,
+    US_STATE_ABBR_SAFE,
 )
 
 #: stage tags on emitted mentions
@@ -133,6 +134,13 @@ class RecognizerRegistry:
     add_addresses_recognizer: bool = True
     enable_gazetteers: bool = True
     enable_model_labels: bool = True
+    #: cell mode (profile pipeline): each text is one table CELL, as in the
+    #: reference's ``analyze_dict`` per-cell analysis.  A cell that matched
+    #: nothing else but is one or two TitleCase tokens is emitted as a
+    #: low-score PERSON candidate — the stand-in for spaCy's statistical
+    #: PERSON recognition of names outside any gazetteer ("Lenna
+    #: Paprocki").  Never enabled for free-text transcript scanning.
+    cell_mode: bool = False
 
     def add_pattern(self, spec: PatternSpec) -> "RecognizerRegistry":
         self.patterns.append(spec)
@@ -173,6 +181,10 @@ class CompiledRegistry:
 
         self.enable_gazetteers = reg.enable_gazetteers
         self.enable_model_labels = reg.enable_model_labels
+        self.cell_mode = reg.cell_mode
+        self.cell_person_re = re.compile(
+            r"^[A-Z][a-z]+(?:[ \-'][A-Z][a-z]+)?$"
+        )
         # multi-word locations keyed by first token; values are tuples of the
         # remaining tokens, longest first (so "Salt Lake City" wins over a
         # hypothetical "Salt Lake")
@@ -244,6 +256,18 @@ class CompiledRegistry:
         # -- pass 3: token scan → gazetteer + model labels --
         if self.enable_gazetteers or self.enable_model_labels:
             self._token_scan(joined, row_starts, pattern_spans, emit, row_of)
+
+        # -- pass 4 (cell mode only): TitleCase-cell PERSON fallback --
+        if self.cell_mode:
+            matched_rows = set(rows)
+            for r, t in enumerate(safe):
+                if r in matched_rows or not t:
+                    continue
+                cell = t.strip()
+                if self.cell_person_re.match(cell):
+                    s = t.find(cell)
+                    emit(r, "PERSON", cell, s, s + len(cell), 0.5,
+                         STAGE_GAZETTEER)
 
         is_primary = self._mark_primary(rows, entities, starts, scores, stages)
         return {
@@ -394,6 +418,13 @@ class CompiledRegistry:
                      STAGE_GAZETTEER)
                 if self.enable_model_labels:
                     emit(r, "B-LOC", word, ls, ls + len(word), 0.8, STAGE_MODEL)
+                consumed[i] = True
+                continue
+            if word in US_STATE_ABBR_SAFE and word.isupper():
+                emit(r, "LOCATION", word, ls, ls + len(word), 0.7,
+                     STAGE_GAZETTEER)
+                if self.enable_model_labels:
+                    emit(r, "B-LOC", word, ls, ls + len(word), 0.7, STAGE_MODEL)
                 consumed[i] = True
                 continue
             if word in LAST_NAME_SET and word[0].isupper():
