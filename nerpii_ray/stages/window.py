@@ -47,24 +47,53 @@ def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
     event of the same user exceeds ``gap_sec``.  Returns one row per user:
     (user_id, n_sessions BIGINT, n_events BIGINT).
 
-    groupby(user) shuffle; inside each group a sort + vectorized diff —
-    the ordered-log pattern for stream-shaped semantics.
+    Implemented as a MERGEABLE interval summary on the tree aggregate
+    (stages/agg.py) instead of a keyed shuffle: each batch locally
+    sessionizes its own events into (user, start, end, count) intervals;
+    merging two partials = interval merging with the same gap rule, which
+    is associative — so the exchange carries one row per local session,
+    not per event.  Timestamps compare in integer MICROSECONDS (flooring
+    to seconds would disagree with the SQL oracle's ``epoch_us`` at
+    exact-gap boundaries).
     """
+    from nerpii_ray.stages.agg import tree_aggregate
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        # compare in integer MICROSECONDS: flooring to seconds would
-        # disagree with the SQL oracle's epoch_us at exact-gap boundaries
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        if len(ts) == 0:
-            return pd.DataFrame({user_col: [], "n_sessions": [], "n_events": []})
-        gaps = np.diff(ts)
-        n_sessions = int(1 + (gaps > gap_sec * 1_000_000).sum())
-        return pd.DataFrame(
-            {
-                user_col: [g[user_col].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(ts)],
-            }
+    gap_us = gap_sec * 1_000_000
+
+    def _merge_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, "s_start"], kind="stable").reset_index(drop=True)
+        end_cummax = df.groupby(user_col, sort=False)["s_end"].cummax()
+        prev_end = end_cummax.shift()
+        first_of_user = df[user_col] != df[user_col].shift()
+        new_session = first_of_user | (df["s_start"] - prev_end > gap_us)
+        gid = new_session.cumsum()
+        out = (
+            df.groupby([user_col, gid], sort=False)
+            .agg(
+                s_start=("s_start", "min"),
+                s_end=("s_end", "max"),
+                n_events=("n_events", "sum"),
+            )
+            .reset_index(level=0)
+            .reset_index(drop=True)
         )
+        return out[[user_col, "s_start", "s_end", "n_events"]]
 
-    return events_ds.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ts = b["ts"].astype("int64")
+        df = pd.DataFrame(
+            {user_col: b[user_col], "s_start": ts, "s_end": ts, "n_events": 1}
+        )
+        return _merge_intervals(df)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(user_col, sort=False)
+            .agg(n_sessions=("s_start", "size"), n_events=("n_events", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n_sessions": "int64", "n_events": "int64"})
+
+    return tree_aggregate(
+        events_ds, partial, _merge_intervals, final_fn=finalize
+    )
