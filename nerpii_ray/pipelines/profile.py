@@ -62,13 +62,23 @@ def profile_table(
     config: Optional[EngineConfig] = None,
     registry: Optional[RecognizerRegistry] = None,
     get_gender_option: bool = False,
+    data_sample: Optional[int] = None,
+    seed: int = 42,
 ) -> Dict[str, Optional[dict]]:
     """Full NER profile of a columnar table → assignments dict.
 
     The melt and the final cascade run on the driver (both tiny); the scan
     and the histogram aggregate run distributed.
+
+    ``data_sample`` reproduces the reference's row sampler
+    (``df.sample(n=min(data_sample, n))``, ``named_entity_recognizer.py:316``)
+    as a fast profile mode — but SEEDED, fixing the reference's
+    nondeterminism above 500 rows (FIXTURES.md "Known reference defects").
+    Default None = profile everything (the engine processes full data).
     """
     cfg = config or EngineConfig()
+    if data_sample is not None:
+        df = df.sample(n=min(data_sample, len(df)), random_state=seed)
     if registry is None:
         # per-cell analysis mode, as the reference's analyze_dict treats
         # each cell as its own text (named_entity_recognizer.py:417-430):

@@ -952,3 +952,92 @@ def transcript_gender_enrich(sf_dir: str):
         return b[["conv_id", "turn_idx", "surface", "first_name_gender"]]
 
     return mentions.map_batches(enrich, batch_format="pandas")
+
+
+@register(
+    "orders_union_counts",
+    """
+    SELECT status, COUNT(*) AS n FROM (
+      SELECT 'open' AS status FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'final' AS status FROM orders WHERE o_orderstatus = 'F'
+    ) GROUP BY status
+    """,
+)
+def orders_union_counts(sf_dir: str):
+    """Dataset.union of two filtered branches + grouped count."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    base = _read(sf_dir, "orders", ["o_orderstatus"])
+
+    def branch(status_val: str, label: str):
+        return base.map_batches(
+            lambda b, sv=status_val, lb=label: pd.DataFrame(
+                {"status": [lb] * int((b["o_orderstatus"] == sv).sum())}
+            ),
+            batch_format="pandas",
+        )
+
+    both = branch("O", "open").union(branch("F", "final"))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("status", sort=False).size().reset_index(name="n")
+
+    return grouped_sum(both, ["status"], ["n"], partial_fn=partial)
+
+
+@register("orders_sample")  # seeded sample — rows-only (RNG differs from SQL)
+def orders_sample(sf_dir: str):
+    """M4 row sampler as a Dataset op: seeded random_sample (deterministic
+    within the engine, unlike the reference's unseeded df.sample)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.random_sample(0.1, seed=42)
+
+
+@register(
+    "region_csv_roundtrip",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def region_csv_roundtrip(sf_dir: str):
+    """CSV source/sink parity (S1): parquet → write_csv → read_csv →
+    identical table."""
+    import shutil as _shutil
+
+    import ray.data as _rd
+
+    out = "/tmp/nerpii_ray_csv_roundtrip"
+    _shutil.rmtree(out, ignore_errors=True)
+    _read(sf_dir, "region").write_csv(out)
+    ds = _rd.read_csv(out)
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"r_regionkey": b["r_regionkey"].astype("int32"), "r_name": b["r_name"]}
+        )
+
+    return ds.map_batches(fix, batch_format="pandas")
+
+
+@register(
+    "lineitem_shipdate_repartitioned",
+    """
+    SELECT CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS month_epoch,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY month_epoch
+    """,
+)
+def lineitem_shipdate_repartitioned(sf_dir: str):
+    """repartition + shuffle layout op feeding a monthly count (the
+    result is layout-invariant — what the repartition test asserts)."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "lineitem", ["l_shipdate"]).repartition(8)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["l_shipdate"].dt.tz_localize(None).values.astype("datetime64[M]")
+        epoch = m.astype("datetime64[s]").astype("int64")
+        return pd.DataFrame({"month_epoch": epoch, "n": 1}).groupby(
+            "month_epoch", sort=False
+        ).sum().reset_index()
+
+    return grouped_sum(ds, ["month_epoch"], ["n"], partial_fn=partial)

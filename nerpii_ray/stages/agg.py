@@ -66,8 +66,9 @@ def grouped_sum(
     keys, sum_cols = list(keys), list(sum_cols)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            return df
+        # run the groupby even on empty input: short-circuiting an empty
+        # block would pass through degraded dtypes (e.g. float64 for an
+        # empty int column) and poison later concatenations
         return df.groupby(keys, sort=False)[sum_cols].sum().reset_index()
 
     return tree_aggregate(

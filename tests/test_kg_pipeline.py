@@ -102,3 +102,37 @@ def test_partitioned_run_resumes(transcripts, tmp_path):
     edges = pq.read_table(os.path.join(out, "part=00000", "edges"))
     assert edges.num_rows > 0
     assert set(edges.column_names) >= {"subj_id", "pred", "obj_id", "conv_id", "turn_idx"}
+
+
+def test_stale_inprogress_dir_recovered(transcripts, tmp_path):
+    """A killed run leaves <out>.inprogress; the next run must clean it
+    up and still commit atomically (sources/writers.py)."""
+    import ray.data as rd2
+
+    from nerpii_ray.sources.writers import write_partition
+
+    out = str(tmp_path / "part0")
+    stale = out + ".inprogress"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("half-written garbage")
+    ds = rd2.from_items([{"a": 1}, {"a": 2}])
+    rec = write_partition(ds, out, {"test": True}, min_rows_per_file=1)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(stale)
+    assert rec["test"] is True
+    # second call: skipped, lineage read back from disk
+    rec2 = write_partition(ds, out, {"test": False})
+    assert rec2["test"] is True
+
+
+def test_profile_data_sample_deterministic():
+    import pandas as pd2
+
+    from nerpii_ray.pipelines.profile import profile_table
+
+    df = pd2.DataFrame({"email": [f"user{i}@example.com" for i in range(50)]})
+    a = profile_table(df, data_sample=10, seed=3)
+    b = profile_table(df, data_sample=10, seed=3)
+    assert a == b
+    assert a["email"]["entity"] == "EMAIL_ADDRESS"
