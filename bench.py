@@ -62,22 +62,32 @@ def run_bench() -> dict:
     tdir = transcripts_for_sf(sf * mult)
     rd.read_parquet(tdir).count()
 
+    # pool sizing: num_cpus - 4 at every level (leave slots for the read
+    # and write stages); measured better than a proportional 7/8 rule at
+    # both 8 and 32 CPUs
+    pool = max(2, num_cpus - 4)
     cfg = EngineConfig(
-        recognizer_concurrency=max(2, num_cpus - 4),
-        recognizer_min_concurrency=max(2, num_cpus - 4),
+        recognizer_concurrency=pool,
+        recognizer_min_concurrency=pool,
         recognizer_batch_size=8192,
     )
 
-    # headline: full KG pipeline, consumed by writing the graph
+    # headline: full KG pipeline, consumed by writing the graph.
+    # best-of-N reps (same job, same session): single runs at this scale
+    # carry several seconds of variance from actor-pool spin-up and
+    # object-store state, which otherwise dominates the scaling ratio
+    reps = int(os.environ.get("RAY_GRAFT_REPS", "2"))
     out_dir = f"/tmp/nerpii_ray_bench/graph-{num_cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
     turns_ds = rd.read_parquet(tdir)
     n_turns = turns_ds.count()
-    t0 = time.monotonic()
-    res = run_kg(turns_ds, cfg, with_assignments=True)
-    write_graph(res, out_dir)
-    headline = time.monotonic() - t0
+    headline = float("inf")
+    for _ in range(reps):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.makedirs(out_dir, exist_ok=True)
+        t0 = time.monotonic()
+        res = run_kg(turns_ds, cfg, with_assignments=True)
+        write_graph(res, out_dir)
+        headline = min(headline, time.monotonic() - t0)
 
     # representative operator queries over the driver testdata
     query_names = [
@@ -120,7 +130,10 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "4"),
+            RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "16"),
+            # long runs amortize startup variance; one rep keeps the
+            # whole two-level protocol inside harness timeouts
+            RAY_GRAFT_REPS=os.environ.get("RAY_GRAFT_REPS", "1"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

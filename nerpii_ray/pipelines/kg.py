@@ -75,27 +75,28 @@ def run_kg(
     Returns {"mentions": Dataset, "edges": Dataset, "nodes": Dataset,
     "assignments": pandas.DataFrame | None}.
     """
+    from nerpii_ray.stages.canonicalize import node_rows
+
     cfg = config or EngineConfig()
-    mentions = recognize_mentions(turns_ds, config=cfg)
     # Three consumers read the mentions (assignment aggregate, triple
     # extraction, node build); without pinning, each would re-run the
-    # recognizer scan from scratch.  Mentions are a fraction of the input
-    # size and the object store spills to disk, so materializing once is
-    # the right trade at every scale short of writing the stage to Parquet
-    # (which run_kg_partitioned effectively does per partition).
-    mentions = mentions.materialize()
+    # recognizer scan from scratch.  One materialized intermediate serves
+    # all three.  Canonical IDs are FUSED into the recognizer actors
+    # (attach_ids): while the actor pool holds the cluster's CPU slots, a
+    # separate task stage for IDs would be starved to the leftover slots —
+    # measured as a flat 52 s at BOTH 8 and 32 CPUs before fusing.
+    with_ids = recognize_mentions(
+        turns_ds, config=cfg, attach_ids=True
+    ).materialize()
 
     assignments = None
     if with_assignments:
-        assignments = assignments_to_table(assign_entities(mentions, cfg))
+        assignments = assignments_to_table(assign_entities(with_ids, cfg))
 
-    # with_ids feeds both the edge extraction and the node build; pin it
-    # too (node-stage mention rows only — smaller than the full mentions)
-    with_ids = mentions.map_batches(
-        add_canonical_ids, batch_format="pandas", batch_size=cfg.batch_size
-    ).materialize()
     entity_edges = with_ids.map_batches(
-        extract_triples, batch_format="pandas", batch_size=cfg.batch_size
+        lambda b: extract_triples(node_rows(b)),
+        batch_format="pandas",
+        batch_size=cfg.batch_size,
     )
     tool_edges = turns_ds.map_batches(
         extract_tool_edges, batch_format="pandas", batch_size=cfg.batch_size

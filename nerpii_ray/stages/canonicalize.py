@@ -34,26 +34,47 @@ from nerpii_ray.state.registry import PRESIDIO_STAGES, STAGE_MODEL_SPAN
 NODE_STAGES = tuple(PRESIDIO_STAGES) + (STAGE_MODEL_SPAN,)
 
 
-def add_canonical_ids(batch: pd.DataFrame) -> pd.DataFrame:
+def add_canonical_ids(batch: pd.DataFrame, keep_all: bool = False) -> pd.DataFrame:
     """Vectorized per-batch: add norm_surface + node_id to mention rows.
 
-    Keeps only node-bearing stages (drops model token labels and count
-    partials).  Equivalent SQL for the ID:
+    Equivalent SQL for the ID:
     ``substr(md5(entity || ':' || lower(surface)), 1, 16)``.
+
+    ``keep_all=False`` keeps only node-bearing stages (drops model token
+    labels and count partials).  ``keep_all=True`` keeps every row, with
+    null node_id on non-node rows — used by run_kg so ONE pinned
+    intermediate serves the assignment aggregate (which needs model/count
+    rows) AND the triple/node builds (which filter to node rows).
     """
-    batch = batch[batch["stage"].isin(NODE_STAGES)].copy()
-    batch["norm_surface"] = normalize_surface(batch["surface"])
-    keys = batch["entity"].astype(str) + ":" + batch["norm_surface"]
+    is_node = batch["stage"].isin(NODE_STAGES)
+    if not keep_all:
+        batch = batch[is_node].copy()
+        node_part = batch
+    else:
+        batch = batch.copy()
+        node_part = batch[is_node]
+    norm = normalize_surface(node_part["surface"])
+    keys = node_part["entity"].astype(str) + ":" + norm
     # hash each distinct surface once per batch — hot surfaces ("Acme
     # Corp" in 10% of turns) repeat heavily, so this halves md5 work
     uniq = keys.drop_duplicates()
     lut = dict(zip(uniq, md5_of_strings(uniq).str[:16]))
+    batch["norm_surface"] = norm  # aligned; non-node rows get NaN
     batch["node_id"] = keys.map(lut)
     return batch
 
 
+def node_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    """Filter a keep_all ``add_canonical_ids`` output to node-bearing rows."""
+    return batch[batch["node_id"].notna()]
+
+
 def _distinct_nodes_in_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    out = batch[["node_id", "entity", "norm_surface"]].drop_duplicates("node_id")
+    out = (
+        batch[["node_id", "entity", "norm_surface"]]
+        .dropna(subset=["node_id"])  # keep_all inputs carry null-id rows
+        .drop_duplicates("node_id")
+    )
     return out.rename(columns={"entity": "entity_type", "norm_surface": "canonical_name"})
 
 

@@ -56,6 +56,7 @@ class RecognizerActor:
         group_col: Optional[str] = None,
         group_from: Optional[Sequence[str]] = ("role", "tool"),
         emit_group_counts: bool = True,
+        attach_ids: bool = False,
     ):
         cfg = config or EngineConfig()
         if registry is None:
@@ -70,6 +71,15 @@ class RecognizerActor:
         self.group_col = group_col
         self.group_from = list(group_from) if group_from else None
         self.emit_group_counts = emit_group_counts
+        #: fuse canonicalization into the scan: norm_surface/node_id
+        #: computed here so no separate (CPU-starved) task stage is needed
+        #: while the actor pool holds the cluster's slots
+        self.attach_ids = attach_ids
+        if attach_ids:
+            import re as _re
+
+            self._ws_re = _re.compile(r"\s+")
+            self._id_cache: dict = {}
 
     def _group_keys(self, batch: pa.Table) -> pa.Array:
         if self.group_col is not None:
@@ -99,6 +109,30 @@ class RecognizerActor:
         cols["stage"] = pa.array(out["stage"], type=pa.string())
         cols["is_primary"] = pa.array(out["is_primary"], type=pa.bool_())
         cols["cnt"] = pa.array([1] * len(rows), type=pa.int64())
+        if self.attach_ids:
+            from nerpii_ray.functions.hashing import md5_hex
+            from nerpii_ray.state.registry import PRESIDIO_STAGES, STAGE_MODEL_SPAN
+
+            node_stages = set(PRESIDIO_STAGES) | {STAGE_MODEL_SPAN}
+            norms: list = []
+            ids: list = []
+            cache = self._id_cache
+            for stage, surf, ent in zip(out["stage"], out["surface"], out["entity"]):
+                if stage not in node_stages:
+                    norms.append(None)
+                    ids.append(None)
+                    continue
+                key = (ent, surf)
+                hit = cache.get(key)
+                if hit is None:
+                    norm = self._ws_re.sub(" ", surf.strip()).lower()
+                    hit = (norm, md5_hex(f"{ent}:{norm}")[:16])
+                    if len(cache) < 2_000_000:  # bound actor memory
+                        cache[key] = hit
+                norms.append(hit[0])
+                ids.append(hit[1])
+            cols["norm_surface"] = pa.array(norms, type=pa.string())
+            cols["node_id"] = pa.array(ids, type=pa.string())
         mentions = pa.table(cols)
 
         if not self.emit_group_counts:
@@ -123,6 +157,9 @@ class RecognizerActor:
         ccols["stage"] = pa.array(["count"] * m, type=pa.string())
         ccols["is_primary"] = pa.array([False] * m, type=pa.bool_())
         ccols["cnt"] = pc.cast(n, pa.int64())
+        if self.attach_ids:
+            ccols["norm_surface"] = pa.array([None] * m, type=pa.string())
+            ccols["node_id"] = pa.array([None] * m, type=pa.string())
         counts = pa.table(ccols)
         return pa.concat_tables([mentions, counts])
 
@@ -136,6 +173,7 @@ def recognize_mentions(
     group_col: Optional[str] = None,
     group_from: Optional[Sequence[str]] = ("role", "tool"),
     emit_group_counts: bool = True,
+    attach_ids: bool = False,
 ):
     """Attach the recognizer actor pool to a Dataset of turns/documents."""
     cfg = config or EngineConfig()
@@ -149,6 +187,7 @@ def recognize_mentions(
             group_col=group_col,
             group_from=group_from,
             emit_group_counts=emit_group_counts,
+            attach_ids=attach_ids,
         ),
         batch_format="pyarrow",
         batch_size=cfg.recognizer_batch_size,

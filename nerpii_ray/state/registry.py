@@ -285,7 +285,15 @@ class CompiledRegistry:
     def _token_scan(self, joined, row_starts, pattern_spans, emit, row_of):
         toks = [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(joined)]
         n = len(toks)
-        tok_row = [row_of(pos) for _, pos in toks]
+        # ONE vectorized searchsorted for every token (a per-token Python
+        # call here was ~30% of scan time)
+        if n:
+            positions = np.fromiter((p for _, p in toks), dtype=np.int64, count=n)
+            tok_row = (
+                np.searchsorted(row_starts, positions, side="right") - 1
+            ).tolist()
+        else:
+            tok_row = []
 
         def inside_pattern(i: int) -> bool:
             r = tok_row[i]

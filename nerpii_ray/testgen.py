@@ -166,25 +166,50 @@ def generate_table(n_convs: int, seed: int = 42, first_conv: int = 0) -> pa.Tabl
     return pa.Table.from_arrays(arrays, schema=SCHEMA)
 
 
+def _write_shard(out_dir: str, shard: int, lo: int, n: int, seed: int) -> None:
+    table = generate_table(n, seed=seed, first_conv=lo)
+    pq.write_table(
+        table, os.path.join(out_dir, f"part-{shard:05d}.parquet"),
+        row_group_size=4096,
+    )
+
+
 def write_transcripts(
     out_dir: str, n_convs: int, seed: int = 42, convs_per_file: int = 2000
 ) -> str:
     """Write transcripts partitioned so one conversation never spans files
     (the ordering invariant's layout precondition, SURVEY §4).  Skips work
-    if the directory is already complete (_SUCCESS marker)."""
+    if the directory is already complete (_SUCCESS marker).
+
+    Per-conversation seeding makes shards independent, so when a Ray
+    session is already up (bench), shards generate as parallel Ray tasks —
+    output is byte-identical either way.
+    """
     marker = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    shard = 0
-    for lo in range(0, n_convs, convs_per_file):
-        n = min(convs_per_file, n_convs - lo)
-        table = generate_table(n, seed=seed, first_conv=lo)
-        pq.write_table(
-            table, os.path.join(out_dir, f"part-{shard:05d}.parquet"),
-            row_group_size=4096,
+    shards = [
+        (i, lo, min(convs_per_file, n_convs - lo))
+        for i, lo in enumerate(range(0, n_convs, convs_per_file))
+    ]
+    use_ray = False
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(shards) > 4
+    except ImportError:
+        pass
+    if use_ray:
+        import ray
+
+        task = ray.remote(num_cpus=1)(_write_shard)
+        ray.get(
+            [task.remote(out_dir, i, lo, n, seed) for i, lo, n in shards]
         )
-        shard += 1
+    else:
+        for i, lo, n in shards:
+            _write_shard(out_dir, i, lo, n, seed)
     with open(marker, "w") as f:
         f.write(f"n_convs={n_convs} seed={seed}\n")
     return out_dir
