@@ -6,7 +6,7 @@ DAG (SURVEY §3 "Engine lifecycle"):
     → RecognizerActor pool (stateful map_batches; mentions + count rows)
     → [A] histogram combiner → groupby(group_key) → cascade → assignments
           (tiny table; shuffle #1 moves only per-batch partials)
-    → [B] add_canonical_ids (pure fn, no shuffle) → extract_triples
+    → [B] canonical IDs fused into the scan (pure fn) → extract_triples
           (stateless map_batches) ∪ tool edges from turns
     → [C] nodes: per-batch distinct → groupby(node_id) first (shuffle #2,
           skew-proof via local distinct) → deterministic pseudonyms
@@ -28,7 +28,7 @@ from nerpii_ray.config import EngineConfig
 from nerpii_ray.sources.readers import read_transcripts
 from nerpii_ray.sources.writers import partition_done, write_partition
 from nerpii_ray.stages.assign import assign_entities, assignments_to_table
-from nerpii_ray.stages.canonicalize import add_canonical_ids, build_nodes
+from nerpii_ray.stages.canonicalize import build_nodes
 from nerpii_ray.stages.recognize import recognize_mentions
 from nerpii_ray.stages.triples import (
     dedup_edges_global,

@@ -1041,3 +1041,77 @@ def lineitem_shipdate_repartitioned(sf_dir: str):
         ).sum().reset_index()
 
     return grouped_sum(ds, ["month_epoch"], ["n"], partial_fn=partial)
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(sf_dir: str):
+    """Anti join via broadcast key set (guide pattern: ship the key set —
+    or a Bloom filter of it at larger scale — and filter in map_batches;
+    no shuffle)."""
+    keys = set(
+        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
+            "o_custkey"
+        ].unique()
+    )
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = ds.map_batches(
+        lambda b, ks=keys: b[~b["c_custkey"].isin(ks)],
+        batch_format="pandas",
+    ).to_pandas()
+    if out.empty:
+        # an empty Dataset loses its schema; the driver compares columns
+        out = pd.DataFrame(
+            {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype=str)}
+        )
+    return out
+
+
+@register(
+    "top_orders_per_segment",
+    """
+    SELECT segment, o_orderkey, total_cents FROM (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def top_orders_per_segment(sf_dir: str):
+    """Top-k per group: broadcast join + per-batch local top-k + tree
+    merge keeping ≤k rows per group at every level."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on=["o_custkey"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"c_mktsegment": "segment"}) if "c_mktsegment" in df.columns else df
+        return (
+            df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("segment", sort=False)
+            .head(3)
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df)
+        return pd.DataFrame(
+            {
+                "segment": out["segment"],
+                "o_orderkey": out["o_orderkey"],
+                "total_cents": np.round(out["o_totalprice"] * 100).astype("int64"),
+            }
+        ).reset_index(drop=True)
+
+    return tree_aggregate(joined, topk, topk, final_fn=finalize)

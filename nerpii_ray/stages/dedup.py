@@ -52,27 +52,23 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 # ------------------------------------------------------------- minhash
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = _TOKEN_RE.findall(text.lower())
-    if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-            for s in set(shingles)
-        ),
-        dtype=np.uint64,
-        count=len(set(shingles)),
-    )
+#: fixed odd mixing coefficients for the rolling shingle hash
+_SHINGLE_COEF = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64
+)
 
 
 class MinHasher:
     """Actor-pool minhash signatures: permutation coefficients drawn once
-    per actor from a fixed seed (deterministic across the fleet)."""
+    per actor from a fixed seed (deterministic across the fleet).
+
+    Shingle hashing is fully vectorized: each DISTINCT token is hashed
+    once per actor (md5-derived, cached), and a word-k-shingle's hash is
+    a fixed-coefficient polynomial over its token IDs computed with one
+    numpy sliding-window multiply-add (uint64 wraparound is deterministic)
+    — no per-shingle digest calls.
+    """
 
     def __init__(self, text_col="text", id_col="doc_id", num_perm=64,
                  shingle_k=3, seed=97):
@@ -81,13 +77,38 @@ class MinHasher:
         self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.shingle_k = num_perm, shingle_k
+        self._tok_ids: dict = {}
+
+    def _token_id(self, tok: str) -> int:
+        v = self._tok_ids.get(tok)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            if len(self._tok_ids) < 4_000_000:  # bound actor memory
+                self._tok_ids[tok] = v
+        return v
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        toks = _TOKEN_RE.findall(text.lower())
+        if not toks:
+            return np.empty(0, dtype=np.uint64)
+        ids = np.fromiter(
+            (self._token_id(t) for t in toks), dtype=np.uint64, count=len(toks)
+        )
+        k = min(self.shingle_k, len(ids))
+        windows = np.lib.stride_tricks.sliding_window_view(ids, k)
+        with np.errstate(over="ignore"):
+            h = (windows * _SHINGLE_COEF[:k][None, :]).sum(
+                axis=1, dtype=np.uint64
+            ) % _MERSENNE
+        return np.unique(h)
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text or "", self.shingle_k)
+        h = self._shingle_hashes(text or "")
         if len(h) == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
         # (perm × shingle) affine hash, min over shingles
-        m = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
+        with np.errstate(over="ignore"):
+            m = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
         return m.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
