@@ -98,3 +98,37 @@ def tree_dedup(
     return tree_aggregate(
         ds, partial_fn or merge, merge, levels=levels, batch_size=batch_size
     )
+
+
+def salt_hot_keys(
+    ds,
+    key: str,
+    hot_keys,
+    salt: int = 16,
+    salted_col: str = "__salted_key",
+):
+    """Skew salting for keyed shuffles (SURVEY §4): rows whose ``key`` is
+    in ``hot_keys`` (from a ``top_surfaces``-style census) get a salted
+    key ``key#<hash(row)%salt>``, everything else ``key#0`` — so a
+    surface in 10 % of all rows spreads over ``salt`` buckets instead of
+    hammering one reducer.
+
+    Use when per-key co-location is semantic (``groupby(salted_col)
+    .map_groups``) AND the per-key op decomposes into per-salt-bucket
+    partials + a tiny cross-bucket merge; pure additive aggregates don't
+    need this (the merge tree pre-combines instead).
+    """
+    import pandas as pd
+
+    hot = frozenset(hot_keys)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        is_hot = b[key].isin(hot)
+        buckets = (
+            pd.util.hash_pandas_object(b.index.to_series(), index=False) % salt
+        ).astype(str)
+        b[salted_col] = b[key].astype(str) + "#" + buckets.where(is_hot.values, "0").values
+        return b
+
+    return ds.map_batches(tag, batch_format="pandas")

@@ -1,0 +1,119 @@
+"""Hash-partitioned actor exchange — the beyond-root-bound aggregate.
+
+``stages/agg.py``'s merge tree is exact and fast while the root block can
+hold one row per distinct key (~10^7-10^8 keys).  Past that, this module
+provides the scale path: B aggregator ACTORS, each owning the key range
+``hash(key) % B == b`` and merging partials incrementally as feeder tasks
+push batches.  Memory per actor = distinct keys / B — scaled by B, not by
+data size.  This is the one place the engine drops below the Dataset API
+(a shared mutable index per bucket cannot be expressed as a batch
+transform).
+
+Correctness under retries: Ray Data may re-run a feeder task after a
+failure, which would double-count its partials.  Every ``add`` therefore
+carries a content fingerprint; each actor keeps the set of fingerprints
+it has merged and drops duplicates — making the exchange idempotent and
+safe under lineage-based task retry (SURVEY §4 "retries").
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, List, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+@ray.remote(num_cpus=0)
+class _BucketAggregator:
+    """Owns one hash bucket; merges partial frames incrementally.
+
+    num_cpus=0: aggregators must never compete with the feeder tasks for
+    scheduling slots (B aggregators on an N-CPU node would otherwise
+    deadlock the feed when B ≥ N); their merge work is incremental and
+    amortized."""
+
+    def __init__(self, merge_fn: Callable[[pd.DataFrame], pd.DataFrame]):
+        self.merge_fn = merge_fn
+        self.state: Optional[pd.DataFrame] = None
+        self.seen: set = set()
+        self.pending: List[pd.DataFrame] = []
+
+    def add(self, fingerprint: str, table: pa.Table) -> bool:
+        if fingerprint in self.seen:
+            return False  # retried feeder task — drop the duplicate
+        self.seen.add(fingerprint)
+        self.pending.append(table.to_pandas())
+        # fold periodically so memory stays ~one merged frame per bucket
+        if len(self.pending) >= 8:
+            self._fold()
+        return True
+
+    def _fold(self) -> None:
+        frames = self.pending
+        if self.state is not None:
+            frames = [self.state] + frames
+        self.pending = []
+        if frames:
+            self.state = self.merge_fn(pd.concat(frames, ignore_index=True))
+
+    def finish(self) -> pa.Table:
+        self._fold()
+        out = self.state if self.state is not None else pd.DataFrame()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hash_exchange_aggregate(
+    ds,
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    keys: Sequence[str],
+    num_buckets: int = 8,
+    batch_size: int = 65536,
+):
+    """Exact grouped aggregation via B aggregator actors.
+
+    partial_fn/merge_fn have the same contract as ``tree_aggregate``;
+    rows route to actors by ``hash(keys) % B``.  Returns a pandas
+    DataFrame (concat of per-bucket results; buckets partition the key
+    space, so no further merge is needed).
+    """
+    keys = list(keys)
+    actors = [_BucketAggregator.remote(merge_fn) for _ in range(num_buckets)]
+
+    def feeder(batch: pd.DataFrame) -> pd.DataFrame:
+        part = partial_fn(batch)
+        if len(part):
+            key_str = part[keys].astype(str).agg("|".join, axis=1)
+            buckets = pd.util.hash_pandas_object(key_str, index=False) % num_buckets
+            # fingerprint from the partial's content → idempotent resend
+            fp_base = hashlib.md5(
+                pa.Table.from_pandas(part, preserve_index=False)
+                .to_pandas()
+                .to_csv(index=False)
+                .encode()
+            ).hexdigest()
+            refs = []
+            for b in range(num_buckets):
+                sub = part[buckets == b]
+                if len(sub):
+                    refs.append(
+                        actors[b].add.remote(
+                            f"{fp_base}:{b}",
+                            pa.Table.from_pandas(sub, preserve_index=False),
+                        )
+                    )
+            ray.get(refs)  # backpressure: feeder waits for acks
+        return pd.DataFrame({"rows": [len(batch)]})
+
+    # drive the feed; count() forces full consumption
+    ds.map_batches(feeder, batch_format="pandas", batch_size=batch_size).count()
+    tables = ray.get([a.finish.remote() for a in actors])
+    frames = [t.to_pandas() for t in tables if t.num_rows]
+    for a in actors:
+        ray.kill(a)
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True).reset_index(drop=True)

@@ -1,0 +1,49 @@
+"""Hash-actor exchange: exactness vs pandas groupby, idempotent resends,
+and empty input.  (Callables are defined inside each test so cloudpickle
+serializes them by value — tests/ isn't importable from Ray workers.)"""
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from nerpii_ray.stages.exchange import _BucketAggregator, hash_exchange_aggregate
+
+
+def _fns():
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("k", sort=False)["v"].sum().reset_index()
+
+    return partial, partial  # merge has the same shape
+
+
+def test_matches_pandas_groupby():
+    partial, merge = _fns()
+    df = pd.DataFrame({"k": [f"key{i % 97}" for i in range(10_000)], "v": range(10_000)})
+    ds = rd.from_pandas(df).repartition(8)
+    got = hash_exchange_aggregate(ds, partial, merge, keys=["k"], num_buckets=4)
+    want = df.groupby("k")["v"].sum().reset_index()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_duplicate_sends_are_dropped():
+    _, merge = _fns()
+    actor = _BucketAggregator.remote(merge)
+    t = pa.table({"k": ["a", "b"], "v": [1, 2]})
+    assert ray.get(actor.add.remote("fp1", t)) is True
+    assert ray.get(actor.add.remote("fp1", t)) is False  # retried task
+    assert ray.get(actor.add.remote("fp2", t)) is True
+    out = ray.get(actor.finish.remote()).to_pandas().sort_values("k")
+    assert list(out["v"]) == [2, 4]  # fp1 counted once, fp2 once
+    ray.kill(actor)
+
+
+def test_empty_input():
+    partial, merge = _fns()
+    ds = rd.from_pandas(
+        pd.DataFrame({"k": pd.Series(dtype=str), "v": pd.Series(dtype="int64")})
+    )
+    out = hash_exchange_aggregate(ds, partial, merge, keys=["k"], num_buckets=2)
+    assert len(out) == 0

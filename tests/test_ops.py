@@ -219,3 +219,20 @@ def test_multimodal(docs):
     frames = frame_sample(blobs)
     assert frames.num_rows == 4  # ceil(200/64)
     assert frames.column("frame_idx").to_pylist() == [0, 1, 2, 3]
+
+
+def test_salt_hot_keys_bounds_bucket_size():
+    from nerpii_ray.stages.agg import salt_hot_keys
+
+    df = pd.DataFrame({"surface": ["acme"] * 900 + ["rare%d" % i for i in range(100)]})
+    ds = rd.from_pandas(df)
+    salted = salt_hot_keys(ds, "surface", hot_keys={"acme"}, salt=8).to_pandas()
+    sizes = salted.groupby("__salted_key").size()
+    # the hot key spreads over ~8 buckets, each far below its raw count
+    acme_buckets = sizes[sizes.index.str.startswith("acme#")]
+    assert len(acme_buckets) > 4
+    assert acme_buckets.max() < 400
+    # cold keys keep a single bucket
+    assert sizes["rare5#0"] == 1
+    # row total preserved
+    assert sizes.sum() == 1000
