@@ -93,10 +93,15 @@ def run_kg(
     if with_assignments:
         assignments = assignments_to_table(assign_entities(with_ids, cfg))
 
+    # batch_size=None: process whole blocks.  Blocks are the recognizer's
+    # per-input-batch outputs (row-sorted, turn-aligned), so a turn's
+    # mentions are never split across calls — required by the per-turn
+    # co-occurrence rules.  (Blocks stay far below target_max_block_size,
+    # so Ray does not re-split them.)
     entity_edges = with_ids.map_batches(
         lambda b: extract_triples(node_rows(b)),
         batch_format="pandas",
-        batch_size=cfg.batch_size,
+        batch_size=None,
     )
     tool_edges = turns_ds.map_batches(
         extract_tool_edges, batch_format="pandas", batch_size=cfg.batch_size

@@ -270,6 +270,22 @@ class CompiledRegistry:
                          STAGE_GAZETTEER)
 
         is_primary = self._mark_primary(rows, entities, starts, scores, stages)
+        # order mentions by (row, start): the scan passes emit per-STAGE
+        # (all pattern hits, then deny, then org, then gazetteer), which
+        # would scatter one turn's mentions across the output — and any
+        # later re-batching could then split a turn between batches,
+        # breaking per-turn co-occurrence rules (works_for / located_in)
+        if rows:
+            order = np.lexsort((starts, rows))
+            take = order.tolist()
+            rows = [rows[i] for i in take]
+            entities = [entities[i] for i in take]
+            surfaces = [surfaces[i] for i in take]
+            starts = [starts[i] for i in take]
+            ends = [ends[i] for i in take]
+            scores = [scores[i] for i in take]
+            stages = [stages[i] for i in take]
+            is_primary = [is_primary[i] for i in take]
         return {
             "row": rows,
             "entity": entities,

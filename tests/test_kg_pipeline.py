@@ -136,3 +136,18 @@ def test_profile_data_sample_deterministic():
     b = profile_table(df, data_sample=10, seed=3)
     assert a == b
     assert a["email"]["entity"] == "EMAIL_ADDRESS"
+
+
+def test_triples_exact_across_batch_boundaries(transcripts):
+    """Regression: mentions were emitted in scan-pass order (not row
+    order), so re-batching could split one turn's mentions across batches
+    and drop works_for/located_in pairs — P/R must be EXACT even with a
+    tiny recognizer batch size that forces many block boundaries."""
+    turns = rd.read_parquet(transcripts)
+    cfg = EngineConfig(recognizer_concurrency=2, recognizer_batch_size=64)
+    res = run_kg(turns, cfg, with_assignments=False)
+    engine = _engine_edge_set(res["edges"].to_pandas())
+    truth = oracle_triples(pq.read_table(transcripts).to_pylist())
+    assert engine == truth, (
+        f"missing={list(truth - engine)[:3]} extra={list(engine - truth)[:3]}"
+    )
