@@ -116,6 +116,49 @@ class MinHasher:
         return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
                              "sig": list(sigs)})
 
+    def banded(self, batch: pd.DataFrame, bands: int) -> pd.DataFrame:
+        """One-pass banded output: per doc, ``bands`` LIGHT rows
+        (band, band_hash, id — no signature payload) plus one signature
+        row (band = -1, sig bytes) for verification at the pairing root.
+        Carrying the 512-byte signature once instead of ``bands`` times
+        cuts the exchange volume ~an order of magnitude."""
+        rows_per_band = self.num_perm // bands
+        ids = batch[self.id_col].to_numpy()
+        out_band: list = []
+        out_hash: list = []
+        out_id: list = []
+        out_sig: list = []
+        for did, text in zip(ids, batch[self.text_col].fillna("")):
+            sig = self.signature(text)
+            for band in range(bands):
+                lo = band * rows_per_band
+                out_band.append(band)
+                out_hash.append(
+                    hashlib.md5(sig[lo : lo + rows_per_band].tobytes()).hexdigest()[:16]
+                )
+                out_id.append(did)
+                out_sig.append(b"")
+            out_band.append(-1)
+            out_hash.append("")
+            out_id.append(did)
+            out_sig.append(sig.tobytes())
+        return pd.DataFrame(
+            {"band": np.array(out_band, dtype=np.int32), "band_hash": out_hash,
+             self.id_col: out_id, "sig": out_sig}
+        )
+
+
+class _BandedMinHasher(MinHasher):
+    """MinHasher variant whose __call__ emits the banded layout directly
+    (see ``MinHasher.banded``) — one actor pass, no ndarray columns."""
+
+    def __init__(self, bands: int = 16, **kwargs):
+        super().__init__(**kwargs)
+        self.bands = bands
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return self.banded(batch, self.bands)
+
 
 def minhash_lsh_pairs(
     ds,
@@ -136,53 +179,42 @@ def minhash_lsh_pairs(
     exploding quadratically (no silent caps).
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
-    rows_per_band = num_perm // bands
-    sigs = ds.map_batches(
-        MinHasher,
+    banded = ds.map_batches(
+        _BandedMinHasher,
         fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm, shingle_k=shingle_k
+            text_col=text_col, id_col=id_col, num_perm=num_perm,
+            shingle_k=shingle_k, bands=bands,
         ),
         batch_format="pandas",
-        concurrency=(1, 2),
+        batch_size=2048,  # bundle oversplit input blocks into real batches
+        concurrency=(1, 8),
     )
-
-    def explode_bands(b: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        ids = b[id_col].to_numpy()
-        for band in range(bands):
-            lo = band * rows_per_band
-            bh = [
-                hashlib.md5(s[lo : lo + rows_per_band].tobytes()).hexdigest()[:16]
-                for s in b["sig"]
-            ]
-            out.append(
-                pd.DataFrame(
-                    {"band": band, "band_hash": bh, id_col: ids, "sig": b["sig"]}
-                )
-            )
-        return pd.concat(out, ignore_index=True)
-
-    banded = sigs.map_batches(explode_bands, batch_format="pandas")
 
     def pair_block(df: pd.DataFrame) -> pd.DataFrame:
         """Pair up multi-member buckets within one block (vectorized
         pandas groupby; the quadratic loop only touches buckets with ≥2
-        members, which near-dup rates keep tiny)."""
+        members, which near-dup rates keep tiny).  Signatures come from
+        the band == -1 rows (one per doc)."""
         empty = pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
              "est_jaccard": pd.Series(dtype="float64")}
         )
         if df.empty:
             return empty
-        sizes = df.groupby(["band", "band_hash"], sort=False)["band"].transform("size")
-        multi = df[sizes > 1]
+        sig_rows = df[df["band"] == -1]
+        sig_of = dict(zip(sig_rows[id_col], sig_rows["sig"]))
+        bd = df[df["band"] >= 0]
+        sizes = bd.groupby(["band", "band_hash"], sort=False)["band"].transform("size")
+        multi = bd[sizes > 1]
         if multi.empty:
             return empty
         ia, ib, est = [], [], []
         for _, g in multi.groupby(["band", "band_hash"], sort=False):
             g = g.sort_values(id_col).head(max_bucket)
-            sig = np.stack(list(g["sig"]))
             ids = g[id_col].to_numpy()
+            sig = np.stack(
+                [np.frombuffer(sig_of[i], dtype=np.uint64) for i in ids]
+            )
             for i in range(len(ids)):
                 agree = (sig[i + 1 :] == sig[i]).mean(axis=1)
                 hit = np.nonzero(agree >= threshold)[0]

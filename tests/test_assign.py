@@ -134,3 +134,26 @@ def test_profile_parity_fixture_fa(fixture_fa):
     # university: None after presidio, ORGANIZATION after the model stage
     assert out["university"]["entity"] == "ORGANIZATION"
     assert out["university"]["confidence_score"] > 0.3
+
+
+def test_italian_branch_parity():
+    """The reference's Italian branches (it_add_address_entity deny list
+    incl. Via/Corso/Piazza/Calle, named_entity_recognizer.py:150-200;
+    carta+credito manual rule, :547-555) work through the same engine
+    config — Italian names/cities are in the gazetteers."""
+    df = pd.DataFrame(
+        {
+            "nome": ["Marco Rossi", "Giulia Bianchi", "Luca Ferrari"],
+            "indirizzo": ["Via Roma 1", "Corso Garibaldi 22", "Piazza Duomo 3"],
+            "citta": ["Milan", "Rome", "Turin"],
+            "carta di credito": ["1111-2222", "3333-4444", "5555-6666"],
+        }
+    )
+    out = profile_table(df, EngineConfig(lang="it"))
+    assert out["nome"] == {"entity": "PERSON", "confidence_score": 1.0}
+    assert out["indirizzo"]["entity"] == "ADDRESS"
+    assert out["citta"] == {"entity": "LOCATION", "confidence_score": 1.0}
+    assert out["carta di credito"] == {
+        "entity": "CREDIT_CARD_NUMBER",
+        "confidence_score": 1.0,
+    }
