@@ -22,8 +22,6 @@ import glob
 import os
 from typing import Optional
 
-import ray.data as rd
-
 from nerpii_ray.config import EngineConfig
 from nerpii_ray.sources.readers import read_transcripts
 from nerpii_ray.sources.writers import partition_done, write_partition

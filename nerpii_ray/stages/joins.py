@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import pandas as pd
-import ray
 
 
 class _BroadcastMerger:

@@ -16,11 +16,8 @@
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pandas as pd
-import ray
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
