@@ -201,7 +201,13 @@ class CompiledRegistry:
 
         Keys: row, entity, surface, start, end, score, stage, is_primary.
         """
-        safe = ["" if t is None else t for t in texts]
+        # the separator must never occur inside a text, or every later
+        # offset→row mapping shifts; NUL bytes are garbage in transcripts
+        # anyway, so replace rather than reject
+        safe = [
+            "" if t is None else (t.replace(_SEP, " ") if _SEP in t else t)
+            for t in texts
+        ]
         joined = _SEP.join(safe)
         lens = np.fromiter((len(t) + 1 for t in safe), dtype=np.int64, count=len(safe))
         row_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))

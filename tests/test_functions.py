@@ -94,3 +94,16 @@ def test_canonical_id_matches_sql_md5():
 def test_stable_hash64_is_stable():
     assert stable_hash64("abc") == stable_hash64("abc")
     assert stable_hash64("abc") != stable_hash64("abd")
+
+
+def test_scan_survives_nul_bytes_in_text():
+    """A NUL byte inside a text must not shift the batch-concatenation
+    offsets (it is the internal row separator)."""
+    from nerpii_ray.state.registry import RecognizerRegistry
+
+    reg = RecognizerRegistry().compile()
+    out = reg.scan(["evil\x00text with john.doe@example.com", "Chicago"])
+    got = {(r, e, s) for r, e, s in zip(out["row"], out["entity"], out["surface"])
+           if e in ("EMAIL_ADDRESS", "LOCATION")}
+    assert (0, "EMAIL_ADDRESS", "john.doe@example.com") in got
+    assert (1, "LOCATION", "Chicago") in got
