@@ -825,44 +825,40 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.001
 
 
+_KG_CACHE: dict = {}
+
+
+def _kg_results(sf: float):
+    """One KG pipeline run shared by the kg_edges / kg_nodes /
+    kg_assignments entries (the driver calls each separately; without the
+    memo every entry re-runs the whole scan)."""
+    if sf not in _KG_CACHE:
+        import ray.data as _rd
+
+        from nerpii_ray.config import EngineConfig
+        from nerpii_ray.pipelines.kg import run_kg
+        from nerpii_ray.testgen import transcripts_for_sf
+
+        tdir = transcripts_for_sf(sf)
+        _KG_CACHE[sf] = run_kg(
+            _rd.read_parquet(tdir), EngineConfig(), with_assignments=True
+        )
+    return _KG_CACHE[sf]
+
+
 @register("kg_edges")
 def kg_edges(sf_dir: str):
-    import ray.data as _rd
-
-    from nerpii_ray.config import EngineConfig
-    from nerpii_ray.pipelines.kg import run_kg
-    from nerpii_ray.testgen import transcripts_for_sf
-
-    tdir = transcripts_for_sf(_sf_of(sf_dir))
-    res = run_kg(_rd.read_parquet(tdir), EngineConfig(), with_assignments=False)
-    return res["edges"]
+    return _kg_results(_sf_of(sf_dir))["edges"]
 
 
 @register("kg_nodes")
 def kg_nodes(sf_dir: str):
-    import ray.data as _rd
-
-    from nerpii_ray.config import EngineConfig
-    from nerpii_ray.pipelines.kg import run_kg
-    from nerpii_ray.testgen import transcripts_for_sf
-
-    tdir = transcripts_for_sf(_sf_of(sf_dir))
-    res = run_kg(_rd.read_parquet(tdir), EngineConfig(), with_assignments=False)
-    return res["nodes"]
+    return _kg_results(_sf_of(sf_dir))["nodes"]
 
 
 @register("kg_assignments")
 def kg_assignments(sf_dir: str):
-    import ray.data as _rd
-
-    from nerpii_ray.config import EngineConfig
-    from nerpii_ray.stages.assign import assign_entities, assignments_to_table
-    from nerpii_ray.stages.recognize import recognize_mentions
-    from nerpii_ray.testgen import transcripts_for_sf
-
-    tdir = transcripts_for_sf(_sf_of(sf_dir))
-    mentions = recognize_mentions(_rd.read_parquet(tdir), config=EngineConfig())
-    return assignments_to_table(assign_entities(mentions, EngineConfig()))
+    return _kg_results(_sf_of(sf_dir))["assignments"]
 
 
 @register(
