@@ -58,9 +58,15 @@ def run_bench() -> dict:
     # levels) so compute, not fixed per-pipeline overhead, dominates
     mult = float(os.environ.get("RAY_GRAFT_SCALE_MULT", "1"))
 
-    # pre-generate + page-warm the transcript input (untimed)
+    # pre-generate + page-warm the transcript input (untimed).
+    # NB: .count() on parquet is metadata-only — warm by actually reading
+    # every byte, or run-to-run cache state dominates the measurement
     tdir = transcripts_for_sf(sf * mult)
-    rd.read_parquet(tdir).count()
+    import pyarrow as _pa
+
+    rd.read_parquet(tdir).map_batches(
+        lambda b: _pa.table({"n": [len(b)]}), batch_format="pyarrow"
+    ).count()
 
     # pool sizing: num_cpus - 4 at every level (leave slots for the read
     # and write stages); measured better than a proportional 7/8 rule at
@@ -125,15 +131,16 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=8 then 32; efficiency =
     (R32/R8)/4 where R = turns/sec."""
+    lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "8"))
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, lo * 4):
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "16"),
-            # long runs amortize startup variance; one rep keeps the
-            # whole two-level protocol inside harness timeouts
-            RAY_GRAFT_REPS=os.environ.get("RAY_GRAFT_REPS", "1"),
+            RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "8"),
+            # best-of-2 at each level: single runs carry 1.5x run-to-run
+            # variance from object-store/page-cache state
+            RAY_GRAFT_REPS=os.environ.get("RAY_GRAFT_REPS", "2"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -143,16 +150,18 @@ def run_scaling() -> dict:
             check=True,
         ).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    r8 = results[8]["turns_per_sec"]
-    r32 = results[32]["turns_per_sec"]
+    r_lo = results[lo]["turns_per_sec"]
+    r_hi = results[lo * 4]["turns_per_sec"]
     return {
         "metric": "scaling_efficiency",
-        "turns_per_sec_8": r8,
-        "turns_per_sec_32": r32,
-        "sec_8": results[8]["value"],
-        "sec_32": results[32]["value"],
-        "scaling_efficiency": round((r32 / r8) / 4, 3),
-        "sf": results[32]["sf"],
+        "num_cpus_lo": lo,
+        "num_cpus_hi": lo * 4,
+        f"turns_per_sec_{lo}": r_lo,
+        f"turns_per_sec_{lo * 4}": r_hi,
+        f"sec_{lo}": results[lo]["value"],
+        f"sec_{lo * 4}": results[lo * 4]["value"],
+        "scaling_efficiency": round((r_hi / r_lo) / 4, 3),
+        "sf": results[lo * 4]["sf"],
     }
 
 

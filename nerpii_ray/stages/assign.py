@@ -47,7 +47,7 @@ def partial_label_counts(batch: pd.DataFrame) -> pd.DataFrame:
     for kind, df in ((KIND_PRESIDIO, presidio), (KIND_MODEL, model), (KIND_ROWS, rows)):
         if len(df):
             g = (
-                df.groupby(["group_key", "entity"], sort=False)["cnt"]
+                df.groupby(["group_key", "entity"], sort=False, observed=True)["cnt"]
                 .sum()
                 .reset_index()
             )

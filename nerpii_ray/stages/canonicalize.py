@@ -75,6 +75,9 @@ def _distinct_nodes_in_batch(batch: pd.DataFrame) -> pd.DataFrame:
         .dropna(subset=["node_id"])  # keep_all inputs carry null-id rows
         .drop_duplicates("node_id")
     )
+    # entity may arrive dictionary-encoded; nodes union with the plain-
+    # string ACTOR/TOOL node table, so normalize the dtype here
+    out = out.assign(entity=out["entity"].astype(str))
     return out.rename(columns={"entity": "entity_type", "norm_surface": "canonical_name"})
 
 

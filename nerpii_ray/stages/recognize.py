@@ -133,6 +133,21 @@ class RecognizerActor:
                 ids.append(hit[1])
             cols["norm_surface"] = pa.array(norms, type=pa.string())
             cols["node_id"] = pa.array(ids, type=pa.string())
+            # bandwidth diet for the materialized intermediate: surface is
+            # redundant with norm_surface and end is unused downstream —
+            # together the two biggest string columns in the KG path
+            del cols["surface"]
+            del cols["end"]
+            # low-cardinality strings dictionary-encode ~10x smaller in
+            # the object store (single node shares DRAM bandwidth; copies
+            # are the scaling ceiling)
+            for c in ("entity", "stage", "group_key", *self.key_cols):
+                if c in cols and c not in ("conv_id", "turn_idx", "doc_id", "row_idx"):
+                    arr = cols[c]
+                    if pa.types.is_string(
+                        arr.type if isinstance(arr, pa.Array) else arr.type
+                    ):
+                        cols[c] = pc.dictionary_encode(arr)
         mentions = pa.table(cols)
 
         if not self.emit_group_counts:
@@ -160,8 +175,15 @@ class RecognizerActor:
         if self.attach_ids:
             ccols["norm_surface"] = pa.array([None] * m, type=pa.string())
             ccols["node_id"] = pa.array([None] * m, type=pa.string())
+            del ccols["surface"]
+            del ccols["end"]
+            for c in ("entity", "stage", "group_key", *self.key_cols):
+                if c in ccols and c not in ("conv_id", "turn_idx", "doc_id", "row_idx"):
+                    arr = ccols[c]
+                    if pa.types.is_string(arr.type):
+                        ccols[c] = pc.dictionary_encode(arr)
         counts = pa.table(ccols)
-        return pa.concat_tables([mentions, counts])
+        return pa.concat_tables([mentions, counts], promote_options="default")
 
 
 def recognize_mentions(

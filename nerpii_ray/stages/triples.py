@@ -63,7 +63,9 @@ def extract_triples(batch: pd.DataFrame) -> pd.DataFrame:
             "subj_type": "ACTOR",
             "pred": "mentions",
             "obj_id": b["node_id"],
-            "obj_type": b["entity"],
+            # cast: entity may arrive dictionary-encoded (categorical) and
+            # must union/write as plain strings
+            "obj_type": b["entity"].astype(str),
             "conv_id": b["conv_id"],
             "turn_idx": b["turn_idx"],
             "score": b["score"],
@@ -91,8 +93,10 @@ def extract_triples(batch: pd.DataFrame) -> pd.DataFrame:
 
     # co-occurrence rules: first PERSON × first ORGANIZATION / LOCATION
     firsts = (
-        b.sort_values(["conv_id", "turn_idx", "start", "surface"])
-        .groupby(["conv_id", "turn_idx", "entity"], sort=False)
+        b.sort_values(["conv_id", "turn_idx", "start"], kind="stable")
+        # observed=True: dictionary-encoded (categorical) entity columns
+        # must not produce phantom all-category groups with NaN node ids
+        .groupby(["conv_id", "turn_idx", "entity"], sort=False, observed=True)
         .first()
         .reset_index()
     )
