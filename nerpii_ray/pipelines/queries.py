@@ -69,9 +69,9 @@ def _round_half_away(x: float, digits: int = 4) -> float:
     """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS sum_disc_u,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_u,
            COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
@@ -139,7 +139,7 @@ def top_orders(sf_dir: str):
     """
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS n_orders,
-           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -279,7 +279,7 @@ def distinct_segments(sf_dir: str):
     SELECT user_id,
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
            COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY user_id, hour_epoch
     """,
 )
@@ -907,7 +907,7 @@ def transcript_redact(sf_dir: str):
     "events_props_extract",
     """
     SELECT event_type,
-           SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,

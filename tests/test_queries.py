@@ -53,8 +53,19 @@ def _to_df(result) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, con):
-    got = _canon(_to_df(QUERIES[name](SF)))
-    want = _canon(con.execute(ORACLE_SQL[name]).df())
+    got_raw = _to_df(QUERIES[name](SF))
+    want_raw = con.execute(ORACLE_SQL[name]).df()
+    # Driver hashes values WITHOUT dtype coercion: a DuckDB HUGEINT (from a
+    # bare SUM(BIGINT)) lands as float64/object and hash-mismatches an int64
+    # engine column even when values agree. Catch that class here.
+    for c in set(got_raw.columns) & set(want_raw.columns):
+        gk, wk = got_raw[c].dtype.kind, want_raw[c].dtype.kind
+        assert (gk == wk) or {gk, wk} <= {"i", "u"}, (
+            f"{name}.{c}: engine dtype kind {gk!r} != oracle {wk!r} "
+            "(driver hash would mismatch; CAST the SQL aggregate)"
+        )
+    got = _canon(got_raw)
+    want = _canon(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
