@@ -170,12 +170,45 @@ class Synthesizer:
         df = df.copy()
         gender = df["first_name_gender"] if "first_name_gender" in df.columns else None
 
+        # Marked-cell re-synthesis (faker_generator.py:138-145): the
+        # reference draws a FRESH faker value per marked cell.  Our
+        # providers key off the original cell value — which for a marked
+        # cell is always the literal mark, so every marked cell in a
+        # column would collapse to one pseudonym.  Substitute a surrogate
+        # key derived from the row's full content + column name before
+        # key derivation: distinct rows get distinct pseudonyms, and the
+        # key is a pure function of row content, so re-runs/retries (and
+        # any re-batching) reproduce identical output.
+        marked_masks: Dict[str, pd.Series] = {}
+        if self.mark == "*":
+            synth_cols = [
+                c
+                for c in dict.fromkeys(
+                    plan.first_name_cols
+                    + plan.last_name_cols
+                    + list(plan.provider_by_column)
+                )
+                if c in df.columns
+            ]
+            row_ids = pd.util.hash_pandas_object(df.astype(str), index=False).astype(str)
+            row_ids.index = df.index
+            for col in synth_cols:
+                m = df[col] == self.mark
+                if m.any():
+                    marked_masks[col] = m
+                    # \x1f separator, NOT \x00: pandas' string hashtable
+                    # treats values as NUL-terminated C strings, so a \x00
+                    # separator would collapse every surrogate into one
+                    df[col] = df[col].mask(m, self.mark + "\x1f" + col + "\x1f" + row_ids)
+
         def replace(col: str, generated: pd.Series) -> None:
             orig = df[col]
             if self.mark == "*":
-                # targeted re-synthesis: only marked cells change
-                # (faker_generator.py:138-145)
-                df[col] = orig.mask(orig == self.mark, generated)
+                # targeted re-synthesis: only cells that arrived marked
+                # change (mask recorded before surrogate substitution)
+                m = marked_masks.get(col)
+                if m is not None:
+                    df[col] = orig.mask(m, generated)
             else:
                 df[col] = generated.where(orig.notna(), None)
 

@@ -101,14 +101,17 @@ class MinHasher:
             ) % _MERSENNE
         return np.unique(h)
 
-    def signature(self, text: str) -> np.ndarray:
-        h = self._shingle_hashes(text or "")
-        if len(h) == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+    def _sig_from_hashes(self, h: np.ndarray) -> np.ndarray:
         # (perm × shingle) affine hash, min over shingles
         with np.errstate(over="ignore"):
             m = (np.outer(self.a, h) + self.b[:, None]) % _MERSENNE
         return m.min(axis=1)
+
+    def signature(self, text: str) -> np.ndarray:
+        h = self._shingle_hashes(text or "")
+        if len(h) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        return self._sig_from_hashes(h)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack([self.signature(t) for t in batch[self.text_col].fillna("")])
@@ -128,7 +131,13 @@ class MinHasher:
         out_id: list = []
         out_sig: list = []
         for did, text in zip(ids, batch[self.text_col].fillna("")):
-            sig = self.signature(text)
+            h = self._shingle_hashes(text or "")
+            if len(h) == 0:
+                # empty doc: the all-sentinel signature would bucket every
+                # empty doc together and pair them at est_jaccard 1.0 —
+                # an empty doc has no content to be a near-dup of; skip it
+                continue
+            sig = self._sig_from_hashes(h)
             for band in range(bands):
                 lo = band * rows_per_band
                 out_band.append(band)
@@ -284,16 +293,19 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs for unbucketed discovery.
     """
 
+    def shingles(x) -> frozenset:
+        toks = _TOKEN_RE.findall(str(x).lower())
+        if not toks:
+            # empty/whitespace-only doc → empty set, NOT {''}: two empty
+            # docs must not read as jaccard-1.0 duplicates
+            return frozenset()
+        return frozenset(
+            " ".join(toks[i : i + n]) for i in range(max(1, len(toks) - n + 1))
+        )
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).head(max_bucket)
-        sets = [
-            frozenset(
-                " ".join(t[i : i + n])
-                for t in [_TOKEN_RE.findall(str(x).lower())]
-                for i in range(max(1, len(t) - n + 1))
-            )
-            for x in g[text_col].fillna("")
-        ]
+        sets = [shingles(x) for x in g[text_col].fillna("")]
         ids = g[id_col].to_numpy()
         ia, ib, js = [], [], []
         for i in range(len(ids)):

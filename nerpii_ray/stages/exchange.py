@@ -11,19 +11,53 @@ transform).
 
 Correctness under retries: Ray Data may re-run a feeder task after a
 failure, which would double-count its partials.  Every ``add`` therefore
-carries a content fingerprint; each actor keeps the set of fingerprints
-it has merged and drops duplicates — making the exchange idempotent and
-safe under lineage-based task retry (SURVEY §4 "retries").
+carries a fingerprint derived from the feeder TASK's identity plus the
+batch's ordinal within that task (NOT from the partial's content — two
+different batches can legitimately produce byte-identical partials, e.g.
+constant-key data); each actor keeps the set of fingerprints it has
+merged and drops duplicates — making the exchange idempotent and safe
+under lineage-based task retry (SURVEY §4 "retries").
 """
 
 from __future__ import annotations
 
-import hashlib
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import pandas as pd
 import pyarrow as pa
 import ray
+
+# Per-worker ordinal state for feeder fingerprints: task_id -> [attempt, n].
+# A fingerprint must be (a) identical when Ray re-executes the SAME task
+# (lineage retry replays the same block, hence the same batch sequence, so
+# task_id + ordinal reproduces), and (b) distinct for DIFFERENT batches even
+# when their partial CONTENT is identical (constant-key data makes every
+# batch emit the same (key, sum) row — a content-only fingerprint would
+# silently drop all but the first).  Ordinals reset when the attempt number
+# changes so a re-execution on a surviving worker replays 0,1,2,… again.
+_FEED_ORDINALS: Dict[str, List[int]] = {}
+
+
+def _batch_fingerprint() -> str:
+    ctx = ray.get_runtime_context()
+    try:
+        tid = ctx.get_task_id() or "driver"
+    except Exception:
+        tid = "driver"
+    get_attempt = getattr(ctx, "get_attempt_number", None)
+    try:
+        attempt = get_attempt() if get_attempt else 0
+    except Exception:
+        attempt = 0
+    slot = _FEED_ORDINALS.get(tid)
+    if slot is None or slot[0] != attempt:
+        slot = [attempt, 0]
+        _FEED_ORDINALS[tid] = slot
+    n = slot[1]
+    slot[1] = n + 1
+    # attempt is deliberately NOT part of the fingerprint: a retried
+    # attempt must COLLIDE with the original so the aggregator drops it.
+    return f"{tid}:{n}"
 
 
 @ray.remote(num_cpus=0)
@@ -88,13 +122,10 @@ def hash_exchange_aggregate(
         if len(part):
             key_str = part[keys].astype(str).agg("|".join, axis=1)
             buckets = pd.util.hash_pandas_object(key_str, index=False) % num_buckets
-            # fingerprint from the partial's content → idempotent resend
-            fp_base = hashlib.md5(
-                pa.Table.from_pandas(part, preserve_index=False)
-                .to_pandas()
-                .to_csv(index=False)
-                .encode()
-            ).hexdigest()
+            # fingerprint from task identity + batch ordinal → a retried
+            # task resends under the SAME fingerprint (dropped), while
+            # distinct batches with identical partial content stay distinct
+            fp_base = _batch_fingerprint()
             refs = []
             for b in range(num_buckets):
                 sub = part[buckets == b]

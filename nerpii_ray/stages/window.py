@@ -15,6 +15,14 @@ import numpy as np
 import pandas as pd
 
 
+def _ts_us(ts: pd.Series) -> pd.Series:
+    """Timestamps as int64 MICROSECONDS, independent of the ambient
+    resolution.  A bare ``.astype('int64')`` yields whatever unit the
+    column happens to carry (ns-backed datetimes would make every window
+    1000× too wide); normalizing through datetime64[us] pins the unit."""
+    return ts.astype("datetime64[us]").astype("int64")
+
+
 def hourly_agg(events_ds, value_col: str = "value", user_col: str = "user_id"):
     """Tumbling 1-hour window per user: event count + value cents sum.
 
@@ -25,7 +33,7 @@ def hourly_agg(events_ds, value_col: str = "value", user_col: str = "user_id"):
     from nerpii_ray.stages.agg import grouped_sum
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        hour = (b["ts"].astype("int64") // 3_600_000_000) * 3600
+        hour = (_ts_us(b["ts"]) // 3_600_000_000) * 3600
         cents = np.round(b[value_col].to_numpy() * 100).astype(np.int64)
         df = pd.DataFrame(
             {user_col: b[user_col], "hour_epoch": hour, "n_events": 1, "value_cents": cents}
@@ -80,7 +88,7 @@ def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
         return out[[user_col, "s_start", "s_end", "n_events"]]
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        ts = b["ts"].astype("int64")
+        ts = _ts_us(b["ts"])
         df = pd.DataFrame(
             {user_col: b[user_col], "s_start": ts, "s_end": ts, "n_events": 1}
         )

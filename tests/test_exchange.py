@@ -40,6 +40,20 @@ def test_duplicate_sends_are_dropped():
     ray.kill(actor)
 
 
+def test_identical_partials_from_distinct_batches_all_count():
+    # Constant-key input: every feeder batch emits the identical partial
+    # row ("k", <same sum>).  A content-derived fingerprint would collapse
+    # them into one and undercount; task-identity fingerprints must not.
+    partial, merge = _fns()
+    df = pd.DataFrame({"k": ["k"] * 4096, "v": [1] * 4096})
+    ds = rd.from_pandas(df).repartition(8)
+    got = hash_exchange_aggregate(
+        ds, partial, merge, keys=["k"], num_buckets=2, batch_size=256
+    )
+    assert len(got) == 1
+    assert int(got["v"].iloc[0]) == 4096
+
+
 def test_empty_input():
     partial, merge = _fns()
     ds = rd.from_pandas(

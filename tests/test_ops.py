@@ -73,6 +73,31 @@ def test_minhash_lsh_finds_injected_near_dups(docs_df):
         assert (did - 1000, did) in found, f"missed near-dup pair for {did}"
 
 
+def test_empty_docs_never_pair_as_duplicates(docs_df):
+    """Empty/whitespace-only docs must not read as jaccard-1.0 duplicates
+    of each other — in LSH (all-sentinel signatures) or n-gram Jaccard
+    ('' shingle from an empty token list)."""
+    base = docs_df.head(10).copy()
+    empties = pd.DataFrame(
+        {
+            "doc_id": [9001, 9002, 9003],
+            "text": ["", "   ", None],
+            "source": [base["source"].iloc[0]] * 3,
+        }
+    )
+    both = pd.concat([base[["doc_id", "text", "source"]], empties], ignore_index=True)
+    ds = rd.from_pandas(both)
+    def paired_ids(df: pd.DataFrame) -> set:
+        if df.empty or "id_a" not in df.columns:
+            return set()
+        return set(df["id_a"]) | set(df["id_b"])
+
+    lsh = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert paired_ids(lsh).isdisjoint({9001, 9002, 9003})
+    ng = ngram_jaccard_pairs(ds, bucket_col="source", threshold=0.5).to_pandas()
+    assert paired_ids(ng).isdisjoint({9001, 9002, 9003})
+
+
 def test_simhash_deterministic_and_near(docs_df):
     b = docs_df.head(10)
     out1 = add_simhash(b)
@@ -155,6 +180,22 @@ def test_windows():
     sess = sessionize(events, gap_sec=1800).to_pandas()
     assert sess["n_events"].sum() == len(edf)
     assert (sess["n_sessions"] >= 1).all()
+
+
+def test_windows_resolution_independent():
+    """ns-backed timestamps must produce the same windows as us-backed —
+    the window math normalizes units instead of trusting the ambient
+    resolution (a bare int64 view of ns would be off by 1000x)."""
+    events = rd.read_parquet(f"{SF}/events.parquet")
+    edf_us = events.to_pandas()
+    edf_ns = edf_us.assign(ts=edf_us["ts"].astype("datetime64[ns]"))
+    key = ["user_id", "hour_epoch"]
+    h_us = hourly_agg(rd.from_pandas(edf_us)).to_pandas().sort_values(key).reset_index(drop=True)
+    h_ns = hourly_agg(rd.from_pandas(edf_ns)).to_pandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(h_us, h_ns)
+    s_us = sessionize(rd.from_pandas(edf_us)).to_pandas().sort_values("user_id").reset_index(drop=True)
+    s_ns = sessionize(rd.from_pandas(edf_ns)).to_pandas().sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s_us, s_ns)
 
 
 def test_broadcast_join():

@@ -140,6 +140,23 @@ def test_generation_mark_semantics(assignments_fb):
     assert out.loc[1, "city"] == "Chicago"  # unmarked cells untouched
 
 
+def test_generation_mark_varied_per_cell(assignments_fb):
+    """Marked cells in distinct rows must get DISTINCT pseudonyms — the
+    reference draws a fresh Faker value per marked cell
+    (faker_generator.py mark branches); keying off the literal '*' would
+    collapse them all to one value."""
+    assignments, df = assignments_fb
+    df2 = df.copy()
+    df2["city"] = "*"  # every row marked
+    cfg = EngineConfig(generation_mark="*")
+    out = synthesize_table(df2, assignments, cfg)
+    assert (out["city"] != "*").all()
+    assert out["city"].nunique() > 1, "marked cells collapsed to one pseudonym"
+    # still deterministic: same input → same output
+    out2 = synthesize_table(df2, assignments, cfg)
+    pd.testing.assert_series_equal(out["city"], out2["city"])
+
+
 def test_synthesize_dataset_matches_table(assignments_fb):
     """Dataset path and driver path agree batch-for-batch."""
     assignments, df = assignments_fb
