@@ -119,19 +119,31 @@ def lineitem_pricing_summary(sf_dir: str):
     """,
 )
 def top_orders(sf_dir: str):
-    """Sort + limit (top-k), deterministic tie-break by key."""
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    """Top-k with deterministic tie-break by key, via the top-k merge
+    tree: each batch keeps its local top 10, the tree merges local
+    winners — O(k·batches) rows move instead of the all-data sort
+    shuffle a global ``Dataset.sort`` would pay."""
+    from nerpii_ray.stages.agg import tree_aggregate
 
-    def cents(b: pa.Table) -> pa.Table:
-        return pa.table(
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(10)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = topk(df)
+        return pd.DataFrame(
             {
-                "o_orderkey": b["o_orderkey"],
-                "total_cents": pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()),
+                "o_orderkey": df["o_orderkey"].to_numpy(),
+                "total_cents": np.round(
+                    df["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
             }
         )
 
-    return top.map_batches(cents, batch_format="pyarrow")
+    return tree_aggregate(ds, topk, topk, final_fn=finalize)
 
 
 @register(
@@ -672,11 +684,11 @@ def doc_fingerprints(sf_dir: str):
 
 @register("doc_langid")  # heuristic — rows-only check; semantics in test_ops
 def doc_langid(sf_dir: str):
-    from nerpii_ray.stages.textstats import LangId
+    from nerpii_ray.stages.textstats import LangId, langid_concurrency
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 2)
+        LangId, batch_format="pandas", concurrency=langid_concurrency()
     ).select_columns(["doc_id", "pred_lang"])
 
 
@@ -1047,25 +1059,37 @@ def lineitem_shipdate_repartitioned(sf_dir: str):
     """,
 )
 def customers_without_orders(sf_dir: str):
-    """Anti join via broadcast key set (guide pattern: ship the key set —
-    or a Bloom filter of it at larger scale — and filter in map_batches;
-    no shuffle)."""
-    keys = set(
-        pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])[
-            "o_custkey"
-        ].unique()
+    """Distributed anti join: the fact side's distinct keys reduce
+    through the tree (per-batch distinct combiner — the shuffle carries
+    one row per distinct key per batch, never the fact table), the
+    reduced key set broadcasts into the filter tasks, and the result
+    stays a streaming Dataset.  At a key cardinality past driver memory,
+    swap the exact set for a Bloom filter + keyed-exchange verification
+    of the 'maybe' rows."""
+    from nerpii_ray.stages.agg import tree_dedup
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates("o_custkey")
+
+    key_arr = pa.array(
+        tree_dedup(orders, keys=["o_custkey"], partial_fn=local_distinct)
+        .to_pandas()["o_custkey"].to_numpy()
     )
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    out = ds.map_batches(
-        lambda b, ks=keys: b[~b["c_custkey"].isin(ks)],
-        batch_format="pandas",
-    ).to_pandas()
-    if out.empty:
-        # an empty Dataset loses its schema; the driver compares columns
-        out = pd.DataFrame(
-            {"c_custkey": pd.Series(dtype="int64"), "c_name": pd.Series(dtype=str)}
-        )
-    return out
+
+    def anti(t: pa.Table, ks=key_arr) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=ks)))
+
+    out = ds.map_batches(anti, batch_format="pyarrow")
+    # anti-join output is result-sized; collect it, repairing the schema
+    # Ray drops when every block is empty (Dataset.to_pandas() returns a
+    # column-less frame even though out.schema() is intact)
+    df = out.to_pandas()
+    if df.empty:
+        df = out.schema().base_schema.empty_table().to_pandas()
+    return df
 
 
 @register(

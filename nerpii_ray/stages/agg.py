@@ -13,16 +13,22 @@ right physical plan is a merge TREE, not a global sort:
   level k: repartition(k) → merge_fn per whole block
   level 1: repartition(1) → merge_fn → exact result in one block
 
-Scale bound (stated, not silent): the final single-block merge holds one
-row per distinct key — fine into the 10^7-10^8-key range with Arrow
-blocks.  Beyond that, pass ``levels=(256, 16)`` to stop above the root:
-output blocks may then share keys across blocks, and the caller finishes
-with a keyed shuffle (``groupby``) over data already reduced by orders of
-magnitude — or routes by key upstream (bucket column + map_groups), as
-the windowing/join operators do when per-key co-location is semantic.
+Unbounded key spaces (CARDINALITY-AWARE root): pass ``keys=[...]`` and
+the tree becomes self-defending — it runs the pre-root levels, checks
+the combiner output's row count, and finishes either at the usual
+single-block root (small key space: exact, one block) or, past
+``root_threshold`` rows, with the hash-partitioned actor exchange
+(``stages/exchange.py``): B aggregator actors each own the key range
+``hash(keys) % B``, so per-actor memory is distinct-keys/B and the
+result is a Dataset of key-disjoint blocks that never coalesces into one
+node.  ``exact_dedup`` and ``build_nodes`` use this — their key count is
+one per distinct document/entity, which at the 100-TB design point far
+exceeds any single block.
 
 ``final_fn`` (optional) runs once on the root block — for top-k cuts,
-rank assignment, renames.
+rank assignment, renames.  It requires the single-root finish and is
+rejected together with ``keys`` (a beyond-root result has no single
+block to finalize on).
 """
 
 from __future__ import annotations
@@ -30,6 +36,12 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence, Tuple
 
 import pandas as pd
+
+#: combiner-output row count beyond which the tree finishes with the
+#: keyed actor exchange instead of a single root block.  Conservative:
+#: the root would hold AT MOST this many rows (pre-root merge output
+#: only shrinks at the root).
+ROOT_THRESHOLD_DEFAULT = 2_000_000
 
 
 def tree_aggregate(
@@ -39,18 +51,55 @@ def tree_aggregate(
     levels: Tuple[int, ...] = (16, 1),
     batch_size: int = 65536,
     final_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+    keys: Optional[Sequence[str]] = None,
+    root_threshold: int = ROOT_THRESHOLD_DEFAULT,
 ):
     """Generic combiner → merge-tree aggregate.  All callables are
     pandas-in/pandas-out; merge_fn must be idempotent on merged input
-    (sum of sums, min of mins, distinct of distinct...)."""
+    (sum of sums, min of mins, distinct of distinct...).
+
+    With ``keys`` set, the root is cardinality-aware (see module
+    docstring): small key spaces finish at one exact root block; large
+    ones spill to the keyed actor exchange and return key-partitioned
+    blocks.  Both paths produce the same rows.
+    """
+    if keys is not None and final_fn is not None:
+        raise ValueError("final_fn requires a single-root finish; drop keys")
     out = ds.map_batches(partial_fn, batch_format="pandas", batch_size=batch_size)
-    for n in levels:
+    if keys is None:
+        for n in levels:
+            out = out.repartition(n).map_batches(
+                merge_fn, batch_format="pandas", batch_size=None
+            )
+        if final_fn is not None:
+            out = out.map_batches(final_fn, batch_format="pandas", batch_size=None)
+        return out
+
+    # cardinality-aware: pre-root levels, then measure, then decide
+    for n in levels[:-1]:
         out = out.repartition(n).map_batches(
             merge_fn, batch_format="pandas", batch_size=None
         )
-    if final_fn is not None:
-        out = out.map_batches(final_fn, batch_format="pandas", batch_size=None)
-    return out
+    out = out.materialize()  # combiner output — already reduced; also
+    # prevents re-execution of the upstream by whichever finish runs
+    if out.count() <= root_threshold:
+        return out.repartition(1).map_batches(
+            merge_fn, batch_format="pandas", batch_size=None
+        )
+    import ray
+
+    from nerpii_ray.stages.exchange import hash_exchange_aggregate
+
+    num_buckets = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return hash_exchange_aggregate(
+        out,
+        partial_fn=merge_fn,
+        merge_fn=merge_fn,
+        keys=list(keys),
+        num_buckets=num_buckets,
+        batch_size=batch_size,
+        as_dataset=True,
+    )
 
 
 def grouped_sum(
@@ -60,9 +109,11 @@ def grouped_sum(
     partial_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
     levels: Tuple[int, ...] = (16, 1),
     batch_size: int = 65536,
+    root_threshold: int = ROOT_THRESHOLD_DEFAULT,
 ):
-    """SUM-by-key via the tree.  ``partial_fn`` defaults to the grouped
-    sum itself (input rows already carry the key + value columns)."""
+    """SUM-by-key via the cardinality-aware tree.  ``partial_fn``
+    defaults to the grouped sum itself (input rows already carry the
+    key + value columns)."""
     keys, sum_cols = list(keys), list(sum_cols)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -72,7 +123,8 @@ def grouped_sum(
         return df.groupby(keys, sort=False)[sum_cols].sum().reset_index()
 
     return tree_aggregate(
-        ds, partial_fn or merge, merge, levels=levels, batch_size=batch_size
+        ds, partial_fn or merge, merge, levels=levels, batch_size=batch_size,
+        keys=keys, root_threshold=root_threshold,
     )
 
 
@@ -83,9 +135,11 @@ def tree_dedup(
     keep_min: Optional[str] = None,
     levels: Tuple[int, ...] = (16, 1),
     batch_size: int = 65536,
+    root_threshold: int = ROOT_THRESHOLD_DEFAULT,
 ):
-    """DISTINCT-by-key via the tree (optionally keeping the row with the
-    smallest ``keep_min`` value per key — exact dedup's min-id policy)."""
+    """DISTINCT-by-key via the cardinality-aware tree (optionally keeping
+    the row with the smallest ``keep_min`` value per key — exact dedup's
+    min-id policy)."""
     keys = list(keys)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -96,7 +150,8 @@ def tree_dedup(
         return df.drop_duplicates(keys)
 
     return tree_aggregate(
-        ds, partial_fn or merge, merge, levels=levels, batch_size=batch_size
+        ds, partial_fn or merge, merge, levels=levels, batch_size=batch_size,
+        keys=keys, root_threshold=root_threshold,
     )
 
 

@@ -29,12 +29,17 @@ _TOKEN_RE = re.compile(r"\w+")
 
 
 # ---------------------------------------------------------------- exact
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", **tree_kwargs):
     """Exact dedup: keep the row with the smallest id per distinct
     normalized content.  Returns (id, fp) pairs of the KEPT rows.
 
     Hash-partition + per-group first (SURVEY §2.7): the shuffle key is a
-    16-byte digest, never the document text.
+    16-byte digest, never the document text.  The finish is cardinality-
+    aware (stages/agg.py): past the root threshold the distinct
+    fingerprints stay partitioned across exchange actors instead of
+    coalescing into one block — at the 100-TB design point that root
+    would hold one row per distinct document.  ``tree_kwargs`` pass
+    through to ``tree_dedup`` (e.g. ``root_threshold``).
     """
 
     from nerpii_ray.stages.agg import tree_dedup
@@ -47,7 +52,9 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         # local combiner: one candidate per fingerprint per batch
         return out.sort_values(id_col).drop_duplicates("fp")
 
-    return tree_dedup(ds, keys=["fp"], partial_fn=fp_batch, keep_min=id_col)
+    return tree_dedup(
+        ds, keys=["fp"], partial_fn=fp_batch, keep_min=id_col, **tree_kwargs
+    )
 
 
 # ------------------------------------------------------------- minhash
@@ -178,15 +185,29 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 64,
 ):
-    """Near-duplicate candidate pairs via MinHash+LSH.
+    """Near-duplicate pairs via MinHash+LSH, in two key-partitioned
+    phases (no single-node coalesce anywhere):
 
-    signatures (actor pool) → explode to (band, band_hash, id, sig) →
-    groupby(band, band_hash) → pairs within bucket → estimated Jaccard
-    (signature agreement) ≥ threshold.  Buckets larger than
-    ``max_bucket`` are truncated with a logged marker row rather than
-    exploding quadratically (no silent caps).
+    1. CANDIDATES — the light (band, band_hash, id) rows go through the
+       hash-actor exchange keyed on (band, band_hash); each actor owns a
+       key range and emits all within-bucket pairs at finish.  Buckets
+       larger than ``max_bucket`` are truncated (smallest ids kept) to
+       bound the quadratic blowup.
+    2. VERIFY — estimated Jaccard = minhash-signature agreement, fetched
+       only for candidate docs (candidate volume ≈ output volume); the
+       512-byte signatures never ride the band shuffle and the text is
+       never read twice.
+
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
+    import ray
+    import ray.data as rd
+
+    from nerpii_ray.stages.exchange import hash_exchange_aggregate
+
+    # ONE pass over text: banded layout (bands light rows + one signature
+    # row per doc — metadata only, never text), pinned so the candidate
+    # phase and the verify phase don't re-run the minhash scan
     banded = ds.map_batches(
         _BandedMinHasher,
         fn_constructor_kwargs=dict(
@@ -196,58 +217,78 @@ def minhash_lsh_pairs(
         batch_format="pandas",
         batch_size=2048,  # bundle oversplit input blocks into real batches
         concurrency=(1, 8),
+    ).materialize()
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "est_jaccard": pd.Series(dtype="float64")}
     )
 
-    def pair_block(df: pd.DataFrame) -> pd.DataFrame:
-        """Pair up multi-member buckets within one block (vectorized
-        pandas groupby; the quadratic loop only touches buckets with ≥2
-        members, which near-dup rates keep tiny).  Signatures come from
-        the band == -1 rows (one per doc)."""
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "est_jaccard": pd.Series(dtype="float64")}
+    # Phase 1 — CANDIDATES: key-partitioned exchange on (band, band_hash).
+    # Every bucket's members meet on exactly one aggregator actor (per-
+    # actor memory = its share of the docs × bands key table, scaled by
+    # the actor count), and pairing runs once per actor at finish.  Only
+    # the ~40-byte light rows move — signatures stay out of this shuffle.
+    def light_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["band"] >= 0, ["band", "band_hash", id_col]]
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
         )
         if df.empty:
-            return empty
-        sig_rows = df[df["band"] == -1]
-        sig_of = dict(zip(sig_rows[id_col], sig_rows["sig"]))
-        bd = df[df["band"] >= 0]
-        sizes = bd.groupby(["band", "band_hash"], sort=False)["band"].transform("size")
-        multi = bd[sizes > 1]
+            return out
+        sizes = df.groupby(["band", "band_hash"], sort=False)["band"].transform("size")
+        multi = df[sizes > 1]
         if multi.empty:
-            return empty
-        ia, ib, est = [], [], []
+            return out
+        ia: list = []
+        ib: list = []
         for _, g in multi.groupby(["band", "band_hash"], sort=False):
-            g = g.sort_values(id_col).head(max_bucket)
-            ids = g[id_col].to_numpy()
-            sig = np.stack(
-                [np.frombuffer(sig_of[i], dtype=np.uint64) for i in ids]
-            )
-            for i in range(len(ids)):
-                agree = (sig[i + 1 :] == sig[i]).mean(axis=1)
-                hit = np.nonzero(agree >= threshold)[0]
-                for j in hit:
-                    ia.append(int(ids[i]))
-                    ib.append(int(ids[i + 1 + j]))
-                    est.append(float(agree[j]))
+            ids = np.sort(g[id_col].to_numpy())[:max_bucket]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            ia.append(ids[iu])
+            ib.append(ids[ju])
         return pd.DataFrame(
-            {"id_a": pd.array(ia, dtype="int64"), "id_b": pd.array(ib, dtype="int64"),
-             "est_jaccard": pd.array(est, dtype="float64")}
-        )
+            {"id_a": np.concatenate(ia).astype("int64"),
+             "id_b": np.concatenate(ib).astype("int64")}
+        ).drop_duplicates()
 
-    # A bucket's members must meet in one place.  The banded table is
-    # docs × bands rows (metadata + signature only, never text), so the
-    # cheapest exact exchange is a single-root coalesce — the root task
-    # holds docs × bands key rows, fine to ~10^8; past that, switch the
-    # repartition(1) for a keyed shuffle on (band, band_hash).
-    pairs = banded.repartition(1).map_batches(
-        pair_block, batch_format="pandas", batch_size=None
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    cand = hash_exchange_aggregate(
+        banded.map_batches(light_rows, batch_format="pandas"),
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=["band", "band_hash"],
+        num_buckets=max(8, ncpu),
+        finish_fn=cand_pairs,
     )
+    if cand.empty:
+        return rd.from_pandas(empty)
+    # the same pair can surface from several bands/actors → dedup (the
+    # candidate table is near-dup-rate-sized, i.e. output-sized)
+    cand = cand.drop_duplicates().reset_index(drop=True)
 
-    # the same pair can surface from several bands → dedup (tiny)
-    from nerpii_ray.stages.agg import tree_dedup
-
-    return tree_dedup(pairs, keys=["id_a", "id_b"], levels=(1,))
+    # Phase 2 — VERIFY: estimated Jaccard = signature agreement, using
+    # only the signatures of candidate docs (broadcast id set → filter →
+    # collect; candidate volume is output-sized, so this stays small even
+    # when the corpus doesn't).  No second pass over text.
+    need = frozenset(cand["id_a"]) | frozenset(cand["id_b"])
+    sig_rows = banded.map_batches(
+        lambda b: b.loc[(b["band"] == -1) & b[id_col].isin(need), [id_col, "sig"]],
+        batch_format="pandas",
+    ).to_pandas()
+    sig_of = dict(zip(sig_rows[id_col], sig_rows["sig"]))
+    sig_a = np.stack([np.frombuffer(sig_of[i], dtype=np.uint64) for i in cand["id_a"]])
+    sig_b = np.stack([np.frombuffer(sig_of[i], dtype=np.uint64) for i in cand["id_b"]])
+    est = (sig_a == sig_b).mean(axis=1)
+    keep = est >= threshold
+    out = pd.DataFrame(
+        {"id_a": cand.loc[keep, "id_a"].to_numpy(),
+         "id_b": cand.loc[keep, "id_b"].to_numpy(),
+         "est_jaccard": est[keep].astype("float64")}
+    )
+    return rd.from_pandas(out if len(out) else empty)
 
 
 # ------------------------------------------------------------- simhash

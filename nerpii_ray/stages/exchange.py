@@ -69,8 +69,13 @@ class _BucketAggregator:
     deadlock the feed when B ≥ N); their merge work is incremental and
     amortized."""
 
-    def __init__(self, merge_fn: Callable[[pd.DataFrame], pd.DataFrame]):
+    def __init__(
+        self,
+        merge_fn: Callable[[pd.DataFrame], pd.DataFrame],
+        finish_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+    ):
         self.merge_fn = merge_fn
+        self.finish_fn = finish_fn
         self.state: Optional[pd.DataFrame] = None
         self.seen: set = set()
         self.pending: List[pd.DataFrame] = []
@@ -96,6 +101,8 @@ class _BucketAggregator:
     def finish(self) -> pa.Table:
         self._fold()
         out = self.state if self.state is not None else pd.DataFrame()
+        if self.finish_fn is not None:
+            out = self.finish_fn(out)
         return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -106,16 +113,26 @@ def hash_exchange_aggregate(
     keys: Sequence[str],
     num_buckets: int = 8,
     batch_size: int = 65536,
+    finish_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+    as_dataset: bool = False,
 ):
     """Exact grouped aggregation via B aggregator actors.
 
     partial_fn/merge_fn have the same contract as ``tree_aggregate``;
-    rows route to actors by ``hash(keys) % B``.  Returns a pandas
-    DataFrame (concat of per-bucket results; buckets partition the key
-    space, so no further merge is needed).
+    rows route to actors by ``hash(keys) % B``.  ``finish_fn`` (optional)
+    runs ONCE per bucket on its fully merged frame — for per-key-range
+    finishing work that needs every row of a key co-located (e.g. pairing
+    within LSH buckets).  Returns a pandas DataFrame by default (concat
+    of per-bucket results; buckets partition the key space, so no further
+    merge is needed); with ``as_dataset=True`` the per-bucket result
+    blocks become a ``ray.data.Dataset`` directly from the object store —
+    the driver never materializes the aggregate, so the result may be
+    arbitrarily larger than driver memory.
     """
     keys = list(keys)
-    actors = [_BucketAggregator.remote(merge_fn) for _ in range(num_buckets)]
+    actors = [
+        _BucketAggregator.remote(merge_fn, finish_fn) for _ in range(num_buckets)
+    ]
 
     def feeder(batch: pd.DataFrame) -> pd.DataFrame:
         part = partial_fn(batch)
@@ -141,7 +158,16 @@ def hash_exchange_aggregate(
 
     # drive the feed; count() forces full consumption
     ds.map_batches(feeder, batch_format="pandas", batch_size=batch_size).count()
-    tables = ray.get([a.finish.remote() for a in actors])
+    refs = [a.finish.remote() for a in actors]
+    if as_dataset:
+        # wait for completion WITHOUT fetching to the driver; the block
+        # objects are owned by the driver and outlive the actors, which
+        # terminate when their handles go out of scope
+        ray.wait(refs, num_returns=len(refs))
+        import ray.data as rd
+
+        return rd.from_arrow_refs(refs)
+    tables = ray.get(refs)
     frames = [t.to_pandas() for t in tables if t.num_rows]
     for a in actors:
         ray.kill(a)

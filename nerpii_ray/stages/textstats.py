@@ -99,6 +99,17 @@ class LangId:
         return out
 
 
+def langid_concurrency() -> tuple:
+    """LangId pool bounds: autoscale from 1 up to the cluster's CPU
+    count (the pool was previously capped at 2 actors, which starved 30
+    of 32 cores on a langid-heavy pipeline; autoscaling keeps upstream
+    reads schedulable — a pinned full-width pool would deadlock them)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(2, ncpu))
+
+
 def text_stats_pipeline(docs_ds, text_col: str = "text", batch_size: int = 8192):
     """documents → + n_tokens, n_stop, is_quality, fp, pred_lang."""
     ds = docs_ds.map_batches(
@@ -111,5 +122,5 @@ def text_stats_pipeline(docs_ds, text_col: str = "text", batch_size: int = 8192)
         fn_constructor_kwargs=dict(text_col=text_col),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=(1, 2),
+        concurrency=langid_concurrency(),
     )

@@ -73,6 +73,47 @@ def test_minhash_lsh_finds_injected_near_dups(docs_df):
         assert (did - 1000, did) in found, f"missed near-dup pair for {did}"
 
 
+def test_minhash_pairs_match_naive_lsh(docs_df):
+    """The two-phase keyed-exchange pairing must produce exactly the
+    pair set a naive single-process LSH produces from the same
+    signatures (same coefficients, same banding, same threshold)."""
+    from collections import defaultdict
+
+    from nerpii_ray.stages.dedup import MinHasher
+
+    base = docs_df.head(60).copy()
+    near = base.head(8).copy()
+    near["doc_id"] += 5000
+    near["text"] = near["text"].str.replace("the", "thee", n=2)
+    df = pd.concat([base, near], ignore_index=True)
+
+    mh = MinHasher(num_perm=64, shingle_k=3)
+    bands, rpb, threshold = 16, 4, 0.5
+    sigs, buckets = {}, defaultdict(list)
+    for did, text in zip(df["doc_id"], df["text"].fillna("")):
+        if not mh._shingle_hashes(text).size:
+            continue
+        sig = mh.signature(text)
+        sigs[did] = sig
+        for band in range(bands):
+            key = (band, sig[band * rpb : (band + 1) * rpb].tobytes())
+            buckets[key].append(did)
+    want = set()
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if (sigs[a] == sigs[b]).mean() >= threshold:
+                    want.add((a, b))
+
+    got_df = minhash_lsh_pairs(
+        rd.from_pandas(df).repartition(6), threshold=threshold
+    ).to_pandas()
+    got = set(zip(got_df["id_a"], got_df["id_b"]))
+    assert got == want
+
+
 def test_empty_docs_never_pair_as_duplicates(docs_df):
     """Empty/whitespace-only docs must not read as jaccard-1.0 duplicates
     of each other — in LSH (all-sentinel signatures) or n-gram Jaccard
