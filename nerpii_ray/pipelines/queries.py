@@ -682,7 +682,44 @@ def doc_fingerprints(sf_dir: str):
     )
 
 
-@register("doc_langid")  # heuristic — rows-only check; semantics in test_ops
+_LANGID_LANGS = ("de", "en", "es", "fr", "it")
+
+
+def _langid_sql() -> str:
+    """SQL twin of stages/textstats.LangId: per-language stopword-hit
+    counts over [a-z]+ tokens, argmax with first-in-langs-order
+    tie-break (np.argmax returns the first maximum), 'und' on zero hits.
+    Generated from the SAME gazetteer lists the engine compiles, so the
+    two sides cannot drift."""
+    from nerpii_ray.gazetteers import STOPWORDS
+
+    hit_cols = []
+    for lang in _LANGID_LANGS:
+        words = ",".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        hit_cols.append(
+            f"length(list_filter(toks, x -> list_contains([{words}], x))) AS {lang}"
+        )
+    branches = []
+    for lang in _LANGID_LANGS:
+        cond = " AND ".join(f"{lang} >= {o}" for o in _LANGID_LANGS if o != lang)
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, {", ".join(hit_cols)} FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest({", ".join(_LANGID_LANGS)}) = 0 THEN 'und'
+                {" ".join(branches)}
+           END AS pred_lang
+    FROM s
+    """
+
+
+@register("doc_langid", _langid_sql())
 def doc_langid(sf_dir: str):
     from nerpii_ray.stages.textstats import LangId, langid_concurrency
 
@@ -868,9 +905,112 @@ def kg_nodes(sf_dir: str):
     return _kg_results(_sf_of(sf_dir))["nodes"]
 
 
-@register("kg_assignments")
+_KG_ORACLE_DIR = "/tmp/nerpii_ray_oracle"
+
+
+def kg_hist_path(sf: float) -> str:
+    return f"{_KG_ORACLE_DIR}/kg_hist_sf{sf}.parquet"
+
+
+def kg_assignments_sql_for(sf: float) -> str:
+    """SQL twin of the A1-A5 assignment cascade (stages/assign.py
+    ``cascade_assign``) over the merged label histogram the kg query
+    writes out: support gate (> 30 % of rows mentioned), LOCATION
+    override (> 0.1 of presidio mentions, 'name' groups excluded),
+    majority vote with (count desc, entity asc) tie-break, manual
+    ZIPCODE / CREDIT_CARD name rules overwriting (credit checked first —
+    the later Python rule wins when both match), and the B-ORG > 0.1
+    model fill-in for still-unassigned groups.  The histogram parquet is
+    written by the ``kg_assignments`` query itself (deterministic per
+    sf, so a pre-existing file for the same sf is equally valid)."""
+    return f"""
+    WITH h AS (
+      SELECT group_key, kind, entity, CAST(cnt AS BIGINT) AS cnt
+      FROM '{kg_hist_path(sf)}'
+    ),
+    pres AS (SELECT group_key, entity, cnt FROM h WHERE kind = 'presidio'),
+    ptot AS (SELECT group_key, SUM(cnt) AS total FROM pres GROUP BY group_key),
+    nrows AS (SELECT group_key, SUM(cnt) AS n_rows FROM h
+              WHERE kind = 'rows' GROUP BY group_key),
+    loc AS (SELECT group_key, SUM(cnt) AS loc_cnt FROM pres
+            WHERE entity = 'LOCATION' GROUP BY group_key),
+    vote AS (
+      SELECT group_key, entity, cnt,
+             row_number() OVER (PARTITION BY group_key
+                                ORDER BY cnt DESC, entity) AS rk
+      FROM pres
+    ),
+    mtot AS (SELECT group_key, SUM(cnt) AS mtotal FROM h
+             WHERE kind = 'model' GROUP BY group_key),
+    borg AS (SELECT group_key, SUM(cnt) AS borg_cnt FROM h
+             WHERE kind = 'model' AND entity = 'B-ORG' GROUP BY group_key),
+    g AS (SELECT DISTINCT group_key FROM h),
+    cascade AS (
+      SELECT g.group_key,
+        CASE WHEN coalesce(r.n_rows, 0) > 0
+                  AND coalesce(t.total, 0) > 0.3 * r.n_rows THEN
+          CASE WHEN coalesce(l.loc_cnt, 0) > 0
+                    AND g.group_key NOT ILIKE '%name%'
+                    AND CAST(l.loc_cnt AS DOUBLE) / t.total > 0.1
+               THEN 'LOCATION' ELSE v.entity END
+        END AS p_entity,
+        CASE WHEN coalesce(r.n_rows, 0) > 0
+                  AND coalesce(t.total, 0) > 0.3 * r.n_rows THEN
+          CASE WHEN coalesce(l.loc_cnt, 0) > 0
+                    AND g.group_key NOT ILIKE '%name%'
+                    AND CAST(l.loc_cnt AS DOUBLE) / t.total > 0.1
+               THEN CAST(l.loc_cnt AS DOUBLE) / t.total
+               ELSE CAST(v.cnt AS DOUBLE) / t.total END
+        END AS p_score,
+        CASE
+          WHEN ((g.group_key ILIKE '%credit%' OR g.group_key ILIKE '%card%')
+                AND g.group_key ILIKE '%number%')
+               OR (g.group_key ILIKE '%carta%' AND g.group_key ILIKE '%credito%')
+          THEN 'CREDIT_CARD_NUMBER'
+          WHEN (g.group_key ILIKE '%postal%' AND g.group_key ILIKE '%code%')
+               OR g.group_key ILIKE '%zip%' OR g.group_key ILIKE '%cap%'
+          THEN 'ZIPCODE'
+        END AS m_entity,
+        CASE WHEN coalesce(b.borg_cnt, 0) > 0
+                  AND CAST(b.borg_cnt AS DOUBLE) / m.mtotal > 0.1
+             THEN 'ORGANIZATION' END AS o_entity,
+        CAST(b.borg_cnt AS DOUBLE) / m.mtotal AS o_score
+      FROM g
+      LEFT JOIN ptot t USING (group_key)
+      LEFT JOIN nrows r USING (group_key)
+      LEFT JOIN loc l USING (group_key)
+      LEFT JOIN (SELECT * FROM vote WHERE rk = 1) v USING (group_key)
+      LEFT JOIN mtot m USING (group_key)
+      LEFT JOIN borg b USING (group_key)
+    )
+    SELECT group_key,
+           coalesce(m_entity, p_entity, o_entity) AS entity,
+           ROUND(CASE WHEN m_entity IS NOT NULL THEN 1.0
+                      WHEN p_entity IS NOT NULL THEN p_score
+                      ELSE o_score END, 4) AS confidence_score
+    FROM cascade
+    WHERE coalesce(m_entity, p_entity, o_entity) IS NOT NULL
+    """
+
+
+@register("kg_assignments", kg_assignments_sql_for(0.01))  # driver runs sf0.01
 def kg_assignments(sf_dir: str):
-    return _kg_results(_sf_of(sf_dir))["assignments"]
+    """Assignments from the shared KG run, plus the merged label
+    histogram written to a per-sf parquet so the SQL oracle can replay
+    the cascade over the same input.  Confidence rounds to 4 dp on both
+    sides (half-away, matching DuckDB ROUND)."""
+    import os
+
+    from nerpii_ray.stages.assign import aggregate_label_histograms
+
+    sf = _sf_of(sf_dir)
+    res = _kg_results(sf)
+    hist = aggregate_label_histograms(res["mentions"])
+    os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
+    hist.to_parquet(kg_hist_path(sf), index=False)
+    out = res["assignments"].copy()
+    out["confidence_score"] = out["confidence_score"].map(_round_half_away)
+    return out
 
 
 @register(

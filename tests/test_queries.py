@@ -7,9 +7,17 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from nerpii_ray.pipelines.queries import ORACLE_SQL, QUERIES
+from nerpii_ray.pipelines.queries import (
+    ORACLE_SQL,
+    QUERIES,
+    kg_assignments_sql_for,
+)
 
 SF = "/root/testdata/sf0.001"
+# kg_assignments' oracle reads the histogram parquet the query writes,
+# whose path embeds the sf; the registered SQL targets the driver's
+# sf0.01 run, so rebuild it for the test sf here
+SQL_OVERRIDES = {"kg_assignments": kg_assignments_sql_for(0.001)}
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -54,7 +62,7 @@ def _to_df(result) -> pd.DataFrame:
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, con):
     got_raw = _to_df(QUERIES[name](SF))
-    want_raw = con.execute(ORACLE_SQL[name]).df()
+    want_raw = con.execute(SQL_OVERRIDES.get(name, ORACLE_SQL[name])).df()
     # Driver hashes values WITHOUT dtype coercion: a DuckDB HUGEINT (from a
     # bare SUM(BIGINT)) lands as float64/object and hash-mismatches an int64
     # engine column even when values agree. Catch that class here.
