@@ -27,6 +27,16 @@ from nerpii_ray.gazetteers import (
     EMAIL_DOMAINS,
     FIRST_NAMES_FEMALE,
     FIRST_NAMES_MALE,
+    IT_CITIES,
+    IT_COUNTRIES,
+    IT_EMAIL_DOMAINS,
+    IT_FIRST_NAMES_FEMALE,
+    IT_FIRST_NAMES_MALE,
+    IT_LAST_NAMES,
+    IT_PROVINCE_ABBR,
+    IT_REGIONS,
+    IT_STREET_NAMES,
+    IT_STREET_PREFIXES,
     LAST_NAMES,
     STREET_NAMES,
     TLDS,
@@ -36,84 +46,124 @@ from nerpii_ray.gazetteers import (
 )
 
 _FIRST_ALL = sorted(set(FIRST_NAMES_FEMALE) | set(FIRST_NAMES_MALE))
+_IT_FIRST_ALL = sorted(set(IT_FIRST_NAMES_FEMALE) | set(IT_FIRST_NAMES_MALE))
+
+# Locale switch: the reference constructs Faker(["it_IT"]) when
+# lang == "it" (faker_generator.py:84-87), which swaps EVERY provider's
+# vocabulary; lang="it" here does the same with the IT_* pools, and
+# zipcode mirrors the postcode() branch (:476-513).
 
 
 def _rng(kind: str, key: str) -> random.Random:
     return random.Random(seed_for(kind, key))
 
 
-def street_address(key: str) -> str:
+def street_address(key: str, lang: str = "en") -> str:
     # faker.street_address() analogue (faker_generator.py:141)
     r = _rng("street_address", key)
+    if lang == "it":
+        # Italian order: street type first, house number last (Via Roma 15)
+        return f"{r.choice(IT_STREET_PREFIXES)} {r.choice(IT_STREET_NAMES)} {r.randint(1, 199)}"
     return f"{r.randint(1, 9999)} {r.choice(STREET_NAMES)} {r.choice(['Street', 'Avenue', 'Road', 'Lane'])}"
 
 
-def phone_number(key: str) -> str:
+def phone_number(key: str, lang: str = "en") -> str:
     r = _rng("phone_number", key)
+    if lang == "it":
+        return f"+39 3{r.randint(10, 99)} {r.randint(100, 999)} {r.randint(1000, 9999)}"
     return f"({r.randint(200, 989)}) {r.randint(200, 989)}-{r.randint(1000, 9999)}"
 
 
-def first_name(key: str, gender: Optional[str] = None) -> str:
+def first_name(key: str, gender: Optional[str] = None, lang: str = "en") -> str:
     # gender-consistent branch (faker_generator.py:198-263): female /
     # mostly_female → female pool, male / mostly_male → male pool,
     # unknown / andy → either
     r = _rng("first_name", key)
     if gender in ("female", "mostly_female"):
-        return r.choice(FIRST_NAMES_FEMALE)
+        return r.choice(IT_FIRST_NAMES_FEMALE if lang == "it" else FIRST_NAMES_FEMALE)
     if gender in ("male", "mostly_male"):
-        return r.choice(FIRST_NAMES_MALE)
-    return r.choice(_FIRST_ALL)
+        return r.choice(IT_FIRST_NAMES_MALE if lang == "it" else FIRST_NAMES_MALE)
+    return r.choice(_IT_FIRST_ALL if lang == "it" else _FIRST_ALL)
 
 
-def last_name(key: str) -> str:
-    return _rng("last_name", key).choice(LAST_NAMES)
+def last_name(key: str, lang: str = "en") -> str:
+    return _rng("last_name", key).choice(IT_LAST_NAMES if lang == "it" else LAST_NAMES)
 
 
-def email_address(key: str, first: Optional[str] = None, last: Optional[str] = None) -> str:
+def email_address(
+    key: str,
+    first: Optional[str] = None,
+    last: Optional[str] = None,
+    lang: str = "en",
+) -> str:
     # first.last@free_email_domain (faker_generator.py:342-353); the name
     # parts default to this key's own generated names so person↔email stay
     # linked when callers pass the person's key
-    first = first or first_name(key)
-    last = last or last_name(key)
-    domain = _rng("email_domain", key).choice(EMAIL_DOMAINS)
-    return f"{first.lower()}.{last.lower()}@{domain}"
+    first = first or first_name(key, lang=lang)
+    last = last or last_name(key, lang=lang)
+    domain = _rng("email_domain", key).choice(
+        IT_EMAIL_DOMAINS if lang == "it" else EMAIL_DOMAINS
+    )
+    local = f"{first.lower()}.{last.lower()}".replace(" ", "")
+    return f"{local}@{domain}"
 
 
-def city(key: str) -> str:
-    return _rng("city", key).choice(CITIES)
+def city(key: str, lang: str = "en") -> str:
+    return _rng("city", key).choice(IT_CITIES if lang == "it" else CITIES)
 
 
-def state(key: str, abbr: bool = False) -> str:
+def state(key: str, abbr: bool = False, lang: str = "en") -> str:
     # 2-char values get abbreviations (format sniff, faker_generator.py:412)
     r = _rng("state", key)
+    if lang == "it":
+        return r.choice(IT_PROVINCE_ABBR) if abbr else r.choice(IT_REGIONS)
     return r.choice(US_STATE_ABBR) if abbr else r.choice(US_STATES)
 
 
-def url(key: str) -> str:
+def url(key: str, lang: str = "en") -> str:
     r = _rng("url", key)
-    return f"https://www.{r.choice(URL_WORDS)}{r.randint(1, 99)}.{r.choice(TLDS)}/"
+    tld = "it" if lang == "it" else r.choice(TLDS)
+    return f"https://www.{r.choice(URL_WORDS)}{r.randint(1, 99)}.{tld}/"
 
 
-def zipcode(key: str) -> str:
-    return f"{_rng('zipcode', key).randint(10000, 99999)}"
+def zipcode(key: str, lang: str = "en") -> str:
+    r = _rng("zipcode", key)
+    if lang == "it":
+        # CAP: 5 digits, leading zeros legal (faker it_IT postcode())
+        return f"{r.randint(10, 98168):05d}"
+    return f"{r.randint(10000, 99999)}"
 
 
-def credit_card_number(key: str) -> str:
+def credit_card_number(key: str, lang: str = "en") -> str:
     r = _rng("credit_card", key)
     return luhn_complete("4" + "".join(str(r.randint(0, 9)) for _ in range(14)))
 
 
-def ssn(key: str) -> str:
+def ssn(key: str, lang: str = "en") -> str:
     r = _rng("ssn", key)
+    if lang == "it":
+        # codice-fiscale-shaped (faker it_IT ssn()): 6 letters, 2 digits,
+        # 1 letter, 2 digits, 1 letter, 3 digits, 1 letter
+        cons = "BCDFGLMNPRST"
+        month = "ABCDEHLMPRST"
+        return (
+            "".join(r.choice(cons) for _ in range(6))
+            + f"{r.randint(50, 99)}"
+            + r.choice(month)
+            + f"{r.randint(1, 28):02d}"
+            + r.choice("AFHL")
+            + f"{r.randint(100, 999)}"
+            + r.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+        )
     return f"{r.randint(100, 899)}-{r.randint(10, 99)}-{r.randint(1000, 9999)}"
 
 
-def country(key: str) -> str:
-    return _rng("country", key).choice(COUNTRIES)
+def country(key: str, lang: str = "en") -> str:
+    return _rng("country", key).choice(IT_COUNTRIES if lang == "it" else COUNTRIES)
 
 
-def person_name(key: str, gender: Optional[str] = None) -> str:
-    return f"{first_name(key, gender)} {last_name(key)}"
+def person_name(key: str, gender: Optional[str] = None, lang: str = "en") -> str:
+    return f"{first_name(key, gender, lang=lang)} {last_name(key, lang=lang)}"
 
 
 #: entity type → provider used when pseudonymizing canonical nodes

@@ -59,9 +59,22 @@ FIRST_NAMES_MALE = [
     "Elijah", "Wayne", "Randy", "Vincent", "Mason", "Roy", "Ralph", "Bobby",
     "Russell", "Bradley", "Philip", "Eugene",
 ]
-FIRST_NAMES = set(FIRST_NAMES_FEMALE) | set(FIRST_NAMES_MALE)
+#: gender_guesser's full output vocabulary includes the mostly_* buckets
+#: (named_entity_recognizer.py:222-231); these names are representative
+#: members (our own assignments, not copied data) so the buckets actually
+#: occur in enrichment output and flow through the gendered providers
+FIRST_NAMES_MOSTLY_FEMALE = ["Shannon", "Jody", "Leslie", "Dana"]
+FIRST_NAMES_MOSTLY_MALE = ["Kerry", "Loren", "Jan", "Maxime"]
+FIRST_NAMES = (
+    set(FIRST_NAMES_FEMALE)
+    | set(FIRST_NAMES_MALE)
+    | set(FIRST_NAMES_MOSTLY_FEMALE)
+    | set(FIRST_NAMES_MOSTLY_MALE)
+)
 FIRST_NAME_GENDER = {n: "female" for n in FIRST_NAMES_FEMALE}
 FIRST_NAME_GENDER.update({n: "male" for n in FIRST_NAMES_MALE})
+FIRST_NAME_GENDER.update({n: "mostly_female" for n in FIRST_NAMES_MOSTLY_FEMALE})
+FIRST_NAME_GENDER.update({n: "mostly_male" for n in FIRST_NAMES_MOSTLY_MALE})
 # "andy" = androgynous in gender_guesser's vocabulary
 FIRST_NAME_GENDER["Andrea"] = "andy"
 
@@ -167,6 +180,52 @@ STREET_NAMES = [
     "Maple", "Oak", "Cedar", "Elm", "Pine", "Walnut", "Chestnut", "Willow",
     "Birch", "Sunset", "Hillcrest", "Lakeview", "Meadow", "Ridge", "Park",
 ]
+
+# --- Italian-locale provider vocab: the Faker(["it_IT"]) analogue
+#     (faker_generator.py:84-87 switches every provider to the Italian
+#     locale when lang == "it"; :476-513 uses postcode() over zipcode()) ---
+IT_FIRST_NAMES_FEMALE = [
+    "Giulia", "Francesca", "Chiara", "Sofia", "Martina", "Sara", "Alessia",
+    "Elena", "Valentina", "Giorgia", "Beatrice", "Alice", "Federica",
+    "Silvia", "Elisa", "Ilaria", "Roberta", "Simona", "Paola", "Laura",
+]
+IT_FIRST_NAMES_MALE = [
+    "Marco", "Luca", "Giuseppe", "Francesco", "Alessandro", "Andrea",
+    "Matteo", "Lorenzo", "Davide", "Simone", "Federico", "Riccardo",
+    "Stefano", "Giovanni", "Antonio", "Paolo", "Pietro", "Salvatore",
+    "Vincenzo", "Emanuele",
+]
+IT_LAST_NAMES = [
+    "Rossi", "Russo", "Ferrari", "Esposito", "Bianchi", "Romano",
+    "Colombo", "Ricci", "Marino", "Greco", "Bruno", "Gallo", "Conti",
+    "De Luca", "Mancini", "Costa", "Giordano", "Rizzo", "Lombardi",
+    "Moretti",
+]
+IT_CITIES = [
+    "Milano", "Roma", "Napoli", "Torino", "Palermo", "Genova", "Bologna",
+    "Firenze", "Bari", "Catania", "Venezia", "Verona", "Messina", "Padova",
+    "Trieste", "Brescia", "Parma", "Modena", "Perugia", "Cagliari",
+]
+IT_STREET_NAMES = [
+    "Roma", "Garibaldi", "Dante", "Mazzini", "Cavour", "Verdi", "Marconi",
+    "Gramsci", "Manzoni", "Leopardi", "Galilei", "Colombo", "Veneto",
+]
+IT_STREET_PREFIXES = ["Via", "Piazza", "Corso", "Viale"]
+IT_REGIONS = [
+    "Lombardia", "Lazio", "Campania", "Sicilia", "Veneto",
+    "Emilia-Romagna", "Piemonte", "Puglia", "Toscana", "Calabria",
+    "Sardegna", "Liguria", "Marche", "Abruzzo", "Umbria",
+]
+IT_PROVINCE_ABBR = [
+    "MI", "RM", "NA", "TO", "PA", "GE", "BO", "FI", "BA", "CT", "VE",
+    "VR", "ME", "PD", "TS", "BS", "PR", "MO", "PG", "CA",
+]
+IT_COUNTRIES = [
+    "Italia", "Francia", "Germania", "Spagna", "Regno Unito", "Portogallo",
+    "Svizzera", "Austria", "Grecia", "Paesi Bassi", "Belgio", "Irlanda",
+    "Norvegia", "Svezia", "Polonia", "Ungheria",
+]
+IT_EMAIL_DOMAINS = ["esempio.it", "posta.it", "esempio.com", "mail.it"]
 URL_WORDS = [
     "horizon", "cobalt", "meadow", "lattice", "quarry", "harbor", "summit",
     "prairie", "glacier", "canyon",

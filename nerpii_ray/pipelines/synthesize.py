@@ -215,23 +215,25 @@ class Synthesizer:
         first_by_row: Optional[pd.Series] = None
         last_by_row: Optional[pd.Series] = None
 
+        lang = self.cfg.lang
+
         for col in plan.first_name_cols:
             keys = df[col].map(
                 lambda v: normalize_surface_one(str(v)) if pd.notna(v) else ""
             )
             if gender is not None:
                 gen = pd.Series(
-                    [pv.first_name(k, g) for k, g in zip(keys, gender)],
+                    [pv.first_name(k, g, lang=lang) for k, g in zip(keys, gender)],
                     index=df.index,
                 )
             else:
-                gen = keys.map(pv.first_name)
+                gen = keys.map(lambda k: pv.first_name(k, lang=lang))
             replace(col, gen)
             if first_by_row is None:
                 first_by_row = df[col]
 
         for col in plan.last_name_cols:
-            gen = _map_unique(df[col], pv.last_name)
+            gen = _map_unique(df[col], lambda k: pv.last_name(k, lang=lang))
             replace(col, gen)
             if last_by_row is None:
                 last_by_row = df[col]
@@ -245,18 +247,18 @@ class Synthesizer:
                     lambda v: normalize_surface_one(str(v)) if pd.notna(v) else ""
                 )
                 domains = key.map(
-                    lambda k: pv.email_address(k).rsplit("@", 1)[1]
+                    lambda k: pv.email_address(k, lang=lang).rsplit("@", 1)[1]
                 )
                 if first_by_row is not None and last_by_row is not None:
                     gen = (
-                        first_by_row.astype(str).str.lower()
+                        first_by_row.astype(str).str.lower().str.replace(" ", "")
                         + "."
-                        + last_by_row.astype(str).str.lower()
+                        + last_by_row.astype(str).str.lower().str.replace(" ", "")
                         + "@"
                         + domains
                     )
                 else:
-                    gen = key.map(pv.email_address)
+                    gen = key.map(lambda k: pv.email_address(k, lang=lang))
                 replace(col, gen)
                 continue
             if provider == "state":
@@ -264,13 +266,18 @@ class Synthesizer:
                 # the reference's first-row-only sniff (faker_generator.py:412)
                 gen = df[col].map(
                     lambda v: (
-                        pv.state(normalize_surface_one(str(v)), abbr=len(str(v)) == 2)
+                        pv.state(
+                            normalize_surface_one(str(v)),
+                            abbr=len(str(v)) == 2,
+                            lang=lang,
+                        )
                         if pd.notna(v)
                         else None
                     )
                 )
             else:
-                gen = _map_unique(df[col], _SIMPLE_PROVIDERS[provider])
+                fn = _SIMPLE_PROVIDERS[provider]
+                gen = _map_unique(df[col], lambda k, f=fn: f(k, lang=lang))
             replace(col, gen)
         return df
 

@@ -69,7 +69,12 @@ _ORG_LEFT_STOP = {"The", "A", "An", "In", "On", "At", "My", "Our", "Your"}
 
 @dataclass
 class PatternSpec:
-    """One regex pattern recognizer (Presidio PatternRecognizer analogue)."""
+    """One regex pattern recognizer (Presidio PatternRecognizer analogue).
+
+    Constraint: the pattern must never match a NUL byte (``\\x00``) — the
+    batch scan joins texts on NUL, so a pattern that can cross it (e.g.
+    an unbounded ``[^\\s]*``) would merge mentions across texts.  Use
+    ``[^\\s\\x00]`` style negations in user-added patterns."""
 
     entity: str
     pattern: str
@@ -98,7 +103,11 @@ def default_pattern_specs() -> List[PatternSpec]:
         ),
         PatternSpec(
             "URL",
-            r"(?:https?://|www\.)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}(?:/[^\s]*)?",
+            # \x00 excluded from the path charset: the batch scan joins
+            # texts on NUL, and NUL is not \s — an unbounded [^\s]* would
+            # run a trailing URL straight through the separator and
+            # swallow the following texts into one mention
+            r"(?:https?://|www\.)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}(?:/[^\s\x00]*)?",
             0.85,
         ),
         PatternSpec("IP_ADDRESS", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", 0.6),

@@ -107,3 +107,25 @@ def test_scan_survives_nul_bytes_in_text():
            if e in ("EMAIL_ADDRESS", "LOCATION")}
     assert (0, "EMAIL_ADDRESS", "john.doe@example.com") in got
     assert (1, "LOCATION", "Chicago") in got
+
+
+def test_trailing_url_does_not_swallow_next_text():
+    """A URL at the very end of a text must stop at the text boundary —
+    the batch scan joins texts on NUL, which is not \\s, so an unbounded
+    [^\\s]* path charset would run the match into the next text (observed
+    on the foia Website column: one URL mention per 25 cells)."""
+    from nerpii_ray.state.registry import RecognizerRegistry
+
+    reg = RecognizerRegistry().compile()
+    out = reg.scan(
+        ["see https://www.example.org/a/b", "https://www.other.net/x", "Chicago"]
+    )
+    urls = {(r, s) for r, e, s in zip(out["row"], out["entity"], out["surface"])
+            if e == "URL"}
+    assert urls == {
+        (0, "https://www.example.org/a/b"),
+        (1, "https://www.other.net/x"),
+    }
+    assert (2, "LOCATION", "Chicago") in set(
+        zip(out["row"], out["entity"], out["surface"])
+    )

@@ -157,6 +157,54 @@ def test_generation_mark_varied_per_cell(assignments_fb):
     pd.testing.assert_series_equal(out["city"], out2["city"])
 
 
+def test_italian_locale_synthesis(assignments_fb):
+    """lang='it' swaps every provider to the Italian locale, mirroring
+    Faker(['it_IT']) (faker_generator.py:84-87) and the postcode() branch
+    (:476-513): CAP zipcodes, +39 phones, Via/Piazza addresses, Italian
+    cities/regions/surnames, .it URLs, codice-fiscale-shaped ssn."""
+    from nerpii_ray.gazetteers import (
+        IT_CITIES,
+        IT_COUNTRIES,
+        IT_LAST_NAMES,
+        IT_STREET_PREFIXES,
+    )
+
+    assignments, df = assignments_fb
+    cfg = EngineConfig(lang="it")
+    out = synthesize_table(df, assignments, cfg)
+    assert out["zipcode"].str.fullmatch(r"\d{5}").all()
+    assert out["phone number"].str.startswith("+39 ").all()
+    assert out["city"].isin(IT_CITIES).all()
+    assert out["address"].str.split().str[0].isin(IT_STREET_PREFIXES).all()
+    assert out["last_name"].isin(IT_LAST_NAMES).all()
+    assert out["country"].isin(IT_COUNTRIES).all()
+    assert out["url"].str.contains(r"\.it/", regex=True).all()
+    assert out["ssn"].str.fullmatch(
+        r"[BCDFGLMNPRST]{6}\d{2}[ABCDEHLMPRST]\d{2}[AFHL]\d{3}[A-Z]"
+    ).all()
+    # still deterministic
+    out2 = synthesize_table(df, assignments, cfg)
+    pd.testing.assert_frame_equal(out, out2)
+    # and the en branch is untouched by the new lang plumbing
+    out_en = synthesize_table(df, assignments, EngineConfig(lang="en"))
+    assert out_en["zipcode"].str.fullmatch(r"\d{5}").all()
+    assert not out_en["phone number"].str.startswith("+39").any()
+
+
+def test_mostly_gender_buckets_flow_through():
+    """gender_guesser's mostly_female / mostly_male buckets exist in the
+    enrichment vocabulary (named_entity_recognizer.py:222-231) and route
+    to the matching name pool in generation."""
+    from nerpii_ray.functions.pseudonym import first_name
+    from nerpii_ray.functions.textfns import gender_of_first_names
+    from nerpii_ray.gazetteers import FIRST_NAMES_FEMALE, FIRST_NAMES_MALE
+
+    g = gender_of_first_names(pd.Series(["Shannon", "Kerry", "Mary", "John", None]))
+    assert list(g) == ["mostly_female", "mostly_male", "female", "male", "Nan value"]
+    assert first_name("k1", "mostly_female") in FIRST_NAMES_FEMALE
+    assert first_name("k1", "mostly_male") in FIRST_NAMES_MALE
+
+
 def test_synthesize_dataset_matches_table(assignments_fb):
     """Dataset path and driver path agree batch-for-batch."""
     assignments, df = assignments_fb
