@@ -31,7 +31,17 @@ _PATTERNS = [
     ("IP_ADDRESS", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", 0.6),
     ("US_SSN", r"\b\d{3}-\d{2}-\d{4}\b", 0.85),
     ("CREDIT_CARD", r"\b\d(?:[ \-]?\d){12,18}\b", 1.0),
-    ("DATE_TIME", r"\b\d{4}-\d{2}-\d{2}\b|\b\d{1,2}/\d{1,2}/\d{2,4}\b", 0.6),
+    (
+        "DATE_TIME",
+        r"\b\d{4}-\d{2}-\d{2}\b|\b\d{1,2}/\d{1,2}/\d{2,4}\b"
+        r"|\b(?:January|February|March|April|May|June|July|August|September"
+        r"|October|November|December|Jan|Feb|Mar|Apr|Jun|Jul|Aug|Sept|Sep"
+        r"|Oct|Nov|Dec)\.? \d{1,2},? \d{4}\b"
+        r"|\b\d{1,2} (?:January|February|March|April|May|June|July|August"
+        r"|September|October|November|December|Jan|Feb|Mar|Apr|Jun|Jul|Aug"
+        r"|Sept|Sep|Oct|Nov|Dec)\.?,? \d{4}\b",
+        0.6,
+    ),
     (
         "PHONE_NUMBER",
         r"(?<![\w(])(?:(?:\+\d{1,3}[-.\s]?)?(?:\(\d{2,4}\)[-.\s]?)?\d{3,4}[-.\s]\d{3,4}"

@@ -91,6 +91,23 @@ _PHONE_PATTERN = (
     r"(?:[-.\s]\d{3,4})?|\(\d{2,4}\)[-.\s]?\d{3,4}[-.\s]\d{3,4}"
 )
 
+#: month-name alternation for DATE_TIME (longest names first — regex
+#: alternation takes the first match, so "Sept" must precede "Sep")
+_MONTHS = (
+    "January|February|March|April|May|June|July|August|September|October|"
+    "November|December|Jan|Feb|Mar|Apr|Jun|Jul|Aug|Sept|Sep|Oct|Nov|Dec"
+)
+
+#: DATE_TIME surface forms: ISO, slash, "March 5, 2024", "5 Mar 2024" —
+#: Presidio's date recognition covers the month-name forms real
+#: transcripts hit constantly (README.md:37 supported entities)
+_DATE_PATTERN = (
+    r"\b\d{4}-\d{2}-\d{2}\b"
+    r"|\b\d{1,2}/\d{1,2}/\d{2,4}\b"
+    rf"|\b(?:{_MONTHS})\.? \d{{1,2}},? \d{{4}}\b"
+    rf"|\b\d{{1,2}} (?:{_MONTHS})\.?,? \d{{4}}\b"
+)
+
 
 def default_pattern_specs() -> List[PatternSpec]:
     """Built-in pattern recognizers, ordered by priority (first match wins
@@ -121,11 +138,7 @@ def default_pattern_specs() -> List[PatternSpec]:
             fallback_entity="PHONE_NUMBER",
             fallback_score=0.4,
         ),
-        PatternSpec(
-            "DATE_TIME",
-            r"\b\d{4}-\d{2}-\d{2}\b|\b\d{1,2}/\d{1,2}/\d{2,4}\b",
-            0.6,
-        ),
+        PatternSpec("DATE_TIME", _DATE_PATTERN, 0.6),
         PatternSpec("PHONE_NUMBER", r"(?<![\w(])" + _PHONE_PATTERN + r"\b", 0.75),
     ]
 

@@ -91,8 +91,27 @@ def _address(rng: random.Random) -> str:
     return f"{rng.randint(1, 999)} {rng.choice(STREET_NAMES)} Street"
 
 
+_MONTH_NAMES = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+_MONTH_ABBR = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct",
+    "Nov", "Dec",
+]
+
+
 def _date(rng: random.Random) -> str:
-    return f"2024-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    m, d = rng.randint(1, 12), rng.randint(1, 28)
+    form = rng.randint(0, 3)
+    if form == 0:
+        return f"2024-{m:02d}-{d:02d}"
+    if form == 1:
+        return f"{m}/{d}/2024"
+    if form == 2:
+        # "March 5, 2024" — the Presidio-breadth month-name form
+        return f"{_MONTH_NAMES[m - 1]} {d}, 2024"
+    return f"{d} {_MONTH_ABBR[m - 1]} 2024"
 
 
 def _turn_text(rng: random.Random, role: str, tool: str) -> str:
@@ -215,10 +234,15 @@ def write_transcripts(
     return out_dir
 
 
+#: bump when _turn_text / providers change — the cache marker is keyed by
+#: (sf, seed) only, so a generator change must invalidate old /tmp dirs
+_GEN_VERSION = 2
+
+
 def transcripts_for_sf(sf: float, base_dir: str = "/tmp/nerpii_ray_transcripts",
                        seed: int = 42) -> str:
     """sf-scaled cached transcript dir: sf=0.001 → 100 convs (~2.2k turns),
     sf=0.1 → 10k convs (~220k turns)."""
     n_convs = max(10, int(round(sf * 100_000)))
-    out = os.path.join(base_dir, f"sf{sf}-seed{seed}")
+    out = os.path.join(base_dir, f"sf{sf}-seed{seed}-v{_GEN_VERSION}")
     return write_transcripts(out, n_convs, seed=seed)

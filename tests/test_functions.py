@@ -109,6 +109,32 @@ def test_scan_survives_nul_bytes_in_text():
     assert (1, "LOCATION", "Chicago") in got
 
 
+def test_date_time_month_name_forms():
+    """DATE_TIME breadth: ISO and slash forms plus the month-name forms
+    Presidio covers ("March 5, 2024", "5 Mar 2024") — README.md:37
+    supported entities."""
+    from nerpii_ray.state.registry import RecognizerRegistry
+
+    reg = RecognizerRegistry().compile()
+    texts = [
+        "due 2024-03-05 sharp",
+        "due 3/5/2024 sharp",
+        "due March 5, 2024 sharp",
+        "due 5 Mar 2024 sharp",
+        "due Sept. 12, 2024 sharp",
+    ]
+    out = reg.scan(texts)
+    dates = {(r, s) for r, e, s in zip(out["row"], out["entity"], out["surface"])
+             if e == "DATE_TIME"}
+    assert dates == {
+        (0, "2024-03-05"),
+        (1, "3/5/2024"),
+        (2, "March 5, 2024"),
+        (3, "5 Mar 2024"),
+        (4, "Sept. 12, 2024"),
+    }
+
+
 def test_trailing_url_does_not_swallow_next_text():
     """A URL at the very end of a text must stop at the text boundary —
     the batch scan joins texts on NUL, which is not \\s, so an unbounded
