@@ -73,9 +73,12 @@ def run_kg(
     Returns {"mentions": Dataset, "edges": Dataset, "nodes": Dataset,
     "assignments": pandas.DataFrame | None}.
     """
+    import time
+
     from nerpii_ray.stages.canonicalize import node_rows
 
     cfg = config or EngineConfig()
+    metrics: dict = {}
     # Three consumers read the mentions (assignment aggregate, triple
     # extraction, node build); without pinning, each would re-run the
     # recognizer scan from scratch.  One materialized intermediate serves
@@ -83,13 +86,23 @@ def run_kg(
     # (attach_ids): while the actor pool holds the cluster's CPU slots, a
     # separate task stage for IDs would be starved to the leftover slots —
     # measured as a flat 52 s at BOTH 8 and 32 CPUs before fusing.
+    t0 = time.monotonic()
     with_ids = recognize_mentions(
         turns_ds, config=cfg, attach_ids=True
     ).materialize()
+    metrics["scan"] = {
+        "wall_sec": round(time.monotonic() - t0, 3),
+        "mention_rows": with_ids.count(),  # metadata-only on materialized
+    }
 
     assignments = None
     if with_assignments:
+        t0 = time.monotonic()
         assignments = assignments_to_table(assign_entities(with_ids, cfg))
+        metrics["assign"] = {
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "groups_assigned": int(len(assignments)),
+        }
 
     # batch_size=None: process whole blocks.  Blocks are the recognizer's
     # per-input-batch outputs (row-sorted, turn-aligned), so a turn's
@@ -124,6 +137,10 @@ def run_kg(
         "edges": edges,
         "nodes": nodes,
         "assignments": assignments,
+        # F15: structured per-stage metrics (lineage record).  edges /
+        # nodes stay lazy here, so their rows/wall are recorded by the
+        # sink that consumes them (write_graph / write_partition).
+        "metrics": metrics,
     }
 
 
@@ -154,12 +171,27 @@ def write_graph(res: dict, out_dir: str) -> None:
         stub.HTTPFileSystem = _NeverHTTPFileSystem
         sys.modules["fsspec.implementations.http"] = stub
 
+    import time
+
     os.makedirs(out_dir, exist_ok=True)
+
+    def timed_write(key: str):
+        t0 = time.monotonic()
+        res[key].write_parquet(os.path.join(out_dir, key))
+        return {"wall_sec": round(time.monotonic() - t0, 3)}
+
     with ThreadPoolExecutor(2) as ex:
-        fe = ex.submit(res["edges"].write_parquet, os.path.join(out_dir, "edges"))
-        fn = ex.submit(res["nodes"].write_parquet, os.path.join(out_dir, "nodes"))
-        fe.result()
-        fn.result()
+        fe = ex.submit(timed_write, "edges")
+        fn = ex.submit(timed_write, "nodes")
+        rec_e, rec_n = fe.result(), fn.result()
+    # complete the F15 lineage record with the sink stages and persist it
+    metrics = dict(res.get("metrics") or {})
+    metrics["write_edges"] = rec_e
+    metrics["write_nodes"] = rec_n
+    with open(os.path.join(out_dir, "_metrics.json"), "w") as f:
+        import json
+
+        json.dump(metrics, f, indent=1)
 
 
 def run_kg_partitioned(

@@ -295,3 +295,69 @@ def synthesize_table(
 ) -> pd.DataFrame:
     """Driver-side convenience for small parity tables."""
     return Synthesizer(assignments, config)(df)
+
+
+def synthesis_report(data, assignments, config: Optional[EngineConfig] = None) -> dict:
+    """Structured per-stage synthesis metrics — the engine's F15
+    (``synthesis_message``, ``faker_generator.py:608-620``, which only
+    prints colored lines; here a machine-readable lineage record).
+
+    ``data`` may be a pandas DataFrame or a ``ray.data.Dataset``; cell
+    counts for a Dataset are computed with a combiner-first tree sum
+    (one tiny row per column per batch crosses the exchange)."""
+    import ray.data as rd
+
+    cfg = config or EngineConfig()
+    if isinstance(data, rd.Dataset):
+        columns = [str(f) for f in data.schema().names]
+    else:
+        columns = [str(c) for c in data.columns]
+    plan = build_plan(assignments, columns, cfg)
+    cols = list(
+        dict.fromkeys(
+            plan.first_name_cols + plan.last_name_cols + list(plan.provider_by_column)
+        )
+    )
+    cols = [c for c in cols if c in columns]
+
+    def counts_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            replaced = (
+                int((b[c] == cfg.generation_mark).sum())
+                if cfg.generation_mark == "*"
+                else int(b[c].notna().sum())
+            )
+            rows.append((c, len(b), replaced))
+        return pd.DataFrame(rows, columns=["column", "cells_total", "cells_replaced"])
+
+    if isinstance(data, rd.Dataset):
+        from nerpii_ray.stages.agg import grouped_sum
+
+        counts = grouped_sum(
+            data, ["column"], ["cells_total", "cells_replaced"],
+            partial_fn=counts_partial,
+        )
+        counts = counts.to_pandas() if isinstance(counts, rd.Dataset) else counts
+    else:
+        counts = counts_partial(data)
+    by_col = counts.set_index("column") if len(counts) else counts
+
+    synthesized = []
+    for c in cols:
+        a = assignments.get(c)
+        synthesized.append(
+            {
+                "column": c,
+                "provider": plan.provider_by_column.get(c),
+                "entity": a["entity"] if a else None,
+                "cells_total": int(by_col.loc[c, "cells_total"]) if c in getattr(by_col, "index", []) else 0,
+                "cells_replaced": int(by_col.loc[c, "cells_replaced"]) if c in getattr(by_col, "index", []) else 0,
+            }
+        )
+    return {
+        "synthesized": synthesized,
+        "not_synthesized": [list(p) for p in plan.columns_not_synthesized],
+        "generation_mark": cfg.generation_mark,
+        "lang": cfg.lang,
+    }

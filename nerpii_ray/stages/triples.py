@@ -17,10 +17,14 @@ needs no shuffle.  The rule table:
 (:mod:`nerpii_ray.oracle.reference_oracle`) implements the same table
 independently, which is what the P/R ≥ 0.95 gate compares.
 
-Edge identity for dedup: ``edge_key = md5(subj|pred|obj|conv|turn)[:16]``.
-Duplicates cannot arise from a single well-formed input (one turn = one
-input row = one batch slice), so global dedup is an optional hash-
-partitioned groupby for at-least-once upstreams (``EngineConfig``).
+Edge identity for dedup is the natural key
+``(subj_id, pred, obj_id, conv_id, turn_idx)`` — deduplicated directly
+on those columns rather than through a derived digest (a per-row md5
+here was 2-3 hash calls per edge in the hottest stage, for a key no
+consumer reads).  Duplicates cannot arise from a single well-formed
+input (one turn = one input row = one batch slice), so global dedup is
+an optional hash-partitioned exchange for at-least-once upstreams
+(``EngineConfig``).
 """
 
 from __future__ import annotations
@@ -36,6 +40,9 @@ EDGE_COLUMNS = [
     "subj_id", "subj_type", "pred", "obj_id", "obj_type",
     "conv_id", "turn_idx", "score",
 ]
+
+#: natural edge identity — the dedup key (no derived digest)
+EDGE_KEY_COLS = ("subj_id", "pred", "obj_id", "conv_id", "turn_idx")
 
 
 def actor_node_ids(conv_ids: pd.Series, roles: pd.Series) -> pd.Series:
@@ -121,15 +128,8 @@ def extract_triples(batch: pd.DataFrame) -> pd.DataFrame:
             )
 
     out = pd.concat(edges, ignore_index=True)
-    out["edge_key"] = md5_of_strings(
-        out["subj_id"].astype(str)
-        + "|" + out["pred"].astype(str)
-        + "|" + out["obj_id"].astype(str)
-        + "|" + out["conv_id"].astype(str)
-        + "|" + out["turn_idx"].astype(str)
-    ).str[:16]
     # local dedup (combiner): duplicates within a turn collapse here
-    out = out.drop_duplicates("edge_key").reset_index(drop=True)
+    out = out.drop_duplicates(EDGE_KEY_COLS).reset_index(drop=True)
     return out
 
 
@@ -151,20 +151,14 @@ def extract_tool_edges(turns_batch: pd.DataFrame) -> pd.DataFrame:
             "score": 1.0,
         }
     )
-    out["edge_key"] = md5_of_strings(
-        out["subj_id"].astype(str)
-        + "|used_tool|" + out["obj_id"].astype(str)
-        + "|" + out["conv_id"].astype(str)
-        + "|" + out["turn_idx"].astype(str)
-    ).str[:16]
     return out.reset_index(drop=True)
 
 
 def dedup_edges_global(edges_ds, config: Optional[EngineConfig] = None):
-    """Optional exact global dedup by edge_key (SURVEY §2.7) via the tree
-    (local dedup per batch happened in extract_triples, so the exchange
-    only carries already-unique-per-batch rows).  Needed only for
-    at-least-once inputs."""
+    """Optional exact global dedup by the natural edge key (SURVEY §2.7)
+    via the cardinality-aware tree (local dedup per batch happened in
+    extract_triples, so the exchange only carries already-unique-per-
+    batch rows).  Needed only for at-least-once inputs."""
     from nerpii_ray.stages.agg import tree_dedup
 
-    return tree_dedup(edges_ds, keys=["edge_key"])
+    return tree_dedup(edges_ds, keys=list(EDGE_KEY_COLS))

@@ -91,11 +91,14 @@ _PHONE_PATTERN = (
     r"(?:[-.\s]\d{3,4})?|\(\d{2,4}\)[-.\s]?\d{3,4}[-.\s]\d{3,4}"
 )
 
-#: month-name alternation for DATE_TIME (longest names first — regex
-#: alternation takes the first match, so "Sept" must precede "Sep")
+#: month-name alternation for DATE_TIME, factored by first letter so the
+#: combined scan regex fails fast at non-month positions (a flat
+#: 24-branch alternation measurably slows the whole-batch scan); greedy
+#: optional suffixes make "Sept"/"September" beat "Sep"
 _MONTHS = (
-    "January|February|March|April|May|June|July|August|September|October|"
-    "November|December|Jan|Feb|Mar|Apr|Jun|Jul|Aug|Sept|Sep|Oct|Nov|Dec"
+    "J(?:an(?:uary)?|un(?:e)?|ul(?:y)?)|Feb(?:ruary)?|Ma(?:r(?:ch)?|y)"
+    "|A(?:pr(?:il)?|ug(?:ust)?)|Sept?(?:ember)?|Oct(?:ober)?"
+    "|Nov(?:ember)?|Dec(?:ember)?"
 )
 
 #: DATE_TIME surface forms: ISO, slash, "March 5, 2024", "5 Mar 2024" —

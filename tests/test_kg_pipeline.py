@@ -63,6 +63,26 @@ def test_nodes_are_distinct_and_pseudonymized(transcripts):
     assert set(edges["obj_id"]).issubset(known)
 
 
+def test_run_kg_emits_stage_metrics(transcripts, tmp_path):
+    """F15: run_kg returns per-stage metrics (wall + row counts) and
+    write_graph completes the lineage record with the sink stages."""
+    import json
+
+    from nerpii_ray.pipelines.kg import write_graph
+
+    turns = rd.read_parquet(transcripts)
+    res = run_kg(turns, EngineConfig(recognizer_concurrency=2))
+    m = res["metrics"]
+    assert m["scan"]["mention_rows"] > 0 and m["scan"]["wall_sec"] > 0
+    assert m["assign"]["groups_assigned"] > 0
+    out = str(tmp_path / "graph")
+    write_graph(res, out)
+    with open(f"{out}/_metrics.json") as f:
+        rec = json.load(f)
+    assert set(rec) >= {"scan", "assign", "write_edges", "write_nodes"}
+    assert rec["write_edges"]["wall_sec"] > 0
+
+
 def test_per_turn_text_equality_under_stable_order(transcripts):
     """input_hint invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering, via the Dataset path vs direct read."""

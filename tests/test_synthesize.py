@@ -205,6 +205,26 @@ def test_mostly_gender_buckets_flow_through():
     assert first_name("k1", "mostly_male") in FIRST_NAMES_MALE
 
 
+def test_synthesis_report_structure(assignments_fb):
+    """F15: structured per-stage metrics (the machine-readable analogue
+    of synthesis_message, faker_generator.py:608-620), consistent
+    between the DataFrame and Dataset paths."""
+    from nerpii_ray.pipelines.synthesize import synthesis_report
+
+    assignments, df = assignments_fb
+    rep = synthesis_report(df, assignments)
+    by_col = {r["column"]: r for r in rep["synthesized"]}
+    assert by_col["email"]["provider"] == "email"
+    assert by_col["email"]["entity"] == "EMAIL_ADDRESS"
+    assert by_col["email"]["cells_total"] == len(df)
+    assert by_col["email"]["cells_replaced"] == df["email"].notna().sum()
+    assert ["university", "ORGANIZATION"] in rep["not_synthesized"]
+    rep_ds = synthesis_report(rd.from_pandas(df), assignments)
+    assert {r["column"]: r["cells_replaced"] for r in rep_ds["synthesized"]} == {
+        r["column"]: r["cells_replaced"] for r in rep["synthesized"]
+    }
+
+
 def test_synthesize_dataset_matches_table(assignments_fb):
     """Dataset path and driver path agree batch-for-batch."""
     assignments, df = assignments_fb
