@@ -55,7 +55,9 @@ def run_bench() -> dict:
             except ValueError:
                 pass
     # --scaling runs use a larger transcript set (same input at both CPU
-    # levels) so compute, not fixed per-pipeline overhead, dominates
+    # levels) so compute, not fixed per-pipeline overhead, dominates;
+    # 16x (~3.5M turns) measured necessary — at 8x the ~1-2s of fixed
+    # per-run overhead still costs the 32-CPU level several points
     mult = float(os.environ.get("RAY_GRAFT_SCALE_MULT", "1"))
 
     # pre-generate + page-warm the transcript input (untimed).
@@ -139,7 +141,7 @@ def run_scaling() -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "8"),
+            RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "16"),
             # best-of-2 at each level: single runs carry 1.5x run-to-run
             # variance from object-store/page-cache state
             RAY_GRAFT_REPS=os.environ.get("RAY_GRAFT_REPS", "2"),

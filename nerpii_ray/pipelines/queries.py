@@ -108,6 +108,7 @@ def lineitem_pricing_summary(sf_dir: str):
     return grouped_sum(
         ds, ["l_returnflag", "l_linestatus"],
         ["sum_qty", "sum_base_cents", "sum_disc_u", "n"], partial_fn=partial,
+        adaptive=False,  # 6 flag/status combinations
     )
 
 
@@ -180,7 +181,8 @@ def orders_by_segment(sf_dir: str):
     from nerpii_ray.stages.agg import grouped_sum
 
     return grouped_sum(
-        joined, ["segment"], ["n_orders", "total_cents"], partial_fn=partial
+        joined, ["segment"], ["n_orders", "total_cents"], partial_fn=partial,
+        adaptive=False,  # 5 market segments
     )
 
 
@@ -213,7 +215,7 @@ def supplier_per_region(sf_dir: str):
 
     from nerpii_ray.stages.agg import grouped_sum
 
-    return grouped_sum(joined, ["region"], ["n_suppliers"], partial_fn=partial)
+    return grouped_sum(joined, ["region"], ["n_suppliers"], partial_fn=partial, adaptive=False)  # 5 regions
 
 
 @register(
@@ -248,7 +250,7 @@ def lineitem_orders_hash_join(sf_dir: str):
 
     from nerpii_ray.stages.agg import grouped_sum
 
-    return grouped_sum(joined, ["status"], ["n_items", "sum_qty"], partial_fn=partial)
+    return grouped_sum(joined, ["status"], ["n_items", "sum_qty"], partial_fn=partial, adaptive=False)  # 3 statuses
 
 
 @register(
@@ -282,7 +284,7 @@ def distinct_segments(sf_dir: str):
     def local(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"segment": b["c_mktsegment"].unique()})
 
-    return tree_dedup(ds, keys=["segment"], partial_fn=local)
+    return tree_dedup(ds, keys=["segment"], partial_fn=local, adaptive=False)  # 5 segments
 
 
 @register(
@@ -408,7 +410,7 @@ def doc_entity_histogram(sf_dir: str):
             b.groupby(["entity", "surface"], sort=False).size().reset_index(name="n")
         )
 
-    return grouped_sum(ds, ["entity", "surface"], ["n"], partial_fn=partial)
+    return grouped_sum(ds, ["entity", "surface"], ["n"], partial_fn=partial, adaptive=False)  # gazetteer-bounded vocabulary
 
 
 @register(
@@ -468,7 +470,8 @@ def doc_assignments(sf_dir: str):
         return b.groupby(["source", "entity"], sort=False).size().reset_index(name="cnt")
 
     hist = grouped_sum(
-        ds, ["source", "entity"], ["cnt"], partial_fn=hist_partial
+        ds, ["source", "entity"], ["cnt"], partial_fn=hist_partial,
+        adaptive=False,  # sources x entity vocabulary
     ).to_pandas()
 
     # exact distinct mentioned-docs per source: a doc's mentions may be
@@ -490,7 +493,7 @@ def doc_assignments(sf_dir: str):
 
     n_docs = grouped_sum(
         _read(sf_dir, "documents", ["source"]), ["source"], ["n_docs"],
-        partial_fn=docs_partial,
+        partial_fn=docs_partial, adaptive=False,
     ).to_pandas()
 
     meta = mentioned.merge(n_docs, on="source")
@@ -1076,7 +1079,7 @@ def events_props_extract(sf_dir: str):
         df = pd.DataFrame({"event_type": b["event_type"], "sum_k": k, "n": 1})
         return df.groupby("event_type", sort=False).sum().reset_index()
 
-    return grouped_sum(ds, ["event_type"], ["sum_k", "n"], partial_fn=partial)
+    return grouped_sum(ds, ["event_type"], ["sum_k", "n"], partial_fn=partial, adaptive=False)  # 5 event types
 
 
 @register("transcript_gender_enrich")  # rows-only; M5 analogue over transcripts
@@ -1131,7 +1134,7 @@ def orders_union_counts(sf_dir: str):
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("status", sort=False).size().reset_index(name="n")
 
-    return grouped_sum(both, ["status"], ["n"], partial_fn=partial)
+    return grouped_sum(both, ["status"], ["n"], partial_fn=partial, adaptive=False)  # 2 statuses
 
 
 @register("orders_sample")  # seeded sample — rows-only (RNG differs from SQL)
@@ -1188,7 +1191,7 @@ def lineitem_shipdate_repartitioned(sf_dir: str):
             "month_epoch", sort=False
         ).sum().reset_index()
 
-    return grouped_sum(ds, ["month_epoch"], ["n"], partial_fn=partial)
+    return grouped_sum(ds, ["month_epoch"], ["n"], partial_fn=partial, adaptive=False)  # bounded months
 
 
 @register(

@@ -336,7 +336,7 @@ def synthesis_report(data, assignments, config: Optional[EngineConfig] = None) -
 
         counts = grouped_sum(
             data, ["column"], ["cells_total", "cells_replaced"],
-            partial_fn=counts_partial,
+            partial_fn=counts_partial, adaptive=False,  # keys = table columns
         )
         counts = counts.to_pandas() if isinstance(counts, rd.Dataset) else counts
     else:

@@ -110,10 +110,17 @@ def grouped_sum(
     levels: Tuple[int, ...] = (16, 1),
     batch_size: int = 65536,
     root_threshold: int = ROOT_THRESHOLD_DEFAULT,
+    adaptive: bool = True,
 ):
     """SUM-by-key via the cardinality-aware tree.  ``partial_fn``
     defaults to the grouped sum itself (input rows already carry the
-    key + value columns)."""
+    key + value columns).
+
+    ``adaptive=False`` skips the cardinality check (one extra pipeline
+    barrier: the pre-root output is materialized to count it) — pass it
+    ONLY when the key space is bounded by construction (a label
+    histogram, a 5-value dimension), never when keys scale with data.
+    """
     keys, sum_cols = list(keys), list(sum_cols)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -124,7 +131,7 @@ def grouped_sum(
 
     return tree_aggregate(
         ds, partial_fn or merge, merge, levels=levels, batch_size=batch_size,
-        keys=keys, root_threshold=root_threshold,
+        keys=keys if adaptive else None, root_threshold=root_threshold,
     )
 
 
@@ -136,10 +143,11 @@ def tree_dedup(
     levels: Tuple[int, ...] = (16, 1),
     batch_size: int = 65536,
     root_threshold: int = ROOT_THRESHOLD_DEFAULT,
+    adaptive: bool = True,
 ):
     """DISTINCT-by-key via the cardinality-aware tree (optionally keeping
     the row with the smallest ``keep_min`` value per key — exact dedup's
-    min-id policy)."""
+    min-id policy).  ``adaptive=False``: see ``grouped_sum``."""
     keys = list(keys)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -151,7 +159,7 @@ def tree_dedup(
 
     return tree_aggregate(
         ds, partial_fn or merge, merge, levels=levels, batch_size=batch_size,
-        keys=keys, root_threshold=root_threshold,
+        keys=keys if adaptive else None, root_threshold=root_threshold,
     )
 
 

@@ -76,6 +76,9 @@ def aggregate_label_histograms(mentions_ds, config: Optional[EngineConfig] = Non
         ["cnt"],
         partial_fn=partial_label_counts,
         batch_size=cfg.batch_size,
+        # key space = groups x kinds x label vocabulary — bounded by
+        # schema, not data; skip the adaptive barrier
+        adaptive=False,
     )
     return out.to_pandas()  # tiny: one row per (group, kind, label)
 
