@@ -856,12 +856,51 @@ def ann_ivf_topk(sf_dir: str):
     return ivf_topk(vecs, qs, k=5, nlist=16, nprobe=4)
 
 
-@register("multimodal_features")  # stubbed decode — rows-only
+_MM_FEATS = ",\n           ".join(
+    f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INT) / 256.0 AS f{i}"
+    for i in range(8)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+             octet_length(encode(coalesce(text, ''))) AS n_bytes,
+             sha256(coalesce(text, '')) AS h
+      FROM documents
+    )
+    SELECT media_id, media_type, n_bytes,
+           {_MM_FEATS}
+    FROM m
+    """,
+)
 def multimodal_features(sf_dir: str):
+    """Multimodal plumbing, SQL-checked end-to-end: documents → opaque
+    binary payloads → actor-pool decode stub (feature = sha256 bytes,
+    exact dyadic values — no rounding needed) → flattened feature
+    columns.  DuckDB's sha256(VARCHAR) hashes the UTF-8 bytes, which is
+    exactly the stub payload, so the oracle replays the whole path."""
     from nerpii_ray.stages.multimodal import media_pipeline
 
     out = media_pipeline(_read(sf_dir, "documents", ["doc_id", "text"]))
-    return out.select_columns(["media_id", "media_type", "n_bytes"])
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        f = np.stack(df["feature"].to_numpy()).astype("float64")
+        res = pd.DataFrame(
+            {
+                "media_id": df["media_id"],
+                "media_type": df["media_type"],
+                "n_bytes": df["n_bytes"],
+            }
+        )
+        for i in range(f.shape[1]):
+            res[f"f{i}"] = f[:, i]
+        return res
+
+    return out.map_batches(flat, batch_format="pandas")
 
 
 # =====================================================================
@@ -898,17 +937,158 @@ def _kg_results(sf: float):
     return _KG_CACHE[sf]
 
 
-@register("kg_edges")
+_KG_ORACLE_DIR = "/tmp/nerpii_ray_oracle"
+
+
+def kg_mentions_path(sf: float) -> str:
+    return f"{_KG_ORACLE_DIR}/kg_mentions_sf{sf}"
+
+
+def _transcripts_path_for(sf: float) -> str:
+    # path formula only — must not trigger generation at SQL-build time
+    from nerpii_ray.testgen import _GEN_VERSION
+
+    return f"/tmp/nerpii_ray_transcripts/sf{sf}-seed42-v{_GEN_VERSION}"
+
+
+def _write_kg_mentions(sf: float) -> None:
+    """Write the node-bearing mention rows (with a per-turn ordinal
+    preserving engine emission order) so the SQL oracles can replay
+    triple extraction / node dedup over the same input."""
+    import os
+
+    import shutil
+
+    res = _kg_results(sf)
+
+    def node_rows_ord(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["node_id"].notna()][
+            ["conv_id", "turn_idx", "role", "tool", "entity", "node_id",
+             "norm_surface", "score", "start"]
+        ].copy()
+        b["entity"] = b["entity"].astype(str)
+        b["ord"] = b.groupby(["conv_id", "turn_idx"], sort=False).cumcount()
+        return b
+
+    out = kg_mentions_path(sf)
+    os.makedirs(_KG_ORACLE_DIR, exist_ok=True)
+    shutil.rmtree(out, ignore_errors=True)
+    res["mentions"].map_batches(
+        node_rows_ord, batch_format="pandas", batch_size=None
+    ).write_parquet(out)
+
+
+def kg_edges_sql_for(sf: float) -> str:
+    """SQL twin of ``stages/triples.py``: mentions / sent_email_to /
+    works_for / located_in from the written-out mention rows, used_tool
+    straight from the turns parquet; identity and dedup exactly per the
+    engine (actor/tool node IDs via substr(md5(...), 1, 16); first-per-
+    key by the engine's emission ordinal)."""
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH men AS (
+      SELECT conv_id, turn_idx, role, tool, entity, node_id, score, "ord",
+             substr(md5('ACTOR:' || conv_id || ':' || role), 1, 16) AS actor_id
+      FROM '{men}'
+    ),
+    mention_edges AS (
+      SELECT actor_id AS subj_id, 'ACTOR' AS subj_type, 'mentions' AS pred,
+             node_id AS obj_id, entity AS obj_type, conv_id, turn_idx, score,
+             row_number() OVER (PARTITION BY actor_id, node_id, conv_id, turn_idx
+                                ORDER BY "ord") AS rk
+      FROM men
+    ),
+    email_edges AS (
+      SELECT actor_id AS subj_id, 'ACTOR' AS subj_type, 'sent_email_to' AS pred,
+             node_id AS obj_id, 'EMAIL_ADDRESS' AS obj_type, conv_id, turn_idx,
+             score,
+             row_number() OVER (PARTITION BY actor_id, node_id, conv_id, turn_idx
+                                ORDER BY "ord") AS rk
+      FROM men WHERE tool = 'send_email' AND entity = 'EMAIL_ADDRESS'
+    ),
+    firsts AS (
+      SELECT conv_id, turn_idx, entity, node_id, score,
+             row_number() OVER (PARTITION BY conv_id, turn_idx, entity
+                                ORDER BY "ord") AS rk
+      FROM men
+    ),
+    pair_edges AS (
+      SELECT p.node_id AS subj_id, 'PERSON' AS subj_type,
+             CASE o.entity WHEN 'ORGANIZATION' THEN 'works_for'
+                           ELSE 'located_in' END AS pred,
+             o.node_id AS obj_id, o.entity AS obj_type,
+             p.conv_id, p.turn_idx, p.score * o.score AS score
+      FROM (SELECT * FROM firsts WHERE entity = 'PERSON' AND rk = 1) p
+      JOIN (SELECT * FROM firsts
+            WHERE entity IN ('ORGANIZATION', 'LOCATION') AND rk = 1) o
+        ON p.conv_id = o.conv_id AND p.turn_idx = o.turn_idx
+    ),
+    tool_edges AS (
+      SELECT substr(md5('ACTOR:' || conv_id || ':' || role), 1, 16) AS subj_id,
+             'ACTOR' AS subj_type, 'used_tool' AS pred,
+             substr(md5('TOOL:' || tool), 1, 16) AS obj_id, 'TOOL' AS obj_type,
+             conv_id, turn_idx, 1.0 AS score
+      FROM '{turns}'
+      WHERE tool IS NOT NULL AND tool <> 'none'
+    )
+    SELECT subj_id, subj_type, pred, obj_id, obj_type, conv_id, turn_idx, score
+    FROM mention_edges WHERE rk = 1
+    UNION ALL
+    SELECT subj_id, subj_type, pred, obj_id, obj_type, conv_id, turn_idx, score
+    FROM email_edges WHERE rk = 1
+    UNION ALL SELECT * FROM pair_edges
+    UNION ALL SELECT * FROM tool_edges
+    """
+
+
+def kg_nodes_core_sql_for(sf: float) -> str:
+    """SQL twin of the distinct-nodes build (minus the pseudonym column,
+    whose seeded-gazetteer generation is not SQL-expressible): entity
+    nodes from the mention rows ((node_id → entity, canonical_name) is
+    functional by construction of the ID), ACTOR/TOOL nodes from the
+    turns table."""
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    SELECT DISTINCT node_id, entity AS entity_type,
+           norm_surface AS canonical_name
+    FROM '{men}'
+    UNION
+    SELECT DISTINCT
+           substr(md5('ACTOR:' || conv_id || ':' || role), 1, 16) AS node_id,
+           'ACTOR' AS entity_type,
+           conv_id || ':' || role AS canonical_name
+    FROM '{turns}'
+    UNION
+    SELECT DISTINCT substr(md5('TOOL:' || tool), 1, 16) AS node_id,
+           'TOOL' AS entity_type, tool AS canonical_name
+    FROM '{turns}'
+    WHERE tool IS NOT NULL AND tool <> 'none'
+    """
+
+
+@register("kg_edges", kg_edges_sql_for(0.01))  # driver runs sf0.01
 def kg_edges(sf_dir: str):
-    return _kg_results(_sf_of(sf_dir))["edges"]
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    return _kg_results(sf)["edges"]
 
 
-@register("kg_nodes")
+@register("kg_nodes")  # full table incl. pseudonyms — rows-only
 def kg_nodes(sf_dir: str):
     return _kg_results(_sf_of(sf_dir))["nodes"]
 
 
-_KG_ORACLE_DIR = "/tmp/nerpii_ray_oracle"
+@register("kg_nodes_core", kg_nodes_core_sql_for(0.01))
+def kg_nodes_core(sf_dir: str):
+    """Distinct nodes without the (non-SQL-expressible) pseudonym —
+    hash-checkable core of the node build."""
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    return _kg_results(sf)["nodes"].select_columns(
+        ["node_id", "entity_type", "canonical_name"]
+    )
 
 
 def kg_hist_path(sf: float) -> str:
@@ -1137,12 +1317,31 @@ def orders_union_counts(sf_dir: str):
     return grouped_sum(both, ["status"], ["n"], partial_fn=partial, adaptive=False)  # 2 statuses
 
 
-@register("orders_sample")  # seeded sample — rows-only (RNG differs from SQL)
+@register(
+    "orders_sample",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '199a'
+    """,
+)
 def orders_sample(sf_dir: str):
-    """M4 row sampler as a Dataset op: seeded random_sample (deterministic
-    within the engine, unlike the reference's unseeded df.sample)."""
+    """M4 row sampler as a content-hash filter: keep rows whose
+    md5(key) prefix falls under the rate threshold (0.1 → 0x199a/0x10000).
+    Deterministic by content — stable under retries, re-batching and
+    resumed runs (an RNG-state sampler is none of these), and exactly
+    reproducible in SQL, unlike the reference's unseeded df.sample
+    (named_entity_recognizer.py:316).  ``Dataset.random_sample(frac,
+    seed)`` remains available when statistical (non-reproducible-in-SQL)
+    sampling is wanted."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    return ds.random_sample(0.1, seed=42)
+
+    def hash_filter(b: pd.DataFrame) -> pd.DataFrame:
+        pref = md5_of_strings(b["o_orderkey"].astype(str)).str[:4]
+        return b[pref < "199a"]
+
+    return ds.map_batches(hash_filter, batch_format="pandas")
 
 
 @register(

@@ -11,13 +11,19 @@ from nerpii_ray.pipelines.queries import (
     ORACLE_SQL,
     QUERIES,
     kg_assignments_sql_for,
+    kg_edges_sql_for,
+    kg_nodes_core_sql_for,
 )
 
 SF = "/root/testdata/sf0.001"
-# kg_assignments' oracle reads the histogram parquet the query writes,
-# whose path embeds the sf; the registered SQL targets the driver's
-# sf0.01 run, so rebuild it for the test sf here
-SQL_OVERRIDES = {"kg_assignments": kg_assignments_sql_for(0.001)}
+# the kg oracles read side parquets the queries write, whose paths embed
+# the sf; the registered SQL targets the driver's sf0.01 run, so rebuild
+# it for the test sf here
+SQL_OVERRIDES = {
+    "kg_assignments": kg_assignments_sql_for(0.001),
+    "kg_edges": kg_edges_sql_for(0.001),
+    "kg_nodes_core": kg_nodes_core_sql_for(0.001),
+}
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
