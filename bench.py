@@ -133,27 +133,37 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 then 32; efficiency =
-    (R32/R8)/4 where R = turns/sec."""
+    """Same job, fresh processes, N and 4N CPUs; efficiency =
+    (R_hi/R_lo)/4 where R = turns/sec.
+
+    The two levels run INTERLEAVED over multiple rounds (lo, hi, lo,
+    hi, ...) with best-of-rounds per level: this box shows up to ±40 %
+    run-to-run drift under residual background load, and a sequential
+    lo-then-hi protocol silently charges whichever level ran during the
+    noisy window.  Interleaving exposes both levels to the same machine
+    conditions."""
     lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "8"))
-    results = {}
-    for ncpu in (lo, lo * 4):
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "16"),
-            # best-of-2 at each level: single runs carry 1.5x run-to-run
-            # variance from object-store/page-cache state
-            RAY_GRAFT_REPS=os.environ.get("RAY_GRAFT_REPS", "2"),
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    levels = (lo, lo * 4)
+    rounds = int(os.environ.get("RAY_GRAFT_SCALE_ROUNDS", "2"))
+    results: dict = {}
+    for _ in range(rounds):
+        for ncpu in levels:
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                RAY_GRAFT_SCALE_MULT=os.environ.get("RAY_GRAFT_SCALE_MULT", "16"),
+                RAY_GRAFT_REPS=os.environ.get("RAY_GRAFT_REPS", "2"),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            rec = json.loads(out.strip().splitlines()[-1])
+            if ncpu not in results or rec["turns_per_sec"] > results[ncpu]["turns_per_sec"]:
+                results[ncpu] = rec
     r_lo = results[lo]["turns_per_sec"]
     r_hi = results[lo * 4]["turns_per_sec"]
     return {
@@ -165,6 +175,7 @@ def run_scaling() -> dict:
         f"sec_{lo}": results[lo]["value"],
         f"sec_{lo * 4}": results[lo * 4]["value"],
         "scaling_efficiency": round((r_hi / r_lo) / 4, 3),
+        "rounds": rounds,
         "sf": results[lo * 4]["sf"],
     }
 

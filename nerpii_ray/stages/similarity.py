@@ -152,10 +152,18 @@ def ivf_topk(
 ):
     """Approximate top-k: IVF cell pruning (codebook from a sample) then
     exact rescoring inside probed cells.  Recall measured against
-    brute_force_topk in tests."""
-    sample = np.stack(
-        [np.asarray(v, dtype=np.float64) for v in ds.limit(sample_rows).to_pandas()[vec_col]]
-    )
+    brute_force_topk in tests.
+
+    The training sample is a seeded ``random_sample`` across the whole
+    dataset — ``limit(n)`` would take only the first file(s), and a
+    codebook trained on one shard's distribution prunes the rest badly.
+    """
+    n = ds.count()
+    frac = min(1.0, sample_rows / max(1, n))
+    sampled = ds.random_sample(frac, seed=13).to_pandas()
+    if len(sampled) == 0:  # degenerate tiny input
+        sampled = ds.limit(sample_rows).to_pandas()
+    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sampled[vec_col]])
     cb = train_codebook(sample, nlist)
     local = ds.map_batches(
         _IVFScorer,
