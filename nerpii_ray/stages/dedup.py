@@ -254,15 +254,33 @@ def minhash_lsh_pairs(
              "id_b": np.concatenate(ib).astype("int64")}
         ).drop_duplicates()
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    cand = hash_exchange_aggregate(
-        banded.map_batches(light_rows, batch_format="pandas"),
-        partial_fn=lambda b: b,
-        merge_fn=lambda df: df,
-        keys=["band", "band_hash"],
-        num_buckets=max(8, ncpu),
-        finish_fn=cand_pairs,
-    )
+    # Cardinality-aware pairing root (same policy as stages/agg.py):
+    # a small key table pairs in ONE task — actor fleets cost more to
+    # spawn than the whole exchange at this size — while a large one
+    # goes through the keyed actor exchange so no single node ever holds
+    # the docs × bands table.  banded is materialized → count is free.
+    from nerpii_ray.stages.agg import ROOT_THRESHOLD_DEFAULT
+
+    n_light = banded.count()
+    lights = banded.map_batches(light_rows, batch_format="pandas")
+    if n_light <= ROOT_THRESHOLD_DEFAULT:
+        cand = (
+            lights.repartition(1)
+            .map_batches(cand_pairs, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+    else:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        # one bucket actor per ~1M key rows, capped at cluster width
+        num_buckets = int(min(max(8, ncpu), max(2, n_light // 1_000_000 + 1)))
+        cand = hash_exchange_aggregate(
+            lights,
+            partial_fn=lambda b: b,
+            merge_fn=lambda df: df,
+            keys=["band", "band_hash"],
+            num_buckets=num_buckets,
+            finish_fn=cand_pairs,
+        )
     if cand.empty:
         return rd.from_pandas(empty)
     # the same pair can surface from several bands/actors → dedup (the

@@ -114,6 +114,29 @@ def test_minhash_pairs_match_naive_lsh(docs_df):
     assert got == want
 
 
+def test_minhash_pairing_root_and_exchange_agree(docs_df):
+    """The cardinality-aware pairing root: the single-task root (small
+    key tables) and the keyed actor exchange (forced via a tiny
+    threshold) must emit identical pair sets."""
+    import nerpii_ray.stages.agg as agg
+    from nerpii_ray.stages.dedup import minhash_lsh_pairs as mlp
+
+    base = docs_df.head(40).copy()
+    near = base.head(6).copy()
+    near["doc_id"] += 7000
+    near["text"] = near["text"].str.replace("the", "thee", n=1)
+    ds = rd.from_pandas(pd.concat([base, near], ignore_index=True)).repartition(4)
+    want = mlp(ds).to_pandas()
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1  # read at call time → forces exchange
+    try:
+        got = mlp(ds).to_pandas()
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    assert set(zip(want["id_a"], want["id_b"])) == set(zip(got["id_a"], got["id_b"]))
+    assert len(want) > 0
+
+
 def test_empty_docs_never_pair_as_duplicates(docs_df):
     """Empty/whitespace-only docs must not read as jaccard-1.0 duplicates
     of each other — in LSH (all-sentinel signatures) or n-gram Jaccard
