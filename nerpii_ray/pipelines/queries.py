@@ -16,9 +16,15 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-Queries with no SQL entry (minhash/simhash/IVF/langid/multimodal/KG) are
-non-SQL-expressible; the driver records rows-only checks and pytest
-covers their semantics (test_ops.py / test_kg_pipeline.py).
+37 of 41 queries carry a SQL oracle — including the KG flagship (edges,
+node core, assignments, gender enrichment, replayed over side parquets
+the queries write) and the bit-exact SimHash.  The 4 rows-only entries
+are each non-SQL-expressible for a stated reason: doc_minhash_pairs
+(randomized LSH banding; pinned against a naive in-process LSH in
+pytest), ann_ivf_topk (approximate by design; recall-vs-exact test),
+kg_nodes (seeded-gazetteer pseudonyms; the pseudonym-free core is
+SQL-checked as kg_nodes_core), transcript_redact (corpus-wide pseudonym
+co-reference; tag-mode redaction is SQL-checked as doc_redact_tags).
 """
 
 from __future__ import annotations
@@ -760,8 +766,37 @@ def doc_minhash_pairs(sf_dir: str):
     )
 
 
-@register("doc_simhash")  # rows-only; determinism tested in test_ops
+@register(
+    "doc_simhash",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h, c
+      FROM tc
+    ), votes AS (
+      SELECT doc_id, r.b,
+             SUM(c * (2 * CAST((h >> CAST(r.b AS INT)) & 1 AS BIGINT) - 1)) AS vote
+      FROM th, range(64) r(b) GROUP BY doc_id, r.b
+    ), sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                      ELSE CAST(0 AS UBIGINT) END) AS sim
+      FROM votes GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(s.sim, 0) AS VARCHAR) AS simhash
+    FROM documents d LEFT JOIN sims s USING (doc_id)
+    """,
+)
 def doc_simhash(sf_dir: str):
+    """64-bit SimHash, replayed bit-for-bit in SQL: token hash = first 8
+    md5 bytes big-endian (the engine's stable_hash64), per-bit vote =
+    Σ count·(2·bit−1), sim bit set where votes > 0.  Tokenless docs →
+    0 on both sides."""
     from nerpii_ray.stages.dedup import add_simhash
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -774,8 +809,37 @@ def doc_simhash(sf_dir: str):
     return ds.map_batches(fmt, batch_format="pandas")
 
 
-@register("doc_ngram_jaccard_pairs")  # rows-only (bucketed exact verify)
+@register(
+    "doc_ngram_jaccard_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) = 0 THEN []
+                  WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                         i -> array_to_string(toks[i:i+2], ' ')))
+             END AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+    """,
+)
 def doc_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard pairs within source buckets, replayed
+    in SQL via DuckDB list ops (list slicing [i:i+2] is inclusive = one
+    3-gram; len<=3 docs collapse to a single whole-doc shingle on both
+    sides).  The engine's max_bucket truncation never fires at oracle
+    scale (buckets ≪ 512), so the two sides see identical pair spaces."""
     from nerpii_ray.stages.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -1262,25 +1326,47 @@ def events_props_extract(sf_dir: str):
     return grouped_sum(ds, ["event_type"], ["sum_k", "n"], partial_fn=partial, adaptive=False)  # 5 event types
 
 
-@register("transcript_gender_enrich")  # rows-only; M5 analogue over transcripts
+def transcript_gender_sql_for(sf: float) -> str:
+    """SQL twin of M5 over the transcript PERSON mentions: first token
+    of the normalized surface → gender bucket, CASE generated from the
+    SAME vocabulary the engine compiles (male / female / mostly_* /
+    andy / unknown)."""
+    from nerpii_ray.gazetteers import FIRST_NAME_GENDER
+
+    buckets: Dict[str, list] = {}
+    for name, g in FIRST_NAME_GENDER.items():
+        buckets.setdefault(g, []).append(name.lower())
+    whens = " ".join(
+        f"WHEN split_part(norm_surface, ' ', 1) IN "
+        f"({', '.join(repr(n) for n in sorted(names))}) THEN '{g}'"
+        for g, names in sorted(buckets.items())
+    )
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    SELECT conv_id, turn_idx, norm_surface AS surface_norm,
+           CASE {whens} ELSE 'unknown' END AS first_name_gender
+    FROM '{men}' WHERE entity = 'PERSON'
+    """
+
+
+@register("transcript_gender_enrich", transcript_gender_sql_for(0.01))
 def transcript_gender_enrich(sf_dir: str):
     """Gender enrichment (get_gender, named_entity_recognizer.py:203-231)
-    applied to PERSON mentions of the transcript stream."""
-    import ray.data as _rd
-
-    from nerpii_ray.config import EngineConfig
+    applied to PERSON mentions of the transcript stream — SQL-checked
+    against the written-out mention rows (the lookup is case-insensitive,
+    so the normalized surface drives both sides)."""
     from nerpii_ray.functions.textfns import gender_of_first_names
-    from nerpii_ray.stages.recognize import recognize_mentions
-    from nerpii_ray.testgen import transcripts_for_sf
 
-    tdir = transcripts_for_sf(_sf_of(sf_dir))
-    mentions = recognize_mentions(_rd.read_parquet(tdir), config=EngineConfig())
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
 
     def enrich(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["entity"] == "PERSON"].copy()
-        first = b["surface"].str.split().str[0]
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()].copy()
+        first = b["norm_surface"].str.split().str[0]
         b["first_name_gender"] = gender_of_first_names(first)
-        return b[["conv_id", "turn_idx", "surface", "first_name_gender"]]
+        b["surface_norm"] = b["norm_surface"]
+        return b[["conv_id", "turn_idx", "surface_norm", "first_name_gender"]]
 
     return mentions.map_batches(enrich, batch_format="pandas")
 

@@ -17,6 +17,7 @@ state their partitioning assumption in the docstring.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -376,7 +377,9 @@ def ngram_jaccard_pairs(
                 if jac >= threshold:
                     ia.append(ids[i])
                     ib.append(ids[j])
-                    js.append(round(jac, 6))
+                    # half-away rounding, matching SQL ROUND (Python's
+                    # round() is half-even and would diverge on exact .5)
+                    js.append(math.floor(jac * 1e6 + 0.5) / 1e6)
         return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": js})
 
     return ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")
