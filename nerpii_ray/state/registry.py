@@ -219,6 +219,17 @@ class CompiledRegistry:
             self.loc_bigram_first.setdefault(words[0], []).append(tuple(words[1:]))
         for k in self.loc_bigram_first:
             self.loc_bigram_first[k].sort(key=len, reverse=True)
+        # union of every gazetteer first-token vocabulary: the token scan
+        # tests membership ONCE per token and skips everything else —
+        # ~80 % of tokens are in no gazetteer, and testing them against
+        # pattern spans / neighbors dominated the scan loop
+        self.interest = (
+            set(self.loc_bigram_first)
+            | FIRST_NAMES
+            | LOCATION_UNIGRAMS
+            | set(US_STATE_ABBR_SAFE)
+            | LAST_NAME_SET
+        )
 
     # ------------------------------------------------------------------
     def scan(self, texts: Sequence[Optional[str]]) -> Dict[str, list]:
@@ -414,10 +425,15 @@ class CompiledRegistry:
 
         # 3b: LOCATION bigrams/unigrams and PERSON names
         consumed = [False] * n
+        interest = self.interest
         for i in range(n):
+            word, gpos = toks[i]
+            if word not in interest:
+                # no gazetteer starts with this token — every branch
+                # below would fall through; skip the span/neighbor work
+                continue
             if consumed[i] or in_org[i] or inside_pattern(i):
                 continue
-            word, gpos = toks[i]
             r = tok_row[i]
             ls = gpos - int(row_starts[r])
             nxt = None
