@@ -67,15 +67,24 @@ def run_kg(
     config: Optional[EngineConfig] = None,
     dedup_edges: bool = False,
     with_assignments: bool = True,
+    redact: Optional[str] = None,
 ):
     """Transcripts Dataset → dict of result Datasets/tables.
 
     Returns {"mentions": Dataset, "edges": Dataset, "nodes": Dataset,
-    "assignments": pandas.DataFrame | None}.
+    "assignments": pandas.DataFrame | None, "redacted": Dataset | None}.
+
+    ``redact`` ("pseudonym" | "tag") fuses redaction into the SAME scan
+    that feeds the graph: the recognizer actors emit one redacted-text
+    row per turn alongside the mention rows, so the privacy-preserving
+    corpus and the KG cost one read of the input instead of two full
+    scans.  Every KG consumer filters those rows out by construction
+    (null node_id, non-presidio stage, non-count entity).
     """
     import time
 
     from nerpii_ray.stages.canonicalize import node_rows
+    from nerpii_ray.stages.recognize import STAGE_REDACTED
 
     cfg = config or EngineConfig()
     metrics: dict = {}
@@ -88,12 +97,30 @@ def run_kg(
     # measured as a flat 52 s at BOTH 8 and 32 CPUs before fusing.
     t0 = time.monotonic()
     with_ids = recognize_mentions(
-        turns_ds, config=cfg, attach_ids=True
+        turns_ds, config=cfg, attach_ids=True, emit_redacted=redact
     ).materialize()
     metrics["scan"] = {
         "wall_sec": round(time.monotonic() - t0, 3),
         "mention_rows": with_ids.count(),  # metadata-only on materialized
     }
+
+    redacted = None
+    if redact is not None:
+        def redacted_turns(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["stage"].astype(str) == STAGE_REDACTED]
+            return pd.DataFrame(
+                {
+                    "conv_id": b["conv_id"],
+                    "turn_idx": b["turn_idx"],
+                    "role": b["role"].astype(str),
+                    "text": b["norm_surface"],
+                    "tool": b["tool"].astype(str),
+                }
+            )
+
+        redacted = with_ids.map_batches(
+            redacted_turns, batch_format="pandas", batch_size=cfg.batch_size
+        )
 
     assignments = None
     if with_assignments:
@@ -137,6 +164,7 @@ def run_kg(
         "edges": edges,
         "nodes": nodes,
         "assignments": assignments,
+        "redacted": redacted,
         # F15: structured per-stage metrics (lineage record).  edges /
         # nodes stay lazy here, so their rows/wall are recorded by the
         # sink that consumes them (write_graph / write_partition).

@@ -996,7 +996,8 @@ def _kg_results(sf: float):
 
         tdir = transcripts_for_sf(sf)
         _KG_CACHE[sf] = run_kg(
-            _rd.read_parquet(tdir), EngineConfig(), with_assignments=True
+            _rd.read_parquet(tdir), EngineConfig(), with_assignments=True,
+            redact="pseudonym",  # fused: graph + redacted corpus, one scan
         )
     return _KG_CACHE[sf]
 
@@ -1142,6 +1143,15 @@ def kg_edges(sf_dir: str):
 @register("kg_nodes")  # full table incl. pseudonyms — rows-only
 def kg_nodes(sf_dir: str):
     return _kg_results(_sf_of(sf_dir))["nodes"]
+
+
+@register("kg_redacted_turns")  # rows-only: fused-scan output; equality
+def kg_redacted_turns(sf_dir: str):  # with standalone redaction is pytest-pinned
+    """The fused KG+redaction scan's corpus output: one redacted turn
+    per input turn, produced by the SAME actor pass that feeds the graph
+    (test_kg_pipeline::test_fused_redaction_matches_standalone pins
+    text-for-text equality with the standalone redactor)."""
+    return _kg_results(_sf_of(sf_dir))["redacted"]
 
 
 @register("kg_nodes_core", kg_nodes_core_sql_for(0.01))

@@ -31,6 +31,9 @@ from nerpii_ray.config import EngineConfig
 from nerpii_ray.state.registry import RecognizerRegistry
 
 ROWS_LABEL = "__ROWS__"
+#: fused-redaction row markers (one row per turn when emit_redacted set)
+REDACTED_LABEL = "__REDACTED__"
+STAGE_REDACTED = "redacted"
 
 
 class RecognizerActor:
@@ -57,6 +60,7 @@ class RecognizerActor:
         group_from: Optional[Sequence[str]] = ("role", "tool"),
         emit_group_counts: bool = True,
         attach_ids: bool = False,
+        emit_redacted: Optional[str] = None,
     ):
         cfg = config or EngineConfig()
         if registry is None:
@@ -75,6 +79,11 @@ class RecognizerActor:
         #: computed here so no separate (CPU-starved) task stage is needed
         #: while the actor pool holds the cluster's slots
         self.attach_ids = attach_ids
+        #: fused redaction ("pseudonym" | "tag" | None): the SAME scan
+        #: that feeds the KG also emits one redacted-text row per turn —
+        #: the privacy-preserving corpus and the graph cost ONE read of
+        #: the input instead of two full scans
+        self.emit_redacted = emit_redacted
         if attach_ids:
             import re as _re
 
@@ -149,9 +158,47 @@ class RecognizerActor:
                     ):
                         cols[c] = pc.dictionary_encode(arr)
         mentions = pa.table(cols)
+        parts = [mentions]
+
+        if self.emit_redacted is not None:
+            from nerpii_ray.stages.redact import compute_redactions
+
+            new_texts = compute_redactions(out, texts, self.emit_redacted)
+            m = len(texts)
+            rcols: dict[str, pa.Array] = {}
+            for k in self.key_cols:
+                rcols[k] = batch.column(k)
+            rcols["group_key"] = group_keys
+            rcols["entity"] = pa.array([REDACTED_LABEL] * m, type=pa.string())
+            rcols["surface"] = pa.array(new_texts, type=pa.string())
+            rcols["start"] = pa.array([0] * m, type=pa.int32())
+            rcols["end"] = pa.array([0] * m, type=pa.int32())
+            rcols["score"] = pa.array([0.0] * m, type=pa.float64())
+            rcols["stage"] = pa.array([STAGE_REDACTED] * m, type=pa.string())
+            rcols["is_primary"] = pa.array([False] * m, type=pa.bool_())
+            rcols["cnt"] = pa.array([1] * m, type=pa.int64())
+            if self.attach_ids:
+                # the diet drops `surface`; the redacted text rides
+                # norm_surface (node_id stays null so every KG consumer
+                # filters these rows out untouched)
+                rcols["norm_surface"] = rcols.pop("surface")
+                rcols["node_id"] = pa.array([None] * m, type=pa.string())
+                del rcols["end"]
+                for c in ("entity", "stage", "group_key", *self.key_cols):
+                    if c in rcols and c not in ("conv_id", "turn_idx", "doc_id", "row_idx"):
+                        arr = rcols[c]
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                        if pa.types.is_string(arr.type):
+                            rcols[c] = pc.dictionary_encode(arr)
+            parts.append(pa.table(rcols))
 
         if not self.emit_group_counts:
-            return mentions
+            return (
+                parts[0]
+                if len(parts) == 1
+                else pa.concat_tables(parts, promote_options="default")
+            )
 
         # per-(group, batch) row-count partial rows
         vc = group_keys.value_counts()
@@ -183,7 +230,8 @@ class RecognizerActor:
                     if pa.types.is_string(arr.type):
                         ccols[c] = pc.dictionary_encode(arr)
         counts = pa.table(ccols)
-        return pa.concat_tables([mentions, counts], promote_options="default")
+        parts.append(counts)
+        return pa.concat_tables(parts, promote_options="default")
 
 
 def recognize_mentions(
@@ -196,6 +244,7 @@ def recognize_mentions(
     group_from: Optional[Sequence[str]] = ("role", "tool"),
     emit_group_counts: bool = True,
     attach_ids: bool = False,
+    emit_redacted: Optional[str] = None,
 ):
     """Attach the recognizer actor pool to a Dataset of turns/documents."""
     cfg = config or EngineConfig()
@@ -210,6 +259,7 @@ def recognize_mentions(
             group_from=group_from,
             emit_group_counts=emit_group_counts,
             attach_ids=attach_ids,
+            emit_redacted=emit_redacted,
         ),
         batch_format="pyarrow",
         batch_size=cfg.recognizer_batch_size,

@@ -33,6 +33,54 @@ from nerpii_ray.state.registry import (
 _REPLACE_STAGES = set(PRESIDIO_STAGES) | {STAGE_MODEL_SPAN}
 
 
+def replacement_for(entity: str, surface: str, mode: str) -> str:
+    if mode == "tag":
+        return f"[{entity}]"
+    return pseudonym_for(entity, normalize_surface_one(surface))
+
+
+def compute_redactions(scan_out: dict, texts: list, mode: str) -> list:
+    """Scan output + original texts → redacted texts (one per input row).
+
+    Shared by the standalone redactor and the fused KG+redaction scan:
+    group replacement spans per row, prefer higher-score spans on
+    overlap (EMAIL over the PERSON token inside it), splice right-to-
+    left so offsets stay valid."""
+    spans_by_row: dict[int, list] = {}
+    for i in range(len(scan_out["row"])):
+        if scan_out["stage"][i] not in _REPLACE_STAGES:
+            continue
+        spans_by_row.setdefault(scan_out["row"][i], []).append(
+            (
+                -scan_out["score"][i],
+                scan_out["start"][i],
+                scan_out["end"][i],
+                scan_out["entity"][i],
+                scan_out["surface"][i],
+            )
+        )
+
+    new_texts = list(texts)
+    for r, spans in spans_by_row.items():
+        text = texts[r]
+        if text is None:
+            continue
+        spans.sort()  # score desc, then start
+        accepted: list = []
+        for _, s, e, ent, surf in spans:
+            if any(
+                not (e <= as_ or s >= ae)
+                for as_, ae in ((a[0], a[1]) for a in accepted)
+            ):
+                continue
+            accepted.append((s, e, ent, surf))
+        # splice right-to-left so offsets stay valid
+        for s, e, ent, surf in sorted(accepted, reverse=True):
+            text = text[:s] + replacement_for(ent, surf, mode) + text[e:]
+        new_texts[r] = text
+    return new_texts
+
+
 class RedactorActor:
     """map_batches callable: registry compiled once per actor."""
 
@@ -56,47 +104,10 @@ class RedactorActor:
             raise ValueError(f"unknown redaction mode: {mode}")
         self.mode = mode
 
-    def _replacement(self, entity: str, surface: str) -> str:
-        if self.mode == "tag":
-            return f"[{entity}]"
-        return pseudonym_for(entity, normalize_surface_one(surface))
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
         out = self.compiled.scan(texts)
-
-        # group span replacements per row; prefer higher-score spans when
-        # overlapping (e.g. EMAIL over the PERSON token inside it)
-        spans_by_row: dict[int, list] = {}
-        for i in range(len(out["row"])):
-            if out["stage"][i] not in _REPLACE_STAGES:
-                continue
-            spans_by_row.setdefault(out["row"][i], []).append(
-                (
-                    -out["score"][i],
-                    out["start"][i],
-                    out["end"][i],
-                    out["entity"][i],
-                    out["surface"][i],
-                )
-            )
-
-        new_texts = list(texts)
-        for r, spans in spans_by_row.items():
-            text = texts[r]
-            if text is None:
-                continue
-            spans.sort()  # score desc, then start
-            accepted: list = []
-            for _, s, e, ent, surf in spans:
-                if any(not (e <= as_ or s >= ae) for as_, ae in ((a[0], a[1]) for a in accepted)):
-                    continue
-                accepted.append((s, e, ent, surf))
-            # splice right-to-left so offsets stay valid
-            for s, e, ent, surf in sorted(accepted, reverse=True):
-                text = text[:s] + self._replacement(ent, surf) + text[e:]
-            new_texts[r] = text
-
+        new_texts = compute_redactions(out, texts, self.mode)
         idx = batch.schema.get_field_index(self.text_col)
         return batch.set_column(
             idx, self.text_col, pa.array(new_texts, pa.string())

@@ -83,6 +83,36 @@ def test_run_kg_emits_stage_metrics(transcripts, tmp_path):
     assert rec["write_edges"]["wall_sec"] > 0
 
 
+def test_fused_redaction_matches_standalone(transcripts):
+    """run_kg(redact=...) fuses redaction into the KG scan: the redacted
+    corpus must equal the standalone redact_transcripts output text-for-
+    text, and the graph must be unchanged by the fusion."""
+    from nerpii_ray.stages.redact import redact_transcripts
+
+    turns = rd.read_parquet(transcripts)
+    cfg = EngineConfig(recognizer_concurrency=2)
+    fused = run_kg(turns, cfg, with_assignments=False, redact="pseudonym")
+    fused_red = (
+        fused["redacted"].to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    alone = (
+        redact_transcripts(turns, cfg, mode="pseudonym").to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert len(fused_red) == len(alone)
+    assert (fused_red["text"].to_numpy() == alone["text"].to_numpy()).all()
+
+    # graph unchanged by the fusion
+    plain = run_kg(turns, cfg, with_assignments=False)
+    assert _engine_edge_set(fused["edges"].to_pandas()) == _engine_edge_set(
+        plain["edges"].to_pandas()
+    )
+    nodes_f = set(fused["nodes"].to_pandas()["node_id"])
+    nodes_p = set(plain["nodes"].to_pandas()["node_id"])
+    assert nodes_f == nodes_p
+
+
 def test_per_turn_text_equality_under_stable_order(transcripts):
     """input_hint invariant: per-turn text equality under stable
     (conv_id, turn_idx) ordering, via the Dataset path vs direct read."""
