@@ -47,6 +47,7 @@ def cmd_kg(args) -> int:
         cfg,
         files_per_partition=args.files_per_partition,
         dedup_edges=args.dedup_edges,
+        redact=args.redact,
     )
     done = sum(1 for r in records if not r.get("skipped"))
     skipped = sum(1 for r in records if r.get("skipped"))
@@ -93,6 +94,11 @@ def main(argv=None) -> int:
     kg.add_argument("--output", required=True)
     kg.add_argument("--files-per-partition", type=int, default=8)
     kg.add_argument("--dedup-edges", action="store_true")
+    kg.add_argument(
+        "--redact", choices=["pseudonym", "tag"], default=None,
+        help="also emit a redacted corpus per partition, fused into the "
+             "same scan that builds the graph",
+    )
     kg.set_defaults(fn=cmd_kg)
 
     pr = sub.add_parser("profile", help="table → column entity assignments")

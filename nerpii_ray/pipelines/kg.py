@@ -228,6 +228,7 @@ def run_kg_partitioned(
     config: Optional[EngineConfig] = None,
     files_per_partition: int = 8,
     dedup_edges: bool = False,
+    redact: Optional[str] = None,
 ) -> list[dict]:
     """Checkpointed run: input shards → independent output partitions.
 
@@ -249,7 +250,7 @@ def run_kg_partitioned(
             records.append({"partition": p, "skipped": True})
             continue
         turns = read_transcripts(part_files)
-        res = run_kg(turns, cfg, dedup_edges=dedup_edges)
+        res = run_kg(turns, cfg, dedup_edges=dedup_edges, redact=redact)
         lineage = {
             "partition": p,
             "input_files": part_files,
@@ -257,6 +258,10 @@ def run_kg_partitioned(
         }
         rec_e = write_partition(res["edges"], os.path.join(part_out, "edges"), lineage)
         rec_n = write_partition(res["nodes"], os.path.join(part_out, "nodes"), lineage)
+        if res.get("redacted") is not None:
+            write_partition(
+                res["redacted"], os.path.join(part_out, "redacted"), lineage
+            )
         if res["assignments"] is not None:
             os.makedirs(part_out, exist_ok=True)
             res["assignments"].to_parquet(
