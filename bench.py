@@ -25,6 +25,18 @@ import sys
 import time
 
 
+def _cpu_canary() -> float:
+    """Single-core spin time (s): the sandbox host's effective CPU speed
+    swings 2-3x between windows (co-tenant steal); recording the canary
+    alongside each measurement makes slow runs attributable.  ~0.5s in a
+    fast window on this box."""
+    t0 = time.monotonic()
+    x = 0
+    for i in range(10_000_000):
+        x += i * i
+    return round(time.monotonic() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -80,6 +92,7 @@ def run_bench() -> dict:
         recognizer_batch_size=8192,
     )
 
+    canary_before = _cpu_canary()
     # headline: full KG pipeline, consumed by writing the graph.
     # best-of-N reps (same job, same session): single runs at this scale
     # carry several seconds of variance from actor-pool spin-up and
@@ -127,6 +140,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
+        "cpu_canary_sec": [canary_before, _cpu_canary()],
     }
     ray.shutdown()
     return result
