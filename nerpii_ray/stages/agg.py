@@ -52,7 +52,7 @@ def tree_aggregate(
     batch_size: int = 65536,
     final_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
     keys: Optional[Sequence[str]] = None,
-    root_threshold: int = ROOT_THRESHOLD_DEFAULT,
+    root_threshold: Optional[int] = None,
 ):
     """Generic combiner → merge-tree aggregate.  All callables are
     pandas-in/pandas-out; merge_fn must be idempotent on merged input
@@ -65,6 +65,10 @@ def tree_aggregate(
     """
     if keys is not None and final_fn is not None:
         raise ValueError("final_fn requires a single-root finish; drop keys")
+    if root_threshold is None:
+        # resolved at call time so tests can force the spill path by
+        # patching the module constant
+        root_threshold = ROOT_THRESHOLD_DEFAULT
     out = ds.map_batches(partial_fn, batch_format="pandas", batch_size=batch_size)
     if keys is None:
         for n in levels:
@@ -109,7 +113,7 @@ def grouped_sum(
     partial_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
     levels: Tuple[int, ...] = (16, 1),
     batch_size: int = 65536,
-    root_threshold: int = ROOT_THRESHOLD_DEFAULT,
+    root_threshold: Optional[int] = None,
     adaptive: bool = True,
 ):
     """SUM-by-key via the cardinality-aware tree.  ``partial_fn``
@@ -142,7 +146,7 @@ def tree_dedup(
     keep_min: Optional[str] = None,
     levels: Tuple[int, ...] = (16, 1),
     batch_size: int = 65536,
-    root_threshold: int = ROOT_THRESHOLD_DEFAULT,
+    root_threshold: Optional[int] = None,
     adaptive: bool = True,
 ):
     """DISTINCT-by-key via the cardinality-aware tree (optionally keeping

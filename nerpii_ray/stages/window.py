@@ -60,11 +60,16 @@ def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
     sessionizes its own events into (user, start, end, count) intervals;
     merging two partials = interval merging with the same gap rule, which
     is associative — so the exchange carries one row per local session,
-    not per event.  Timestamps compare in integer MICROSECONDS (flooring
-    to seconds would disagree with the SQL oracle's ``epoch_us`` at
-    exact-gap boundaries).
+    not per event.  The interval table is keyed by user, so the tree's
+    cardinality-aware root applies: a users×sessions table past the
+    threshold finishes key-partitioned on the actor exchange instead of
+    coalescing into one block (at the 100-TB design point that root
+    would hold one row per session).  The per-user session/event counts
+    then reduce through a combiner-first grouped sum.  Timestamps
+    compare in integer MICROSECONDS (flooring to seconds would disagree
+    with the SQL oracle's ``epoch_us`` at exact-gap boundaries).
     """
-    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
 
     gap_us = gap_sec * 1_000_000
 
@@ -94,7 +99,7 @@ def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
         )
         return _merge_intervals(df)
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         out = (
             df.groupby(user_col, sort=False)
             .agg(n_sessions=("s_start", "size"), n_events=("n_events", "sum"))
@@ -102,6 +107,13 @@ def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
         )
         return out.astype({"n_sessions": "int64", "n_events": "int64"})
 
-    return tree_aggregate(
-        events_ds, partial, _merge_intervals, final_fn=finalize
+    # _merge_intervals is user-local and associative, so it is a valid
+    # per-key-range merge for the exchange finish; the interval rows a
+    # bucket actor accumulates are exactly its users' sessions
+    intervals = tree_aggregate(
+        events_ds, partial, _merge_intervals, keys=[user_col]
+    )
+    return grouped_sum(
+        intervals, [user_col], ["n_sessions", "n_events"],
+        partial_fn=count_partial,
     )

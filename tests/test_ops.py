@@ -246,6 +246,23 @@ def test_windows():
     assert (sess["n_sessions"] >= 1).all()
 
 
+def test_sessionize_spill_path_matches():
+    """sessionize's interval table is keyed by user, so a forced-low
+    root threshold must route it through the actor exchange and produce
+    identical per-user session counts."""
+    import nerpii_ray.stages.agg as agg
+
+    events = rd.read_parquet(f"{SF}/events.parquet")
+    want = sessionize(events, gap_sec=1800).to_pandas().sort_values("user_id").reset_index(drop=True)
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1
+    try:
+        got = sessionize(events, gap_sec=1800).to_pandas().sort_values("user_id").reset_index(drop=True)
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    pd.testing.assert_frame_equal(want, got[want.columns.tolist()])
+
+
 def test_windows_resolution_independent():
     """ns-backed timestamps must produce the same windows as us-backed —
     the window math normalizes units instead of trusting the ambient
