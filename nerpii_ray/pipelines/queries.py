@@ -486,12 +486,20 @@ def doc_assignments(sf_dir: str):
     def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b[["source", "doc_id"]].drop_duplicates()
 
+    # distinct (source, doc) pairs reduce through the adaptive tree and
+    # are COUNTED distributed — one row per distinct doc must never land
+    # on the driver (at scale that is doc-cardinality rows)
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", sort=False).size().reset_index(name="n_mentioned")
+
+    mentioned_counts = grouped_sum(
+        tree_dedup(ds, keys=["source", "doc_id"], partial_fn=pair_partial),
+        ["source"], ["n_mentioned"], partial_fn=count_partial, adaptive=False,
+    )
     mentioned = (
-        tree_dedup(ds, keys=["source", "doc_id"], partial_fn=pair_partial)
-        .to_pandas()
-        .groupby("source")
-        .size()
-        .reset_index(name="n_mentioned")
+        mentioned_counts.to_pandas()
+        if not isinstance(mentioned_counts, pd.DataFrame)
+        else mentioned_counts
     )
 
     def docs_partial(b: pd.DataFrame) -> pd.DataFrame:

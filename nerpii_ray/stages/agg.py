@@ -130,8 +130,16 @@ def grouped_sum(
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         # run the groupby even on empty input: short-circuiting an empty
         # block would pass through degraded dtypes (e.g. float64 for an
-        # empty int column) and poison later concatenations
-        return df.groupby(keys, sort=False)[sum_cols].sum().reset_index()
+        # empty int column) and poison later concatenations.
+        # observed=True: with a dictionary-encoded (categorical) key the
+        # pandas default materializes the CARTESIAN PRODUCT of category
+        # sets — measured 6,987 rows → 65.8M phantom rows (85 s) on a
+        # mentions-derived frame
+        return (
+            df.groupby(keys, sort=False, observed=True)[sum_cols]
+            .sum()
+            .reset_index()
+        )
 
     return tree_aggregate(
         ds, partial_fn or merge, merge, levels=levels, batch_size=batch_size,

@@ -117,14 +117,21 @@ def build_nodes(mentions_with_ids_ds, config: Optional[EngineConfig] = None):
 def top_surfaces(mentions_with_ids_ds, k: int = 20,
                  config: Optional[EngineConfig] = None) -> pd.DataFrame:
     """Top-k hottest canonical surfaces (skew census, SURVEY §2.7):
-    per-batch partial counts → tree sum → top-k cut at the root."""
-    from nerpii_ray.stages.agg import grouped_sum
+    per-batch partial counts → tree sum (adaptive root — one row per
+    distinct surface) → distributed top-k cut (each block keeps its
+    local top k, a tiny merge tree keeps the global top k; the driver
+    only ever sees k rows, never the distinct-surface table)."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
 
     cfg = config or EngineConfig()
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # observed=True: entity arrives dictionary-encoded; the pandas
+        # default would expand to the full category product (see agg.py)
         return (
-            batch.groupby(["node_id", "entity", "norm_surface"], sort=False)
+            batch.groupby(
+                ["node_id", "entity", "norm_surface"], sort=False, observed=True
+            )
             .size()
             .reset_index(name="cnt")
         )
@@ -136,4 +143,13 @@ def top_surfaces(mentions_with_ids_ds, k: int = 20,
         partial_fn=partial,
         batch_size=cfg.batch_size,
     )
-    return agg.to_pandas().nlargest(k, "cnt").reset_index(drop=True)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nlargest(min(k, len(df)), "cnt") if len(df) else df
+
+    out = tree_aggregate(agg, topk, topk, final_fn=topk)
+    return (
+        out.to_pandas()
+        .sort_values("cnt", ascending=False)
+        .reset_index(drop=True)
+    )

@@ -83,6 +83,32 @@ def test_run_kg_emits_stage_metrics(transcripts, tmp_path):
     assert rec["write_edges"]["wall_sec"] > 0
 
 
+def test_top_surfaces_census(transcripts):
+    """The skew census's distributed top-k must equal a driver-side
+    nlargest over the full mention counts (the driver only ever sees k
+    rows from the engine)."""
+    from nerpii_ray.stages.canonicalize import top_surfaces
+
+    turns = rd.read_parquet(transcripts)
+    res = run_kg(turns, EngineConfig(recognizer_concurrency=2), with_assignments=False)
+    got = top_surfaces(res["mentions"], k=10)
+    men = res["mentions"].to_pandas()
+    men = men[men["node_id"].notna()]
+    want = (
+        men.groupby(["node_id", "entity", "norm_surface"], observed=True)
+        .size().reset_index(name="cnt")
+        .nlargest(10, "cnt").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    # ties at the k-th count make membership ambiguous; the count
+    # multiset must match exactly, and everything STRICTLY above the
+    # boundary count must be present
+    assert sorted(got["cnt"]) == sorted(want["cnt"])
+    kth = sorted(want["cnt"])[0]
+    must = set(want.loc[want["cnt"] > kth, "node_id"])
+    assert must <= set(got["node_id"])
+
+
 def test_fused_redaction_matches_standalone(transcripts):
     """run_kg(redact=...) fuses redaction into the KG scan: the redacted
     corpus must equal the standalone redact_transcripts output text-for-
