@@ -16,14 +16,17 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-37 of 41 queries carry a SQL oracle — including the KG flagship (edges,
+38 of 43 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
-the queries write) and the bit-exact SimHash.  The 4 rows-only entries
+the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
 (randomized LSH banding; pinned against a naive in-process LSH in
-pytest), ann_ivf_topk (approximate by design; recall-vs-exact test),
-kg_nodes (seeded-gazetteer pseudonyms; the pseudonym-free core is
-SQL-checked as kg_nodes_core), transcript_redact (corpus-wide pseudonym
+pytest, and the reduced-parameter doc_minhash_pairs_small twin IS
+SQL-replayed end-to-end), ann_ivf_topk (approximate by design;
+recall-vs-exact test), kg_nodes (seeded-gazetteer pseudonyms; the
+pseudonym-free core is SQL-checked as kg_nodes_core),
+kg_redacted_turns (fused-scan pseudonym corpus; pytest-pinned equal to
+the standalone redactor), transcript_redact (corpus-wide pseudonym
 co-reference; tag-mode redaction is SQL-checked as doc_redact_tags).
 """
 
@@ -765,12 +768,139 @@ def doc_exact_dedup(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
-@register("doc_minhash_pairs")  # LSH candidates — rows-only (non-SQL)
-def doc_minhash_pairs(sf_dir: str):
-    from nerpii_ray.stages.dedup import minhash_lsh_pairs
+@register("doc_minhash_pairs")  # LSH candidates — rows-only (non-SQL at
+def doc_minhash_pairs(sf_dir: str):  # 64 perms; the 8-perm twin below
+    from nerpii_ray.stages.dedup import minhash_lsh_pairs  # IS SQL-oracled
 
     return minhash_lsh_pairs(
         _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5
+    )
+
+
+def minhash_small_sql(num_perm: int = 8, bands: int = 4, shingle_k: int = 3,
+                      threshold: float = 0.5, max_bucket: int = 64) -> str:
+    """Full SQL replay of ``stages/dedup.py`` minhash_lsh_pairs at reduced
+    parameters (VERDICT r2 #2): tokenize → md5 token ids → fixed-
+    coefficient polynomial shingle hashes (uint64 wraparound reproduced
+    with hi/lo 32-bit split arithmetic in HUGEINT) → per-perm affine min
+    → banded string band-hash → bucket pairing with the max_bucket
+    smallest-ids truncation → signature-agreement verify.  The perm
+    coefficients are read from a MinHasher instance so engine and SQL can
+    never drift."""
+    import numpy as np
+
+    from nerpii_ray.stages.dedup import _MERSENNE, _SHINGLE_COEF, MinHasher
+
+    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+    TWO64 = 1 << 64
+    TWO32 = 1 << 32
+
+    def pm64(lo_expr: str, hi_expr: str, c: int) -> str:
+        """(value * c) mod 2**64 with value given as 32-bit lo/hi parts —
+        numpy's uint64 wraparound multiply, exactly, in HUGEINT."""
+        clo, chi = c % TWO32, c // TWO32
+        return (
+            f"(({lo_expr}) * {clo} + ((({hi_expr}) * {clo} + ({lo_expr}) * {chi}) "
+            f"% {TWO32}) * {TWO32}) % {TWO64}"
+        )
+
+    # window terms: position m uses _SHINGLE_COEF[m]; a doc with n < k
+    # tokens uses the first n coefficients (k = min(shingle_k, n))
+    coefs = [int(c) for c in _SHINGLE_COEF[:shingle_k]]
+    terms = [pm64("t0.lo", "t0.hi", coefs[0])]
+    for m in range(1, shingle_k):
+        terms.append(
+            f"CASE WHEN t0.n >= {m + 1} THEN "
+            + pm64(f"t{m}.lo", f"t{m}.hi", coefs[m])
+            + " ELSE 0 END"
+        )
+    win_joins = "\n      ".join(
+        f"LEFT JOIN tok t{m} ON t{m}.doc_id = t0.doc_id AND t{m}.i = t0.i + {m}"
+        for m in range(1, shingle_k)
+    )
+    perm_rows = ",\n             ".join(
+        f"({p}, {int(mh.a[p]) % TWO32}, {int(mh.a[p]) // TWO32}, {int(mh.b[p])})"
+        for p in range(num_perm)
+    )
+    rows_per_band = num_perm // bands
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i, len(toks) AS n,
+             ('0x' || substr(md5(toks[i]), 1, 16))::UBIGINT::HUGEINT // {TWO32} AS hi,
+             ('0x' || substr(md5(toks[i]), 1, 16))::UBIGINT::HUGEINT % {TWO32} AS lo
+      FROM docs, UNNEST(generate_series(1, len(toks))) AS g(i)
+      WHERE len(toks) > 0
+    ),
+    win AS (
+      SELECT t0.doc_id,
+             (({" + ".join(f"({t})" for t in terms)}) % {TWO64}) % {_MERSENNE} AS h
+      FROM tok t0
+      {win_joins}
+      WHERE t0.i + LEAST({shingle_k}, t0.n) - 1 <= t0.n
+    ),
+    dsh AS (SELECT DISTINCT doc_id, h FROM win),
+    perms AS (
+      SELECT * FROM (VALUES {perm_rows}) AS t(p, alo, ahi, b)
+    ),
+    sigs AS (
+      -- sig_p = min over shingles of wrap64(wrap64(a_p*h) + b_p) % MERSENNE
+      -- (numpy's outer-multiply wraps mod 2**64 BEFORE the Mersenne mod)
+      SELECT d.doc_id, pm.p,
+             MIN( ((( (d.h % {TWO32}) * pm.alo
+                    + (((d.h // {TWO32}) * pm.alo + (d.h % {TWO32}) * pm.ahi)
+                       % {TWO32}) * {TWO32}) % {TWO64} + pm.b) % {TWO64})
+                  % {_MERSENNE} ) AS sigv
+      FROM dsh d CROSS JOIN perms pm
+      GROUP BY d.doc_id, pm.p
+    ),
+    bnd AS (
+      SELECT doc_id, p // {rows_per_band} AS band,
+             substr(md5(string_agg(lower(hex(sigv::UBIGINT)), ',' ORDER BY p)),
+                    1, 16) AS band_hash
+      FROM sigs GROUP BY doc_id, p // {rows_per_band}
+    ),
+    ranked AS (
+      SELECT band, band_hash, doc_id,
+             row_number() OVER (PARTITION BY band, band_hash
+                                ORDER BY doc_id) AS rk
+      FROM bnd
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ranked a
+      JOIN ranked b ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id
+      WHERE a.rk <= {max_bucket} AND b.rk <= {max_bucket}
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(AVG(CASE WHEN s1.sigv = s2.sigv THEN 1.0 ELSE 0.0 END), 6)
+             AS est_jaccard
+    FROM cand c
+    JOIN sigs s1 ON s1.doc_id = c.id_a
+    JOIN sigs s2 ON s2.doc_id = c.id_b AND s2.p = s1.p
+    GROUP BY c.id_a, c.id_b
+    HAVING AVG(CASE WHEN s1.sigv = s2.sigv THEN 1.0 ELSE 0.0 END) >= {threshold}
+    """
+
+
+@register("doc_minhash_pairs_small", minhash_small_sql())
+def doc_minhash_pairs_small(sf_dir: str):
+    """The full minhash/LSH path at reduced parameters (8 perms, 4
+    bands) so DuckDB can replay it end-to-end — the hash-green twin of
+    the rows-only 64-perm entry above."""
+    from nerpii_ray.stages.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        num_perm=8, bands=4, shingle_k=3, threshold=0.5,
+    )
+    return out.map_batches(
+        lambda b: b.assign(est_jaccard=np.round(b["est_jaccard"], 6)),
+        batch_format="pandas",
     )
 
 
@@ -1012,9 +1142,27 @@ def _kg_results(sf: float):
 
 _KG_ORACLE_DIR = "/tmp/nerpii_ray_oracle"
 
+#: Version stamp baked into every side-parquet path the KG oracles read
+#: (ADVICE r2: an unstamped path could silently compare the SQL replay
+#: against a stale parquet written by OLDER engine code).  Bump whenever
+#: the mention-row layout, the recognizer semantics, or the histogram
+#: shape changes.  Combined with testgen's _GEN_VERSION (input content):
+#: any code/content drift lands at a fresh path, so a stale file can
+#: never be read — the SQL errors loudly on the missing path instead.
+#: Ordering contract: the engine query (which writes the side parquet)
+#: must run BEFORE its SQL twin — the driver's sweep does this; the
+#: pytest oracle sweep does too.
+_ORACLE_SIDE_VERSION = 2
+
+
+def _side_suffix(sf: float) -> str:
+    from nerpii_ray.testgen import _GEN_VERSION
+
+    return f"sf{sf}-g{_GEN_VERSION}-o{_ORACLE_SIDE_VERSION}"
+
 
 def kg_mentions_path(sf: float) -> str:
-    return f"{_KG_ORACLE_DIR}/kg_mentions_sf{sf}"
+    return f"{_KG_ORACLE_DIR}/kg_mentions_{_side_suffix(sf)}"
 
 
 def _transcripts_path_for(sf: float) -> str:
@@ -1062,6 +1210,7 @@ def kg_edges_sql_for(sf: float) -> str:
     return f"""
     WITH men AS (
       SELECT conv_id, turn_idx, role, tool, entity, node_id, score, "ord",
+             start,
              substr(md5('ACTOR:' || conv_id || ':' || role), 1, 16) AS actor_id
       FROM '{men}'
     ),
@@ -1081,9 +1230,14 @@ def kg_edges_sql_for(sf: float) -> str:
       FROM men WHERE tool = 'send_email' AND entity = 'EMAIL_ADDRESS'
     ),
     firsts AS (
+      -- the engine (stages/triples.py) picks the first PERSON/ORG/LOC
+      -- per turn by smallest START OFFSET; "ord" (emission ordinal) is
+      -- only the tiebreak.  They coincide while the recognizer emits
+      -- left-to-right, but the SQL must mirror the engine's actual rule
+      -- (ADVICE r2).
       SELECT conv_id, turn_idx, entity, node_id, score,
              row_number() OVER (PARTITION BY conv_id, turn_idx, entity
-                                ORDER BY "ord") AS rk
+                                ORDER BY start, "ord") AS rk
       FROM men
     ),
     pair_edges AS (
@@ -1174,7 +1328,7 @@ def kg_nodes_core(sf_dir: str):
 
 
 def kg_hist_path(sf: float) -> str:
-    return f"{_KG_ORACLE_DIR}/kg_hist_sf{sf}.parquet"
+    return f"{_KG_ORACLE_DIR}/kg_hist_{_side_suffix(sf)}.parquet"
 
 
 def kg_assignments_sql_for(sf: float) -> str:

@@ -17,6 +17,7 @@ state their partitioning assumption in the docstring.
 from __future__ import annotations
 
 import hashlib
+import logging
 import math
 import re
 
@@ -27,6 +28,7 @@ from nerpii_ray.functions.textfns import md5_of_strings, stable_hash64_np
 
 _MERSENNE = (1 << 61) - 1
 _TOKEN_RE = re.compile(r"\w+")
+_LOG = logging.getLogger("nerpii_ray.dedup")
 
 
 # ---------------------------------------------------------------- exact
@@ -149,8 +151,16 @@ class MinHasher:
             for band in range(bands):
                 lo = band * rows_per_band
                 out_band.append(band)
+                # band hash over a canonical STRING encoding of the slice
+                # (comma-joined lowercase hex) rather than raw bytes: any
+                # injective encoding gives identical buckets, and the
+                # string form is SQL-replayable (DuckDB md5 takes VARCHAR
+                # only), which is what lets doc_minhash_pairs_small
+                # oracle the whole band/bucket/verify path
                 out_hash.append(
-                    hashlib.md5(sig[lo : lo + rows_per_band].tobytes()).hexdigest()[:16]
+                    hashlib.md5(
+                        ",".join("%x" % v for v in sig[lo : lo + rows_per_band]).encode()
+                    ).hexdigest()[:16]
                 )
                 out_id.append(did)
                 out_sig.append(b"")
@@ -174,6 +184,50 @@ class _BandedMinHasher(MinHasher):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return self.banded(batch, self.bands)
+
+
+def _bucket_truncation_stats(sizes: np.ndarray, max_bucket: int) -> tuple:
+    """(buckets truncated, candidate pairs dropped) for bucket ``sizes``
+    capped at ``max_bucket``: each hot bucket loses C(n,2) − C(cap,2)."""
+    hot = sizes[sizes > max_bucket].astype("int64")
+    dropped = int((hot * (hot - 1) // 2 - max_bucket * (max_bucket - 1) // 2).sum())
+    return len(hot), dropped
+
+
+def _bucket_candidate_pairs(df: pd.DataFrame, id_col: str, max_bucket: int) -> pd.DataFrame:
+    """Within-bucket candidate pairing for the LSH table (band, band_hash,
+    id).  Buckets larger than ``max_bucket`` keep their smallest ids; the
+    dropped-pair count is LOGGED, never silently swallowed (engine rule:
+    no silent caps)."""
+    out = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+    if df.empty:
+        return out
+    sizes = df.groupby(["band", "band_hash"], sort=False)["band"].transform("size")
+    multi = df[sizes > 1]
+    if multi.empty:
+        return out
+    trunc_buckets, trunc_pairs = _bucket_truncation_stats(
+        multi.groupby(["band", "band_hash"], sort=False).size().to_numpy(), max_bucket
+    )
+    if trunc_buckets:
+        _LOG.warning(
+            "minhash_lsh_pairs: truncated %d hot bucket(s) at max_bucket=%d "
+            "— %d candidate pair(s) dropped (raise max_bucket to keep them)",
+            trunc_buckets, max_bucket, trunc_pairs,
+        )
+    ia: list = []
+    ib: list = []
+    for _, g in multi.groupby(["band", "band_hash"], sort=False):
+        ids = np.sort(g[id_col].to_numpy())[:max_bucket]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ia.append(ids[iu])
+        ib.append(ids[ju])
+    return pd.DataFrame(
+        {"id_a": np.concatenate(ia).astype("int64"),
+         "id_b": np.concatenate(ib).astype("int64")}
+    ).drop_duplicates()
 
 
 def minhash_lsh_pairs(
@@ -234,26 +288,7 @@ def minhash_lsh_pairs(
         return b.loc[b["band"] >= 0, ["band", "band_hash", id_col]]
 
     def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
-        )
-        if df.empty:
-            return out
-        sizes = df.groupby(["band", "band_hash"], sort=False)["band"].transform("size")
-        multi = df[sizes > 1]
-        if multi.empty:
-            return out
-        ia: list = []
-        ib: list = []
-        for _, g in multi.groupby(["band", "band_hash"], sort=False):
-            ids = np.sort(g[id_col].to_numpy())[:max_bucket]
-            iu, ju = np.triu_indices(len(ids), k=1)
-            ia.append(ids[iu])
-            ib.append(ids[ju])
-        return pd.DataFrame(
-            {"id_a": np.concatenate(ia).astype("int64"),
-             "id_b": np.concatenate(ib).astype("int64")}
-        ).drop_duplicates()
+        return _bucket_candidate_pairs(df, id_col, max_bucket)
 
     # Cardinality-aware pairing root (same policy as stages/agg.py):
     # a small key table pairs in ONE task — actor fleets cost more to

@@ -38,17 +38,34 @@ import ray
 _FEED_ORDINALS: Dict[str, List[int]] = {}
 
 
-def _batch_fingerprint() -> str:
-    ctx = ray.get_runtime_context()
-    try:
-        tid = ctx.get_task_id() or "driver"
-    except Exception:
-        tid = "driver"
-    get_attempt = getattr(ctx, "get_attempt_number", None)
-    try:
-        attempt = get_attempt() if get_attempt else 0
-    except Exception:
-        attempt = 0
+def _task_attempt_number() -> int:
+    """Current task's retry attempt (0 on first execution).
+
+    Ray 2.49's public ``RuntimeContext`` exposes no attempt-number method,
+    but the core worker does (``get_current_task_attempt_number``, verified
+    to increment across lineage re-execution on this Ray version).  Without
+    it, a re-executed feeder task landing on a SURVIVING, reused worker
+    process would continue its ordinal sequence instead of replaying
+    0,1,2,…, giving retried batches fresh fingerprints — double-merged
+    aggregates.  Fail loudly rather than silently lose idempotence."""
+    import ray._private.worker as _w
+
+    core = getattr(_w.global_worker, "core_worker", None)
+    get_att = getattr(core, "get_current_task_attempt_number", None)
+    if get_att is None:  # pragma: no cover - depends on Ray version
+        raise RuntimeError(
+            "nerpii_ray exchange: this Ray build exposes no task-attempt "
+            "API; feeder retry idempotence cannot be guaranteed. "
+            "Pin Ray to a version with "
+            "CoreWorker.get_current_task_attempt_number."
+        )
+    return int(get_att())
+
+
+def _next_fingerprint(tid: str, attempt: int) -> str:
+    """Pure ordinal step: same (tid, attempt) sequence → 0,1,2,…; a NEW
+    attempt of the same task resets to 0 so its fingerprints collide with
+    (and are dropped against) the original attempt's."""
     slot = _FEED_ORDINALS.get(tid)
     if slot is None or slot[0] != attempt:
         slot = [attempt, 0]
@@ -58,6 +75,19 @@ def _batch_fingerprint() -> str:
     # attempt is deliberately NOT part of the fingerprint: a retried
     # attempt must COLLIDE with the original so the aggregator drops it.
     return f"{tid}:{n}"
+
+
+def _batch_fingerprint() -> str:
+    ctx = ray.get_runtime_context()
+    try:
+        tid = ctx.get_task_id() or "driver"
+    except Exception:
+        tid = "driver"
+    if tid == "driver":
+        attempt = 0  # driver code never re-executes under lineage retry
+    else:
+        attempt = _task_attempt_number()
+    return _next_fingerprint(tid, attempt)
 
 
 @ray.remote(num_cpus=0)

@@ -24,12 +24,26 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _typed_empty(id_col: str, id_dtype="int64") -> pd.DataFrame:
+    """Column- and dtype-stable empty result frame.  A bare
+    ``pd.DataFrame()`` (or list-built object columns) makes the operator
+    emit blocks with a DIFFERENT schema than its non-empty ones — Ray's
+    streaming executor warns ('RefBundle with a different schema') and
+    schema-unstable blocks break operator fusing on some Ray versions."""
+    return pd.DataFrame(
+        {"q_id": pd.Series(dtype="int64"), id_col: pd.Series(dtype=id_dtype),
+         "cos_sim": pd.Series(dtype="float64")}
+    )
+
+
 class _BruteForceScorer:
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
         self.q = _normalize(np.asarray(queries_ref, dtype=np.float64))
         self.k, self.vec_col, self.id_col = k, vec_col, id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _typed_empty(self.id_col)
         m = _normalize(
             np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col]])
         )
@@ -42,7 +56,11 @@ class _BruteForceScorer:
             out_q.extend([qi] * k)
             out_id.extend(ids[top])
             out_sim.extend(sims[top, qi])
-        return pd.DataFrame({"q_id": out_q, self.id_col: out_id, "cos_sim": out_sim})
+        return pd.DataFrame(
+            {"q_id": np.asarray(out_q, dtype="int64"),
+             self.id_col: np.asarray(out_id, dtype=ids.dtype),
+             "cos_sim": np.asarray(out_sim, dtype="float64")}
+        )
 
 
 def _topk_tree(local_ds, k: int, id_col: str):
@@ -113,12 +131,16 @@ class _IVFScorer:
     def __init__(self, queries_ref, codebook_ref, k, nprobe, vec_col, id_col):
         self.q = _normalize(np.asarray(queries_ref, dtype=np.float64))
         self.cb = np.asarray(codebook_ref, dtype=np.float64)
-        # per query: the nprobe closest centroids
+        # per query: the nprobe closest centroids (sorted arrays: the
+        # per-batch membership test is a vectorized np.isin, not a
+        # Python set-containment loop over every row)
         qc = self.q @ self.cb.T
-        self.probes = [set(np.argsort(-qc[i])[:nprobe]) for i in range(len(self.q))]
+        self.probes = [np.sort(np.argsort(-qc[i])[:nprobe]) for i in range(len(self.q))]
         self.k, self.vec_col, self.id_col = k, vec_col, id_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _typed_empty(self.id_col)
         m = _normalize(
             np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col]])
         )
@@ -126,7 +148,7 @@ class _IVFScorer:
         cells = (m @ self.cb.T).argmax(axis=1)
         out_q, out_id, out_sim = [], [], []
         for qi in range(len(self.q)):
-            mask = np.fromiter((c in self.probes[qi] for c in cells), dtype=bool, count=len(cells))
+            mask = np.isin(cells, self.probes[qi])
             if not mask.any():
                 continue
             sims = m[mask] @ self.q[qi]
@@ -136,7 +158,13 @@ class _IVFScorer:
             out_q.extend([qi] * k)
             out_id.extend(sel_ids[top])
             out_sim.extend(sims[top])
-        return pd.DataFrame({"q_id": out_q, self.id_col: out_id, "cos_sim": out_sim})
+        if not out_q:
+            return _typed_empty(self.id_col, ids.dtype)
+        return pd.DataFrame(
+            {"q_id": np.asarray(out_q, dtype="int64"),
+             self.id_col: np.asarray(out_id, dtype=ids.dtype),
+             "cos_sim": np.asarray(out_sim, dtype="float64")}
+        )
 
 
 def ivf_topk(

@@ -20,6 +20,11 @@ from nerpii_ray.gazetteers import STOPWORDS
 
 _WORD_RE = re.compile(r"[a-z]+")
 
+# hoisted: building the alternation string per batch was measurable churn
+# (the pattern is constant; Arrow still compiles per call, but the Python
+# join + sort no longer runs in the hot loop)
+_STOP_PAT_EN = r"\b(?:" + "|".join(sorted(STOPWORDS["en"])) + r")\b"
+
 
 def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """+ n_tokens (whitespace tokens; empty/null → 0).  SQL-equivalent:
@@ -38,9 +43,8 @@ def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """
     texts = batch.column(text_col)
     ntok = pc.cast(token_counts(texts), pa.int64())
-    stop_pat = r"\b(?:" + "|".join(sorted(STOPWORDS["en"])) + r")\b"
     nstop = pc.cast(
-        pc.fill_null(pc.count_substring_regex(pc.utf8_lower(pc.fill_null(texts, "")), pattern=stop_pat), 0),
+        pc.fill_null(pc.count_substring_regex(pc.utf8_lower(pc.fill_null(texts, "")), pattern=_STOP_PAT_EN), 0),
         pa.int64(),
     )
     ok = pc.and_(
@@ -72,7 +76,16 @@ class LangId:
     def __init__(self, text_col: str = "text", langs: tuple = ("de", "en", "es", "fr", "it")):
         self.text_col = text_col
         self.langs = langs
-        self.stops = {lang: frozenset(STOPWORDS[lang]) for lang in langs}
+        # one lookup table token -> per-language bitmask, built once per
+        # actor: the per-batch membership test is then ONE C-speed
+        # hashtable map over the exploded tokens instead of a Python
+        # `in`-loop per token per language (r2 VERDICT "what's wrong" #3)
+        mask: dict = {}
+        for j, lang in enumerate(langs):
+            bit = 1 << j
+            for w in STOPWORDS[lang]:
+                mask[w] = mask.get(w, 0) | bit
+        self.lang_mask = mask
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = (
@@ -84,13 +97,16 @@ class LangId:
         ex = toks.explode().dropna()
         scores = np.zeros((len(batch), len(self.langs)), dtype=np.int64)
         if len(ex):
-            pos = ex.index.to_numpy()
-            # map positional index of the original row
-            pos_lookup = {idx: i for i, idx in enumerate(batch.index)}
-            rows = np.fromiter((pos_lookup[p] for p in pos), dtype=np.int64, count=len(ex))
-            vals = ex.to_numpy()
-            for j, lang in enumerate(self.langs):
-                hit = np.fromiter((v in self.stops[lang] for v in vals), dtype=bool, count=len(vals))
+            # positional row of each exploded token (vectorized label→pos)
+            rows = batch.index.get_indexer(ex.index)
+            masks = (
+                pd.Series(ex.to_numpy())
+                .map(self.lang_mask)
+                .fillna(0)
+                .to_numpy(dtype=np.int64)
+            )
+            for j in range(len(self.langs)):
+                hit = (masks >> j) & 1 > 0
                 np.add.at(scores[:, j], rows[hit], 1)
         best = scores.argmax(axis=1)
         none = scores.max(axis=1) == 0

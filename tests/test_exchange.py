@@ -111,6 +111,64 @@ def test_exact_dedup_spill_path_matches():
     pd.testing.assert_frame_equal(want[["doc_id", "fp"]], got[["doc_id", "fp"]])
 
 
+def test_attempt_api_available_and_zero_on_first_try():
+    # The fingerprint scheme's safety depends on the core-worker
+    # attempt-number API (RuntimeContext has none on Ray 2.49); this
+    # asserts it exists and reads 0 inside a first-attempt task.
+    from nerpii_ray.stages import exchange as ex
+
+    @ray.remote
+    def probe():
+        from nerpii_ray.stages.exchange import _task_attempt_number
+
+        return _task_attempt_number()
+
+    assert ray.get(probe.remote()) == 0
+
+
+def test_reexecution_on_reused_worker_replays_fingerprints():
+    """ADVICE r2 (medium): a lineage re-execution scheduled onto a
+    surviving, REUSED worker process must replay fingerprints 0,1,2,…
+    so the aggregator drops them — not continue the ordinal sequence.
+    Simulated: same module state (same process), same task id, attempt
+    number bumped by the retry."""
+    from nerpii_ray.stages.exchange import _FEED_ORDINALS, _next_fingerprint
+
+    _FEED_ORDINALS.pop("taskX", None)
+    first = [_next_fingerprint("taskX", 0) for _ in range(3)]
+    # re-execution: same process, same task, attempt 1
+    second = [_next_fingerprint("taskX", 1) for _ in range(3)]
+    assert first == second == ["taskX:0", "taskX:1", "taskX:2"]
+    # a different task never collides
+    assert _next_fingerprint("taskY", 0) == "taskY:0"
+
+
+def test_aggregator_death_mid_feed_fails_loudly():
+    """Fault drill (VERDICT r2 #8): if a _BucketAggregator actor dies
+    mid-feed, the job must raise — never return a silently-partial
+    aggregate.  The actor kills itself (os._exit) once it has merged
+    more than a few batches; every feeder waits on acks, so the death
+    surfaces as an actor error in some feeder task and fails the run."""
+    import pytest
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("k", sort=False)["v"].sum().reset_index()
+
+    def merge_then_die(df: pd.DataFrame) -> pd.DataFrame:
+        import os
+
+        if df["v"].sum() > 2000:  # enough feed has arrived — die mid-job
+            os._exit(1)
+        return df.groupby("k", sort=False)["v"].sum().reset_index()
+
+    df = pd.DataFrame({"k": [f"key{i % 5}" for i in range(20_000)], "v": [1] * 20_000})
+    ds = rd.from_pandas(df).repartition(16)
+    with pytest.raises(Exception):
+        hash_exchange_aggregate(
+            ds, partial, merge_then_die, keys=["k"], num_buckets=1, batch_size=256
+        )
+
+
 def test_empty_input():
     partial, merge = _fns()
     ds = rd.from_pandas(

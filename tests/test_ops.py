@@ -114,6 +114,33 @@ def test_minhash_pairs_match_naive_lsh(docs_df):
     assert got == want
 
 
+def test_lsh_hot_bucket_truncation_is_counted_and_logged(caplog):
+    """VERDICT r2 #6: max_bucket truncation must not be silent.  A
+    crafted hot bucket (7 ids, cap 4) drops C(7,2)-C(4,2)=15 pairs; the
+    counter and the warning must both say so."""
+    import logging
+
+    from nerpii_ray.stages.dedup import (
+        _bucket_candidate_pairs,
+        _bucket_truncation_stats,
+    )
+
+    nb, dropped = _bucket_truncation_stats(np.array([7, 3, 2]), max_bucket=4)
+    assert (nb, dropped) == (1, 15)
+
+    df = pd.DataFrame(
+        {"band": [0] * 7 + [1] * 2, "band_hash": ["h"] * 7 + ["g"] * 2,
+         "doc_id": list(range(7)) + [10, 11]}
+    )
+    with caplog.at_level(logging.WARNING, logger="nerpii_ray.dedup"):
+        pairs = _bucket_candidate_pairs(df, "doc_id", max_bucket=4)
+    # hot bucket keeps its 4 smallest ids -> C(4,2)=6 pairs, plus 1 pair
+    # from the cold bucket
+    assert len(pairs) == 7
+    assert "15 candidate pair(s) dropped" in caplog.text
+    assert "max_bucket=4" in caplog.text
+
+
 def test_minhash_pairing_root_and_exchange_agree(docs_df):
     """The cardinality-aware pairing root: the single-task root (small
     key tables) and the keyed actor exchange (forced via a tiny
