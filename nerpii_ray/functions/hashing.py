@@ -59,3 +59,62 @@ def luhn_complete(partial: str) -> str:
     """Append the check digit that makes ``partial`` Luhn-valid."""
     check = (10 - luhn_checksum(partial + "0")) % 10
     return partial + str(check)
+
+
+def iban_numeric(s: str) -> str:
+    """IBAN → its mod-97 numeric string (ISO 13616: move the first 4
+    chars to the end, then A→10 … Z→35).  Exposed separately so the SQL
+    oracle can replay validation with the same rearrangement."""
+    r = s[4:] + s[:4]
+    out = []
+    for ch in r:
+        if "0" <= ch <= "9":
+            out.append(ch)
+        elif "A" <= ch <= "Z":
+            out.append(str(ord(ch) - 55))
+        else:
+            return ""
+    return "".join(out)
+
+
+def iban_valid(s: str) -> bool:
+    """Generic ISO-13616 IBAN checksum (mod 97 == 1).  The Presidio
+    recognizer the reference inherits (README.md:37 supported-entities
+    list) additionally validates per-country BBAN lengths; this engine
+    validates the universal checksum, which every real IBAN passes and
+    random digit strings fail with P≈1/97."""
+    s = s.replace(" ", "")
+    if not (15 <= len(s) <= 34):
+        return False
+    if not (s[:2].isalpha() and s[:2].isupper() and s[2:4].isdigit()):
+        return False
+    num = iban_numeric(s)
+    return bool(num) and int(num) % 97 == 1
+
+
+#: codice-fiscale check-character tables (standard odd/even maps)
+_CF_ODD = {
+    "0": 1, "1": 0, "2": 5, "3": 7, "4": 9, "5": 13, "6": 15, "7": 17,
+    "8": 19, "9": 21, "A": 1, "B": 0, "C": 5, "D": 7, "E": 9, "F": 13,
+    "G": 15, "H": 17, "I": 19, "J": 21, "K": 2, "L": 4, "M": 18, "N": 20,
+    "O": 11, "P": 3, "Q": 6, "R": 8, "S": 12, "T": 14, "U": 16, "V": 10,
+    "W": 22, "X": 25, "Y": 24, "Z": 23,
+}
+
+
+def codice_fiscale_check_char(first15: str) -> str:
+    """Check character of an Italian codice fiscale (16th char): odd
+    1-indexed positions via the official odd table, even positions via
+    ordinal value, sum mod 26 → letter."""
+    total = 0
+    for i, ch in enumerate(first15):
+        if i % 2 == 0:  # 1-indexed odd position
+            total += _CF_ODD[ch]
+        else:
+            total += int(ch) if ch.isdigit() else ord(ch) - 65
+    return chr(65 + total % 26)
+
+
+def codice_fiscale_valid(s: str) -> bool:
+    s = s.upper()
+    return len(s) == 16 and s[15] == codice_fiscale_check_char(s[:15])

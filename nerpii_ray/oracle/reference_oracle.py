@@ -24,6 +24,44 @@ from nerpii_ray.gazetteers import (
     US_STATE_ABBR_SAFE,
 )
 
+def _oracle_iban_ok(s: str) -> bool:
+    """Independent ISO-13616 check: streaming mod-97 fold (the engine
+    converts to one big int; same math, different algorithm)."""
+    s = s.replace(" ", "")
+    if not (15 <= len(s) <= 34 and s[:2].isalpha() and s[2:4].isdigit()):
+        return False
+    r = 0
+    for ch in s[4:] + s[:4]:
+        if ch.isdigit():
+            r = (r * 10 + ord(ch) - 48) % 97
+        elif "A" <= ch <= "Z":
+            r = (r * 100 + ord(ch) - 55) % 97
+        else:
+            return False
+    return r == 1
+
+
+_ORACLE_CF_ODD_DIGIT = (1, 0, 5, 7, 9, 13, 15, 17, 19, 21)
+_ORACLE_CF_ODD_AZ = (1, 0, 5, 7, 9, 13, 15, 17, 19, 21, 2, 4, 18, 20, 11,
+                     3, 6, 8, 12, 14, 16, 10, 22, 25, 24, 23)
+
+
+def _oracle_cf_ok(s: str) -> bool:
+    if len(s) != 16:
+        return False
+    total = 0
+    for i, ch in enumerate(s[:15]):
+        if i % 2 == 0:  # odd 1-indexed position
+            total += (
+                _ORACLE_CF_ODD_DIGIT[ord(ch) - 48]
+                if ch.isdigit()
+                else _ORACLE_CF_ODD_AZ[ord(ch) - 65]
+            )
+        else:
+            total += (ord(ch) - 48) if ch.isdigit() else (ord(ch) - 65)
+    return s[15] == chr(65 + total % 26)
+
+
 _PATTERNS = [
     # (entity, regex, score) in engine priority order
     ("EMAIL_ADDRESS", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", 1.0),
@@ -31,6 +69,12 @@ _PATTERNS = [
     ("IP_ADDRESS", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", 0.6),
     ("US_SSN", r"\b\d{3}-\d{2}-\d{4}\b", 0.85),
     ("CREDIT_CARD", r"\b\d(?:[ \-]?\d){12,18}\b", 1.0),
+    ("IBAN_CODE", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", 1.0),
+    ("IT_FISCAL_CODE", r"\b[A-Z]{6}\d{2}[ABCDEHLMPRST]\d{2}[A-Z]\d{3}[A-Z]\b", 1.0),
+    ("CRYPTO", r"\b(?:[13][a-km-zA-HJ-NP-Z1-9]{25,33}|bc1[a-z0-9]{25,39})\b", 1.0),
+    ("US_PASSPORT", r"\b[A-Z]\d{8}\b", 0.4),
+    ("US_DRIVER_LICENSE", r"\b[A-Z]\d{7}\b", 0.3),
+    ("US_BANK_NUMBER", r"\b\d{8,12}\b", 0.3),
     (
         "DATE_TIME",
         r"\b\d{4}-\d{2}-\d{2}\b|\b\d{1,2}/\d{1,2}/\d{2,4}\b"
@@ -87,7 +131,9 @@ def oracle_mentions(text: str | None) -> list[dict]:
     if not text:
         return []
     found: list[dict] = []
-    taken: list[tuple] = []  # claimed pattern spans
+    taken: list[tuple] = []  # claimed pattern spans (incl. invalid IBANs)
+    emitted_spans: list[tuple] = []  # spans that emitted a mention — the
+    # engine suppresses gazetteer/org hits only inside THESE
 
     # pattern recognizers: greedy by (start, priority), non-overlapping —
     # equivalent to a single left-to-right alternation scan
@@ -99,11 +145,23 @@ def oracle_mentions(text: str | None) -> list[dict]:
     for start, prio, end, ent, score, surf in cands:
         if any(not (end <= s or start >= e) for s, e in taken):
             continue
+        emit = True
         if ent == "CREDIT_CARD":
             if not _luhn_ok(surf):
                 ent, score = "PHONE_NUMBER", 0.4
+        elif ent == "IBAN_CODE":
+            # invalid checksum: the engine's alternation still CONSUMES
+            # the span (no emission, no re-matching inside it)
+            emit = _oracle_iban_ok(surf)
+        elif ent == "IT_FISCAL_CODE":
+            if not _oracle_cf_ok(surf):
+                score = 0.5  # shape-valid, checksum failed
         taken.append((start, end))
-        found.append(dict(entity=ent, surface=surf, start=start, end=end, score=score))
+        if emit:
+            emitted_spans.append((start, end))
+            found.append(
+                dict(entity=ent, surface=surf, start=start, end=end, score=score)
+            )
 
     # ADDRESS deny list (may overlap pattern spans, as in the engine)
     for m in _DENY_RE.finditer(text):
@@ -119,7 +177,7 @@ def oracle_mentions(text: str | None) -> list[dict]:
     i = 0
     while i < len(toks):
         w = toks[i][0]
-        inside_pattern = any(s <= toks[i][1] < e for s, e in taken)
+        inside_pattern = any(s <= toks[i][1] < e for s, e in emitted_spans)
         if w in ORG_KEYWORDS and i not in org_token_idx and not inside_pattern:
             lo = i
             while (
@@ -156,7 +214,7 @@ def oracle_mentions(text: str | None) -> list[dict]:
     for i, (w, s, e) in enumerate(toks):
         if i in consumed or i in org_token_idx:
             continue
-        if any(ps <= s < pe for ps, pe in taken):
+        if any(ps <= s < pe for ps, pe in emitted_spans):
             continue
         matched = False
         for loc in _MULTIWORD_LOCS:

@@ -400,6 +400,74 @@ def doc_mentions(sf_dir: str):
     return ds.map_batches(_doc_mentions_batch, batch_format="pyarrow")
 
 
+class _IbanScanner:
+    """Actor-pool scanner for iban_detect: the registry compiles once per
+    actor (T2 semantics); __call__ runs the REAL combined-regex scan."""
+
+    def __init__(self):
+        from nerpii_ray.state.registry import RecognizerRegistry
+
+        self.reg = RecognizerRegistry(
+            add_addresses_recognizer=False,
+            enable_gazetteers=False,
+            enable_model_labels=False,
+        ).compile()
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        out = self.reg.scan(b["text"].tolist())
+        keys = b["c_custkey"].to_numpy()
+        idx = [i for i, e in enumerate(out["entity"]) if e == "IBAN_CODE"]
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.array(
+                    [keys[out["row"][i]] for i in idx], dtype="int64"
+                ),
+                "iban": pd.array([out["surface"][i] for i in idx], dtype=str),
+            }
+        )
+
+
+@register(
+    "iban_detect",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             lpad(CAST(c_custkey % 97 AS VARCHAR), 2, '0') AS chk,
+             lpad(CAST((c_custkey * 7919) % 1000000000000000000 AS VARCHAR),
+                  18, '0') AS bban
+      FROM customer
+    )
+    SELECT c_custkey, 'DE' || chk || bban AS iban
+    FROM c
+    -- ISO 13616: rearrange to BBAN || country-as-digits ('DE' -> 1314)
+    -- || check, then mod 97 == 1.  24 digits fits HUGEINT exactly.
+    WHERE CAST(bban || '1314' || chk AS HUGEINT) % 97 = 1
+    """,
+)
+def iban_detect(sf_dir: str):
+    """IBAN_CODE recognition (Presidio catalog, reference README.md:37)
+    through the real compiled-registry scan, on deterministic candidate
+    IBANs derived from customer keys (~1/97 of which are checksum-valid
+    by construction).  The SQL twin replays the regex shape and the
+    mod-97 validation — detection itself is what is compared."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def mk_text(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].astype("int64")
+        chk = (k % 97).map("{:02d}".format)
+        bban = ((k * 7919) % 10**18).map("{:018d}".format)
+        return pd.DataFrame(
+            {
+                "c_custkey": k,
+                "text": "Please wire to DE" + chk + bban + " ref " + k.astype(str),
+            }
+        )
+
+    return ds.map_batches(mk_text, batch_format="pandas").map_batches(
+        _IbanScanner, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
+
 @register(
     "doc_entity_histogram",
     f"""

@@ -41,7 +41,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from nerpii_ray.functions.hashing import luhn_valid
+from nerpii_ray.functions.hashing import codice_fiscale_valid, iban_valid, luhn_valid
 from nerpii_ray.gazetteers import (
     FIRST_NAMES,
     LAST_NAME_SET,
@@ -141,6 +141,44 @@ def default_pattern_specs() -> List[PatternSpec]:
             fallback_entity="PHONE_NUMBER",
             fallback_score=0.4,
         ),
+        # --- wider Presidio catalog (reference inherits every recognizer
+        # Presidio ships, README.md:37; these are the finance/identity
+        # recognizers a user profiling such tables hits first) ---
+        PatternSpec(
+            "IBAN_CODE",
+            # 2-letter country + 2 check digits + 11-30 alnum BBAN; the
+            # ISO-13616 mod-97 checksum is the validator (random strings
+            # of this shape fail with P≈96/97, so no fallback entity)
+            r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
+            1.0,
+            validator=lambda s: iban_valid(s),
+        ),
+        PatternSpec(
+            "IT_FISCAL_CODE",
+            # 6 consonant-ish letters, YY, month letter, DD, place code,
+            # check char — Presidio's IT pack shape; the official check-
+            # character table is the validator.  Shape-valid codes with a
+            # wrong check char (e.g. transcription typos) keep the entity
+            # at reduced score instead of vanishing, mirroring Presidio's
+            # score-boost-on-validation behaviour.
+            r"\b[A-Z]{6}\d{2}[ABCDEHLMPRST]\d{2}[A-Z]\d{3}[A-Z]\b",
+            1.0,
+            validator=lambda s: codice_fiscale_valid(s),
+            fallback_entity="IT_FISCAL_CODE",
+            fallback_score=0.5,
+        ),
+        PatternSpec(
+            "CRYPTO",
+            # BTC P2PKH/P2SH (base58, no 0OIl) and bech32 — Presidio's
+            # CryptoRecognizer pattern family
+            r"\b(?:[13][a-km-zA-HJ-NP-Z1-9]{25,33}|bc1[a-z0-9]{25,39})\b",
+            1.0,
+        ),
+        PatternSpec("US_PASSPORT", r"\b[A-Z]\d{8}\b", 0.4),
+        PatternSpec("US_DRIVER_LICENSE", r"\b[A-Z]\d{7}\b", 0.3),
+        # bare 8-12 digit runs: deliberately AFTER (and disjoint from)
+        # CREDIT_CARD's 13-19 digit range; weak score like Presidio's
+        PatternSpec("US_BANK_NUMBER", r"\b\d{8,12}\b", 0.3),
         PatternSpec("DATE_TIME", _DATE_PATTERN, 0.6),
         PatternSpec("PHONE_NUMBER", r"(?<![\w(])" + _PHONE_PATTERN + r"\b", 0.75),
     ]
