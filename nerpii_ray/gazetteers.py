@@ -226,6 +226,92 @@ IT_COUNTRIES = [
     "Norvegia", "Svezia", "Polonia", "Ungheria",
 ]
 IT_EMAIL_DOMAINS = ["esempio.it", "posta.it", "esempio.com", "mail.it"]
+
+# --- Italian DETECTION gazetteers (lang="it") ------------------------
+# The reference swaps its whole NLP engine to ``it_core_news_lg`` when
+# ``lang == "it"`` (``named_entity_recognizer.py:338-341, 359-370``).
+# Here the same knob widens the detection vocabulary: lang="it" scans
+# with the UNION of the English and Italian surface sets (an Italian
+# statistical model still recognizes "John Smith"; a union preserves
+# English recall while adding the Italian surfaces, and is deterministic
+# where the model swap is not).
+
+#: org keywords the BERT-stage analogue extends spans around; ASCII-safe
+#: plus the accented forms the it token regex can see
+IT_ORG_KEYWORDS = {
+    "SpA", "Srl", "Banca", "Universita", "Università", "Istituto",
+    "Gruppo", "Societa", "Società", "Fondazione", "Agenzia",
+    "Dipartimento", "Assicurazioni", "Officine", "Consorzio",
+}
+#: province abbreviations recognized as LOCATION when uppercase; "TO"
+#: and "ME" excluded — both are common words in all-caps text (cf. the
+#: US_STATE_ABBR_SAFE exclusions above)
+IT_PROVINCE_ABBR_SAFE = set(IT_PROVINCE_ABBR) - {"TO", "ME"}
+
+# gender_guesser's dictionary is multilingual and the reference calls it
+# without a country argument (named_entity_recognizer.py:203-231), so
+# Italian names carry their gender REGARDLESS of cfg.lang: merge them
+# into the global map.  "Andrea" stays "andy" (what gender_guesser
+# returns — male in Italian, female in German).
+for _n in IT_FIRST_NAMES_FEMALE:
+    FIRST_NAME_GENDER.setdefault(_n, "female")
+for _n in IT_FIRST_NAMES_MALE:
+    if _n != "Andrea":
+        FIRST_NAME_GENDER.setdefault(_n, "male")
+
+
+class DetectionSets:
+    """Per-language surface sets the compiled registry scans with."""
+
+    __slots__ = (
+        "first_names", "last_names", "loc_unigrams", "loc_bigrams",
+        "state_abbr", "org_keywords",
+    )
+
+    def __init__(self, first_names, last_names, loc_unigrams, loc_bigrams,
+                 state_abbr, org_keywords):
+        self.first_names = first_names
+        self.last_names = last_names
+        self.loc_unigrams = loc_unigrams
+        self.loc_bigrams = loc_bigrams
+        self.state_abbr = state_abbr
+        self.org_keywords = org_keywords
+
+
+_DETECTION_CACHE: dict = {}
+
+
+def detection_sets(lang: str = "en") -> DetectionSets:
+    """Surface sets for ``RecognizerRegistry(lang=...)``.
+
+    ``"en"`` returns exactly the module-level English sets (bit-stable
+    with pre-lang behaviour); ``"it"`` unions in the Italian pools the
+    synthesizer already owns (names, cities, regioni, countries,
+    province sigle, org keywords).  Multi-word surnames ("De Luca")
+    contribute their final token — the token scan is unigram-keyed and
+    "Luca" is independently a PERSON surface.
+    """
+    if lang in _DETECTION_CACHE:
+        return _DETECTION_CACHE[lang]
+    first = set(FIRST_NAMES)
+    last = set(LAST_NAME_SET)
+    uni = set(LOCATION_UNIGRAMS)
+    bi = set(LOCATION_BIGRAMS)
+    abbr = set(US_STATE_ABBR_SAFE)
+    org = set(ORG_KEYWORDS)
+    if lang == "it":
+        first |= set(IT_FIRST_NAMES_FEMALE) | set(IT_FIRST_NAMES_MALE)
+        last |= {s.split()[-1] for s in IT_LAST_NAMES}
+        it_locs = set(IT_CITIES) | set(IT_REGIONS) | set(IT_COUNTRIES)
+        uni |= {w for w in it_locs if " " not in w}
+        bi |= {w for w in it_locs if " " in w}
+        abbr |= IT_PROVINCE_ABBR_SAFE
+        org |= IT_ORG_KEYWORDS
+    elif lang != "en":
+        raise ValueError(f"unsupported lang: {lang!r} (expected 'en' or 'it')")
+    out = DetectionSets(first, last, uni, bi, abbr, org)
+    _DETECTION_CACHE[lang] = out
+    return out
 URL_WORDS = [
     "horizon", "cobalt", "meadow", "lattice", "quarry", "harbor", "summit",
     "prairie", "glacier", "canyon",

@@ -86,6 +86,7 @@ def profile_table(
         registry = RecognizerRegistry(
             add_addresses_recognizer=cfg.add_addresses_recognizer,
             cell_mode=True,
+            lang=cfg.lang,
         )
         if cfg.additional_addresses:
             registry.add_addresses(cfg.additional_addresses)

@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-38 of 43 queries carry a SQL oracle — including the KG flagship (edges,
+40 of 45 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -465,6 +465,116 @@ def iban_detect(sf_dir: str):
 
     return ds.map_batches(mk_text, batch_format="pandas").map_batches(
         _IbanScanner, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+    )
+
+
+def _it_pools():
+    """Deterministic Italian name/city pools shared by the engine query
+    and its generated SQL twin (same gazetteer lists, same order)."""
+    from nerpii_ray.gazetteers import (
+        IT_CITIES,
+        IT_FIRST_NAMES_FEMALE,
+        IT_FIRST_NAMES_MALE,
+        IT_LAST_NAMES,
+    )
+
+    firsts = list(IT_FIRST_NAMES_FEMALE) + list(IT_FIRST_NAMES_MALE)
+    lasts = [s for s in IT_LAST_NAMES if " " not in s]  # unigram surnames
+    return firsts, lasts, list(IT_CITIES)
+
+
+def it_detect_sql() -> str:
+    """SQL twin of it_person_locations, generated from the SAME Italian
+    gazetteer pools the engine compiles (transcript_gender_sql_for
+    style): rebuild the deterministic texts' name/city choices in SQL
+    and replay the expected gazetteer mentions + gender buckets."""
+    from nerpii_ray.gazetteers import FIRST_NAME_GENDER
+
+    firsts, lasts, cities = _it_pools()
+
+    def lit(xs):
+        return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+    whens = " ".join(
+        f"WHEN '{n}' THEN '{FIRST_NAME_GENDER[n]}'" for n in firsts
+    )
+    return f"""
+    WITH c AS (
+      SELECT c_custkey,
+             list_extract({lit(firsts)}, 1 + (c_custkey * 7) % {len(firsts)}) AS fst,
+             list_extract({lit(lasts)}, 1 + (c_custkey * 3) % {len(lasts)}) AS lst,
+             list_extract({lit(cities)}, 1 + (c_custkey * 13) % {len(cities)}) AS city
+      FROM customer
+    )
+    SELECT c_custkey, 'PERSON' AS entity, fst || ' ' || lst AS surface,
+           CASE fst {whens} ELSE 'unknown' END AS first_name_gender
+    FROM c
+    UNION ALL
+    SELECT c_custkey, 'LOCATION' AS entity, city AS surface,
+           'n/a' AS first_name_gender
+    FROM c
+    """
+
+
+class _ItalianScanner:
+    """Actor-pool scanner with the lang="it" registry compiled once per
+    actor; emits gazetteer PERSON/LOCATION mentions + gender enrichment
+    (``named_entity_recognizer.py:203-231, 338-341``)."""
+
+    def __init__(self):
+        from nerpii_ray.state.registry import RecognizerRegistry
+
+        self.reg = RecognizerRegistry(
+            lang="it",
+            add_addresses_recognizer=False,
+            enable_model_labels=False,
+        ).compile()
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        from nerpii_ray.functions.textfns import gender_of_first_names
+
+        out = self.reg.scan(b["text"].tolist())
+        keys = b["c_custkey"].to_numpy()
+        rows = [
+            (keys[r], e, s)
+            for r, e, s in zip(out["row"], out["entity"], out["surface"])
+            if e in ("PERSON", "LOCATION")
+        ]
+        df = pd.DataFrame(rows, columns=["c_custkey", "entity", "surface"])
+        df["c_custkey"] = df["c_custkey"].astype("int64")
+        first_tok = df["surface"].str.split().str[0]
+        df["first_name_gender"] = gender_of_first_names(first_tok).where(
+            df["entity"] == "PERSON", "n/a"
+        )
+        return df
+
+
+@register("it_person_locations", it_detect_sql())
+def it_person_locations(sf_dir: str):
+    """Italian-language detection (VERDICT r2 #4): the lang="it"
+    gazetteer union finds Italian names and cities in Italian sentences
+    built deterministically from customer keys; gender enrichment runs
+    on the PERSON mentions.  The SQL twin replays name construction,
+    the expected mention set, and the gender CASE — all generated from
+    the same pools, so any drift in detection or vocabulary fails the
+    hash."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    firsts, lasts, cities = _it_pools()
+
+    def mk_text(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].astype("int64")
+        fst = (k * 7 % len(firsts)).map(lambda i: firsts[i])
+        lst = (k * 3 % len(lasts)).map(lambda i: lasts[i])
+        city = (k * 13 % len(cities)).map(lambda i: cities[i])
+        return pd.DataFrame(
+            {
+                "c_custkey": k,
+                "text": "Cliente " + fst + " " + lst + " residente a " + city,
+            }
+        )
+
+    return ds.map_batches(mk_text, batch_format="pandas").map_batches(
+        _ItalianScanner, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
     )
 
 

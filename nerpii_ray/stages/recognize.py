@@ -65,7 +65,8 @@ class RecognizerActor:
         cfg = config or EngineConfig()
         if registry is None:
             registry = RecognizerRegistry(
-                add_addresses_recognizer=cfg.add_addresses_recognizer
+                add_addresses_recognizer=cfg.add_addresses_recognizer,
+                lang=cfg.lang,
             )
             if cfg.additional_addresses:
                 registry.add_addresses(cfg.additional_addresses)

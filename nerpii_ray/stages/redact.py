@@ -94,7 +94,8 @@ class RedactorActor:
         cfg = config or EngineConfig()
         if registry is None:
             registry = RecognizerRegistry(
-                add_addresses_recognizer=cfg.add_addresses_recognizer
+                add_addresses_recognizer=cfg.add_addresses_recognizer,
+                lang=cfg.lang,
             )
             if cfg.additional_addresses:
                 registry.add_addresses(cfg.additional_addresses)

@@ -42,15 +42,7 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from nerpii_ray.functions.hashing import codice_fiscale_valid, iban_valid, luhn_valid
-from nerpii_ray.gazetteers import (
-    FIRST_NAMES,
-    LAST_NAME_SET,
-    LOCATION_BIGRAMS,
-    LOCATION_UNIGRAMS,
-    ORG_KEYWORDS,
-    STREET_WORDS,
-    US_STATE_ABBR_SAFE,
-)
+from nerpii_ray.gazetteers import STREET_WORDS, detection_sets
 
 #: stage tags on emitted mentions
 STAGE_PATTERN = "pattern"      # regex pattern recognizers (Presidio analogue)
@@ -64,7 +56,11 @@ PRESIDIO_STAGES = (STAGE_PATTERN, STAGE_DENY, STAGE_GAZETTEER)
 
 _SEP = "\x00"
 _TOKEN_RE = re.compile(r"[A-Za-z][A-Za-z'\-/]*")
-_ORG_LEFT_STOP = {"The", "A", "An", "In", "On", "At", "My", "Our", "Your"}
+#: lang="it" tokens include accented Latin-1 letters (città, Società) —
+#: kept separate so English scans stay bit-identical to pre-lang output
+_TOKEN_RE_ACCENTED = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿ][A-Za-zÀ-ÖØ-öø-ÿ'\-/]*")
+_ORG_LEFT_STOP = {"The", "A", "An", "In", "On", "At", "My", "Our", "Your",
+                  "Il", "La", "Lo", "Un", "Una", "Di", "Da", "Del", "Della"}
 
 
 @dataclass
@@ -191,6 +187,10 @@ class RecognizerRegistry:
     ``named_entity_recognizer.py:374, 383`` and SURVEY §2.10)."""
 
     patterns: List[PatternSpec] = field(default_factory=default_pattern_specs)
+    #: detection language — "it" widens the gazetteers to the EN∪IT
+    #: surface union (the reference's model swap to it_core_news_lg,
+    #: ``named_entity_recognizer.py:338-341``, re-expressed as vocabulary)
+    lang: str = "en"
     #: ADDRESS deny list; ``additional_addresses`` hook appends here
     #: (``named_entity_recognizer.py:106-107, 142``)
     address_words: List[str] = field(default_factory=lambda: list(STREET_WORDS))
@@ -245,14 +245,28 @@ class CompiledRegistry:
         self.enable_gazetteers = reg.enable_gazetteers
         self.enable_model_labels = reg.enable_model_labels
         self.cell_mode = reg.cell_mode
-        self.cell_person_re = re.compile(
-            r"^[A-Z][a-z]+(?:[ \-'][A-Z][a-z]+)?$"
-        )
+        sets = detection_sets(reg.lang)
+        self.first_names = sets.first_names
+        self.last_name_set = sets.last_names
+        self.loc_unigrams = sets.loc_unigrams
+        self.state_abbr = sets.state_abbr
+        self.org_keywords = sets.org_keywords
+        self.org_extend_right = reg.lang == "it"
+        if reg.lang == "it":
+            self.token_re = _TOKEN_RE_ACCENTED
+            self.cell_person_re = re.compile(
+                r"^[A-ZÀ-Ö][a-zà-öø-ÿ]+(?:[ \-'][A-ZÀ-Ö][a-zà-öø-ÿ]+)?$"
+            )
+        else:
+            self.token_re = _TOKEN_RE
+            self.cell_person_re = re.compile(
+                r"^[A-Z][a-z]+(?:[ \-'][A-Z][a-z]+)?$"
+            )
         # multi-word locations keyed by first token; values are tuples of the
         # remaining tokens, longest first (so "Salt Lake City" wins over a
         # hypothetical "Salt Lake")
         self.loc_bigram_first: Dict[str, List[tuple]] = {}
-        for bg in LOCATION_BIGRAMS:
+        for bg in sets.loc_bigrams:
             words = bg.split(" ")
             self.loc_bigram_first.setdefault(words[0], []).append(tuple(words[1:]))
         for k in self.loc_bigram_first:
@@ -263,10 +277,10 @@ class CompiledRegistry:
         # pattern spans / neighbors dominated the scan loop
         self.interest = (
             set(self.loc_bigram_first)
-            | FIRST_NAMES
-            | LOCATION_UNIGRAMS
-            | set(US_STATE_ABBR_SAFE)
-            | LAST_NAME_SET
+            | self.first_names
+            | self.loc_unigrams
+            | set(self.state_abbr)
+            | self.last_name_set
         )
 
     # ------------------------------------------------------------------
@@ -379,7 +393,7 @@ class CompiledRegistry:
 
     # ------------------------------------------------------------------
     def _token_scan(self, joined, row_starts, pattern_spans, emit, row_of):
-        toks = [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(joined)]
+        toks = [(m.group(0), m.start()) for m in self.token_re.finditer(joined)]
         n = len(toks)
         # ONE vectorized searchsorted for every token (a per-token Python
         # call here was ~30% of scan time)
@@ -405,7 +419,7 @@ class CompiledRegistry:
         i = 0
         while i < n:
             word, _ = toks[i]
-            if word in ORG_KEYWORDS and not in_org[i] and not inside_pattern(i):
+            if word in self.org_keywords and not in_org[i] and not inside_pattern(i):
                 r = tok_row[i]
                 lo = i
                 # extend left over adjacent TitleCase tokens in the same row
@@ -414,7 +428,7 @@ class CompiledRegistry:
                     and tok_row[lo - 1] == r
                     and toks[lo - 1][0][0].isupper()
                     and toks[lo - 1][0] not in _ORG_LEFT_STOP
-                    and toks[lo - 1][0] not in ORG_KEYWORDS
+                    and toks[lo - 1][0] not in self.org_keywords
                     and not in_org[lo - 1]
                     and i - (lo - 1) <= 2
                 ):
@@ -432,9 +446,21 @@ class CompiledRegistry:
                 while (
                     hi + 1 < n
                     and tok_row[hi + 1] == r
-                    and toks[hi + 1][0] in ORG_KEYWORDS
+                    and toks[hi + 1][0] in self.org_keywords
                 ):
                     hi += 1
+                # Italian orgs lead with the keyword ("Banca Intesa SpA",
+                # "Società Acme"): in it mode also extend right over
+                # adjacent TitleCase tokens / further keywords
+                if self.org_extend_right:
+                    while (
+                        hi + 1 < n
+                        and tok_row[hi + 1] == r
+                        and hi - i < 3
+                        and toks[hi + 1][0][0].isupper()
+                        and toks[hi + 1][0] not in _ORG_LEFT_STOP
+                    ):
+                        hi += 1
                 for t in range(lo, hi + 1):
                     in_org[t] = True
                 org_spans.append((lo, hi))
@@ -502,9 +528,9 @@ class CompiledRegistry:
                 for j in range(k + 1):
                     consumed[i + j] = True
                 continue
-            if word in FIRST_NAMES:
+            if word in self.first_names:
                 if nxt is not None and nxt[0].isupper() and (
-                    nxt in LAST_NAME_SET or nxt in FIRST_NAMES
+                    nxt in self.last_name_set or nxt in self.first_names
                 ):
                     gend = toks[i + 1][1] + len(nxt)
                     surf = joined[gpos:gend]
@@ -522,21 +548,21 @@ class CompiledRegistry:
                              STAGE_MODEL)
                     consumed[i] = True
                 continue
-            if word in LOCATION_UNIGRAMS:
+            if word in self.loc_unigrams:
                 emit(r, "LOCATION", word, ls, ls + len(word), 0.8,
                      STAGE_GAZETTEER)
                 if self.enable_model_labels:
                     emit(r, "B-LOC", word, ls, ls + len(word), 0.8, STAGE_MODEL)
                 consumed[i] = True
                 continue
-            if word in US_STATE_ABBR_SAFE and word.isupper():
+            if word in self.state_abbr and word.isupper():
                 emit(r, "LOCATION", word, ls, ls + len(word), 0.7,
                      STAGE_GAZETTEER)
                 if self.enable_model_labels:
                     emit(r, "B-LOC", word, ls, ls + len(word), 0.7, STAGE_MODEL)
                 consumed[i] = True
                 continue
-            if word in LAST_NAME_SET and word[0].isupper():
+            if word in self.last_name_set and word[0].isupper():
                 emit(r, "PERSON", word, ls, ls + len(word), 0.7,
                      STAGE_GAZETTEER)
                 if self.enable_model_labels:
