@@ -300,49 +300,143 @@ def minhash_lsh_pairs(
     n_light = banded.count()
     lights = banded.map_batches(light_rows, batch_format="pandas")
     if n_light <= ROOT_THRESHOLD_DEFAULT:
+        # SMALL path: one-task pairing + in-driver signature verify (the
+        # candidate table and its signatures are bounded by the threshold)
         cand = (
             lights.repartition(1)
             .map_batches(cand_pairs, batch_format="pandas", batch_size=None)
             .to_pandas()
         )
-    else:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # one bucket actor per ~1M key rows, capped at cluster width
-        num_buckets = int(min(max(8, ncpu), max(2, n_light // 1_000_000 + 1)))
-        cand = hash_exchange_aggregate(
-            lights,
-            partial_fn=lambda b: b,
-            merge_fn=lambda df: df,
-            keys=["band", "band_hash"],
-            num_buckets=num_buckets,
-            finish_fn=cand_pairs,
+        if cand.empty:
+            return rd.from_pandas(empty)
+        # the same pair can surface from several bands → dedup (the
+        # candidate table is near-dup-rate-sized, i.e. output-sized)
+        cand = cand.drop_duplicates().reset_index(drop=True)
+        need = frozenset(cand["id_a"]) | frozenset(cand["id_b"])
+        sig_rows = banded.map_batches(
+            lambda b: b.loc[(b["band"] == -1) & b[id_col].isin(need), [id_col, "sig"]],
+            batch_format="pandas",
+        ).to_pandas()
+        sig_of = dict(zip(sig_rows[id_col], sig_rows["sig"]))
+        sig_a = np.stack(
+            [np.frombuffer(sig_of[i], dtype=np.uint64) for i in cand["id_a"]]
         )
-    if cand.empty:
-        return rd.from_pandas(empty)
-    # the same pair can surface from several bands/actors → dedup (the
-    # candidate table is near-dup-rate-sized, i.e. output-sized)
-    cand = cand.drop_duplicates().reset_index(drop=True)
+        sig_b = np.stack(
+            [np.frombuffer(sig_of[i], dtype=np.uint64) for i in cand["id_b"]]
+        )
+        est = (sig_a == sig_b).mean(axis=1)
+        keep = est >= threshold
+        out = pd.DataFrame(
+            {"id_a": cand.loc[keep, "id_a"].to_numpy(),
+             "id_b": cand.loc[keep, "id_b"].to_numpy(),
+             "est_jaccard": est[keep].astype("float64")}
+        )
+        return rd.from_pandas(out if len(out) else empty)
 
-    # Phase 2 — VERIFY: estimated Jaccard = signature agreement, using
-    # only the signatures of candidate docs (broadcast id set → filter →
-    # collect; candidate volume is output-sized, so this stays small even
-    # when the corpus doesn't).  No second pass over text.
-    need = frozenset(cand["id_a"]) | frozenset(cand["id_b"])
-    sig_rows = banded.map_batches(
-        lambda b: b.loc[(b["band"] == -1) & b[id_col].isin(need), [id_col, "sig"]],
-        batch_format="pandas",
-    ).to_pandas()
-    sig_of = dict(zip(sig_rows[id_col], sig_rows["sig"]))
-    sig_a = np.stack([np.frombuffer(sig_of[i], dtype=np.uint64) for i in cand["id_a"]])
-    sig_b = np.stack([np.frombuffer(sig_of[i], dtype=np.uint64) for i in cand["id_b"]])
-    est = (sig_a == sig_b).mean(axis=1)
-    keep = est >= threshold
-    out = pd.DataFrame(
-        {"id_a": cand.loc[keep, "id_a"].to_numpy(),
-         "id_b": cand.loc[keep, "id_b"].to_numpy(),
-         "est_jaccard": est[keep].astype("float64")}
+    # SCALE path: candidates AND verification stay key-partitioned on
+    # actor exchanges end-to-end — the driver never holds the candidate
+    # table, an id set, or any signature (the r2 VERDICT's last
+    # output-sized driver touchpoint).  Three exchanges, all over
+    # output- or metadata-sized rows:
+    #   E1 (band, band_hash):  light rows → within-bucket pairing
+    #   E2 (jid):              pair halves ⋈ signatures (each pair sends
+    #                          one half to id_a's owner, one to id_b's)
+    #   E3 (id_a, id_b):       the two signature-carrying halves meet →
+    #                          dedup across bands → agreement → threshold
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    # one bucket actor per ~1M key rows, capped at cluster width
+    num_buckets = int(min(max(8, ncpu), max(2, n_light // 1_000_000 + 1)))
+    cand_ds = hash_exchange_aggregate(
+        lights,
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=["band", "band_hash"],
+        num_buckets=num_buckets,
+        finish_fn=cand_pairs,
+        as_dataset=True,
     )
-    return rd.from_pandas(out if len(out) else empty)
+
+    def mk_halves(b: pd.DataFrame) -> pd.DataFrame:
+        # two join rows per candidate pair, keyed by the doc whose
+        # signature each half must pick up; sig placeholder is b"" (not
+        # None) so the union with the signature rows keeps one Arrow
+        # binary type across blocks
+        h = pd.concat(
+            [b.assign(jid=b["id_a"]), b.assign(jid=b["id_b"])],
+            ignore_index=True,
+        )
+        h["sig"] = b""
+        return h[["jid", "id_a", "id_b", "sig"]]
+
+    def mk_sig_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.loc[b["band"] == -1, [id_col, "sig"]]
+        return pd.DataFrame(
+            {"jid": s[id_col].astype("int64"),
+             "id_a": np.int64(-1), "id_b": np.int64(-1), "sig": s["sig"]}
+        )
+
+    def attach_sig(df: pd.DataFrame) -> pd.DataFrame:
+        # per jid-bucket: stick each doc's signature onto the pair halves
+        # that need it; signatures of docs in no candidate pair die here
+        sigs = df.loc[df["id_a"] < 0, ["jid", "sig"]]
+        halves = df.loc[df["id_a"] >= 0, ["jid", "id_a", "id_b"]]
+        m = halves.merge(sigs, on="jid", how="inner")
+        return m[["jid", "id_a", "id_b", "sig"]]
+
+    def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        a = (
+            df.loc[df["jid"] == df["id_a"], ["id_a", "id_b", "sig"]]
+            .drop_duplicates(["id_a", "id_b"])
+        )
+        b = (
+            df.loc[df["jid"] == df["id_b"], ["id_a", "id_b", "sig"]]
+            .drop_duplicates(["id_a", "id_b"])
+        )
+        m = a.merge(b, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty.copy()
+        sig_a = np.stack([np.frombuffer(s, dtype=np.uint64) for s in m["sig_a"]])
+        sig_b = np.stack([np.frombuffer(s, dtype=np.uint64) for s in m["sig_b"]])
+        est = (sig_a == sig_b).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {"id_a": m.loc[keep, "id_a"].to_numpy().astype("int64"),
+             "id_b": m.loc[keep, "id_b"].to_numpy().astype("int64"),
+             "est_jaccard": est[keep].astype("float64")}
+        )
+
+    sig_ds = banded.map_batches(mk_sig_rows, batch_format="pandas")
+    halves_ds = cand_ds.map_batches(mk_halves, batch_format="pandas")
+    joined = hash_exchange_aggregate(
+        sig_ds.union(halves_ds),
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=["jid"],
+        num_buckets=num_buckets,
+        finish_fn=attach_sig,
+        as_dataset=True,
+    )
+    scored = hash_exchange_aggregate(
+        joined,
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=["id_a", "id_b"],
+        num_buckets=num_buckets,
+        finish_fn=score_pairs,
+        as_dataset=True,
+    )
+    # normalize per-bucket block schemas (empty buckets) to the result
+    # schema; the verified-pair table is output-sized by definition
+    return scored.map_batches(
+        lambda b: b[["id_a", "id_b", "est_jaccard"]].astype(
+            {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+        )
+        if len(b)
+        else empty.copy(),
+        batch_format="pandas",
+    )
 
 
 # ------------------------------------------------------------- simhash

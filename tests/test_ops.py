@@ -160,7 +160,11 @@ def test_minhash_pairing_root_and_exchange_agree(docs_df):
         got = mlp(ds).to_pandas()
     finally:
         agg.ROOT_THRESHOLD_DEFAULT = old
-    assert set(zip(want["id_a"], want["id_b"])) == set(zip(got["id_a"], got["id_b"]))
+    # pair sets AND verify scores identical: the scale path re-derives
+    # est_jaccard on the exchange (E3), not in the driver
+    w = {(a, b): e for a, b, e in zip(want["id_a"], want["id_b"], want["est_jaccard"])}
+    g = {(a, b): e for a, b, e in zip(got["id_a"], got["id_b"], got["est_jaccard"])}
+    assert w == g
     assert len(want) > 0
 
 
