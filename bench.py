@@ -162,6 +162,12 @@ def run_bench() -> dict:
         "doc_quality",
     ]
 
+    # --scaling sets this: the per-level subprocesses measure ONLY the
+    # flagship (queries at the 8-CPU level cost ~2 min each round, which
+    # stretches the lo/hi interleave far past the noise timescale the
+    # interleaving exists to straddle)
+    skip_queries = os.environ.get("RAY_GRAFT_SKIP_QUERIES") == "1"
+
     def timed_region() -> tuple:
         headline = float("inf")
         for _ in range(reps):
@@ -172,7 +178,7 @@ def run_bench() -> dict:
             write_graph(res, out_dir)
             headline = min(headline, time.monotonic() - t0)
         qtimes = {}
-        for name in query_names:
+        for name in query_names if not skip_queries else []:
             t0 = time.monotonic()
             out = QUERIES[name](sf_dir)
             if hasattr(out, "to_pandas"):
@@ -255,6 +261,7 @@ def run_scaling() -> dict:
                 # rounds here — 3 in-process tries at the 8-CPU level
                 # would stretch the interleave past the noise timescale
                 RAY_GRAFT_QUIET_TRIES="1",
+                RAY_GRAFT_SKIP_QUERIES="1",
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
