@@ -96,6 +96,95 @@ class MinHasher:
                 self._tok_ids[tok] = v
         return v
 
+    def _batch_sigs(self, texts: list) -> tuple:
+        """Vectorized signatures for a batch of texts.
+
+        Returns ``(doc_idx, sigs)``: the ascending positions of the
+        non-empty texts and their ``(n, num_perm)`` signature matrix,
+        bit-identical to ``signature()`` per doc (pinned by
+        ``test_banded_vectorized_matches_scalar``).  The per-token work is
+        one ``pd.factorize`` (C hash table) + md5 only per DISTINCT new
+        token; shingle hashes come from ONE global sliding window over the
+        concatenated token-id array with windows that straddle doc
+        boundaries masked out; per-doc shingle dedup is a lexsort
+        first-of-run; the perm × shingle min is one ``minimum.reduceat``.
+        No per-token or per-shingle Python in the loop — this is the
+        per-core inner kernel of the corpus-wide dedup scan.
+        """
+        tok_lists = [_TOKEN_RE.findall(t.lower()) for t in texts]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        keep = np.flatnonzero(lens > 0)
+        if len(keep) == 0:
+            return keep, np.empty((0, self.num_perm), dtype=np.uint64)
+        import itertools
+
+        flat = np.array(
+            list(itertools.chain.from_iterable(tok_lists)), dtype=object
+        )
+        codes, uniques = pd.factorize(flat, sort=False)
+        uniq_ids = np.fromiter(
+            (self._token_id(u) for u in uniques), dtype=np.uint64,
+            count=len(uniques),
+        )
+        flat_ids = uniq_ids[codes]
+        k = self.shingle_k
+        off = np.concatenate(([0], np.cumsum(lens)))
+        h_parts: list = []
+        d_parts: list = []
+        big = np.flatnonzero(lens >= k)
+        if len(big):
+            nwin = lens[big] - k + 1
+            total = int(nwin.sum())
+            # segmented arange: window starts for every big doc at once
+            seg0 = np.concatenate(([0], np.cumsum(nwin)[:-1]))
+            starts = (
+                np.repeat(off[big], nwin)
+                + np.arange(total)
+                - np.repeat(seg0, nwin)
+            )
+            win = np.lib.stride_tricks.sliding_window_view(flat_ids, k)[starts]
+            with np.errstate(over="ignore"):
+                h = (win * _SHINGLE_COEF[:k][None, :]).sum(
+                    axis=1, dtype=np.uint64
+                ) % _MERSENNE
+            h_parts.append(h)
+            d_parts.append(np.repeat(big, nwin))
+        for d in np.flatnonzero((lens > 0) & (lens < k)):
+            # short doc (< k tokens): exactly one window of its own length
+            ids = flat_ids[off[d] : off[d + 1]]
+            with np.errstate(over="ignore"):
+                # keep the 1-element ARRAY: a numpy uint64 SCALAR % a
+                # Python int silently promotes to float64 (array % int
+                # stays uint64), which would corrupt the hash
+                hv = (ids * _SHINGLE_COEF[: len(ids)]).sum(
+                    dtype=np.uint64, keepdims=True
+                ) % _MERSENNE
+            h_parts.append(hv)
+            d_parts.append(np.array([d], dtype=np.int64))
+        h_all = np.concatenate(h_parts)
+        d_all = np.concatenate(d_parts)
+        order = np.lexsort((h_all, d_all))
+        hs, dg = h_all[order], d_all[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (dg[1:] != dg[:-1]) | (hs[1:] != hs[:-1])
+        hu, du = hs[first], dg[first]
+        seg = np.flatnonzero(np.concatenate(([True], du[1:] != du[:-1])))
+        # Per-permutation loop over REUSED small buffers instead of one
+        # (num_perm × n_shingles) matrix: the big matrix costs ~3 s of
+        # fresh-page allocation per worker at 64 perms × 260k shingles,
+        # the loop is pure cache-resident compute.  Permute only the
+        # GLOBALLY distinct hashes (repetitive corpora collapse by 100×)
+        # and gather per-doc values by inverse code.
+        guniq, ginv = np.unique(hu, return_inverse=True)
+        n_docs = len(seg)
+        sigs = np.empty((n_docs, self.num_perm), dtype=np.uint64)
+        mers = np.uint64(_MERSENNE)
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perm):
+                pv = (self.a[p] * guniq + self.b[p]) % mers
+                sigs[:, p] = np.minimum.reduceat(pv[ginv], seg)
+        return du[seg], sigs
+
     def _shingle_hashes(self, text: str) -> np.ndarray:
         toks = _TOKEN_RE.findall(text.lower())
         if not toks:
@@ -124,59 +213,71 @@ class MinHasher:
         return self._sig_from_hashes(h)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch[self.text_col].fillna("")])
+        texts = batch[self.text_col].fillna("").tolist()
+        kept, sigs = self._batch_sigs(texts)
+        full = np.full((len(texts), self.num_perm), _MERSENNE, dtype=np.uint64)
+        if len(kept):
+            full[kept] = sigs  # empty docs keep the all-sentinel signature
         return pd.DataFrame({self.id_col: batch[self.id_col].to_numpy(),
-                             "sig": list(sigs)})
+                             "sig": list(full)})
 
     def banded(self, batch: pd.DataFrame, bands: int) -> pd.DataFrame:
         """One-pass banded output: per doc, ``bands`` LIGHT rows
         (band, band_hash, id — no signature payload) plus one signature
         row (band = -1, sig bytes) for verification at the pairing root.
         Carrying the 512-byte signature once instead of ``bands`` times
-        cuts the exchange volume ~an order of magnitude."""
-        rows_per_band = self.num_perm // bands
-        ids = batch[self.id_col].to_numpy()
-        out_band: list = []
-        out_hash: list = []
-        out_id: list = []
-        out_sig: list = []
-        for did, text in zip(ids, batch[self.text_col].fillna("")):
-            h = self._shingle_hashes(text or "")
-            if len(h) == 0:
-                # empty doc: the all-sentinel signature would bucket every
-                # empty doc together and pair them at est_jaccard 1.0 —
-                # an empty doc has no content to be a near-dup of; skip it
-                continue
-            sig = self._sig_from_hashes(h)
-            for band in range(bands):
-                lo = band * rows_per_band
-                out_band.append(band)
-                # band hash over a canonical STRING encoding of the slice
-                # (comma-joined lowercase hex) rather than raw bytes: any
-                # injective encoding gives identical buckets, and the
-                # string form is SQL-replayable (DuckDB md5 takes VARCHAR
-                # only), which is what lets doc_minhash_pairs_small
-                # oracle the whole band/bucket/verify path
-                out_hash.append(
-                    hashlib.md5(
-                        ",".join("%x" % v for v in sig[lo : lo + rows_per_band]).encode()
-                    ).hexdigest()[:16]
-                )
-                out_id.append(did)
-                out_sig.append(b"")
-            out_band.append(-1)
-            out_hash.append("")
-            out_id.append(did)
-            out_sig.append(sig.tobytes())
+        cuts the exchange volume ~an order of magnitude.
+
+        Empty docs are skipped entirely: the all-sentinel signature would
+        bucket every empty doc together and pair them at est_jaccard 1.0,
+        and an empty doc has no content to be a near-dup of.
+        """
+        rpb = self.num_perm // bands
+        all_ids = batch[self.id_col].to_numpy()
+        kept, sigs = self._batch_sigs(batch[self.text_col].fillna("").tolist())
+        n = len(kept)
+        if n == 0:
+            return pd.DataFrame(
+                {"band": np.array([], dtype=np.int32),
+                 "band_hash": pd.Series([], dtype=object),
+                 self.id_col: np.array([], dtype=all_ids.dtype),
+                 "sig": pd.Series([], dtype=object)}
+            )
+        ids = all_ids[kept]
+        # Band hash over a canonical STRING encoding of the slice
+        # (comma-joined lowercase hex) rather than raw bytes: any
+        # injective encoding gives identical buckets, and the string form
+        # is SQL-replayable (DuckDB md5 takes VARCHAR only), which is what
+        # lets doc_minhash_pairs_small oracle the band/bucket/verify path.
+        # plain listcomps beat np.char here: np.char.mod/add are
+        # per-element Python loops with extra ufunc overhead
+        flat_hex = ["%x" % v for v in sigs.ravel()]
+        np_ = self.num_perm
+        md5 = hashlib.md5
+        hash_cols = np.empty((bands, n), dtype=object)
+        for band in range(bands):
+            lo = band * rpb
+            hash_cols[band] = [
+                md5(",".join(flat_hex[i * np_ + lo : i * np_ + lo + rpb]).encode())
+                .hexdigest()[:16]
+                for i in range(n)
+            ]
+        # doc-major light rows (bands per doc), then one sig row per doc;
+        # downstream consumers filter on band >= 0 / == -1, order is free
+        light_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        light_hash = hash_cols.T.ravel()
+        light_id = np.repeat(ids, bands)
         return pd.DataFrame(
-            {"band": np.array(out_band, dtype=np.int32), "band_hash": out_hash,
-             self.id_col: out_id, "sig": out_sig}
+            {"band": np.concatenate((light_band, np.full(n, -1, dtype=np.int32))),
+             "band_hash": np.concatenate((light_hash, np.full(n, "", dtype=object))),
+             self.id_col: np.concatenate((light_id, ids)),
+             "sig": [b""] * (n * bands) + [s.tobytes() for s in sigs]}
         )
 
 
 class _BandedMinHasher(MinHasher):
     """MinHasher variant whose __call__ emits the banded layout directly
-    (see ``MinHasher.banded``) — one actor pass, no ndarray columns."""
+    (see ``MinHasher.banded``) — one pass, no ndarray columns."""
 
     def __init__(self, bands: int = 16, **kwargs):
         super().__init__(**kwargs)
@@ -184,6 +285,32 @@ class _BandedMinHasher(MinHasher):
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         return self.banded(batch, self.bands)
+
+
+#: per-worker-process hasher cache for the TASK-pool scan: constructing a
+#: MinHasher is cheap (one RandomState draw) but its token-id cache is
+#: valuable across batches.  Keying by the full parameter tuple keeps
+#: concurrent queries with different parameters isolated.  A task pool
+#: (plain map_batches) reuses Ray's prestarted worker processes, so the
+#: scan pays ZERO actor spin-up while keeping the setup-once-per-worker
+#: property the actor form had (state is a pure memo — tasks stay
+#: idempotent and retry-safe).
+_MH_CACHE: dict = {}
+
+
+def _banded_scan_batch(batch: pd.DataFrame, *, text_col: str, id_col: str,
+                       num_perm: int, shingle_k: int, bands: int,
+                       seed: int = 97) -> pd.DataFrame:
+    key = (text_col, id_col, num_perm, shingle_k, bands, seed)
+    mh = _MH_CACHE.get(key)
+    if mh is None:
+        mh = _MH_CACHE.setdefault(
+            key,
+            _BandedMinHasher(text_col=text_col, id_col=id_col,
+                             num_perm=num_perm, shingle_k=shingle_k,
+                             bands=bands, seed=seed),
+        )
+    return mh(batch)
 
 
 def _bucket_truncation_stats(sizes: np.ndarray, max_bucket: int) -> tuple:
@@ -262,16 +389,18 @@ def minhash_lsh_pairs(
 
     # ONE pass over text: banded layout (bands light rows + one signature
     # row per doc — metadata only, never text), pinned so the candidate
-    # phase and the verify phase don't re-run the minhash scan
+    # phase and the verify phase don't re-run the minhash scan.  Plain
+    # task pool + per-worker cached hasher (see _MH_CACHE): same
+    # setup-once-per-worker property as an actor pool, none of the
+    # spin-up latency, and elastic width at cluster scale.
     banded = ds.map_batches(
-        _BandedMinHasher,
-        fn_constructor_kwargs=dict(
+        _banded_scan_batch,
+        fn_kwargs=dict(
             text_col=text_col, id_col=id_col, num_perm=num_perm,
             shingle_k=shingle_k, bands=bands,
         ),
         batch_format="pandas",
         batch_size=2048,  # bundle oversplit input blocks into real batches
-        concurrency=(1, 8),
     ).materialize()
 
     empty = pd.DataFrame(
@@ -300,23 +429,19 @@ def minhash_lsh_pairs(
     n_light = banded.count()
     lights = banded.map_batches(light_rows, batch_format="pandas")
     if n_light <= ROOT_THRESHOLD_DEFAULT:
-        # SMALL path: one-task pairing + in-driver signature verify (the
-        # candidate table and its signatures are bounded by the threshold)
-        cand = (
-            lights.repartition(1)
-            .map_batches(cand_pairs, batch_format="pandas", batch_size=None)
-            .to_pandas()
-        )
+        # SMALL path: the whole banded table (light rows AND signatures)
+        # is bounded by the threshold, so ONE block fetch of the already-
+        # materialized dataset replaces three extra Dataset executions
+        # (repartition→pair, then a sig-fetch scan) — at this size the
+        # fixed per-execution cost dwarfs the pairing compute itself
+        bdf = banded.to_pandas()
+        cand = cand_pairs(bdf.loc[bdf["band"] >= 0, ["band", "band_hash", id_col]])
         if cand.empty:
             return rd.from_pandas(empty)
         # the same pair can surface from several bands → dedup (the
         # candidate table is near-dup-rate-sized, i.e. output-sized)
         cand = cand.drop_duplicates().reset_index(drop=True)
-        need = frozenset(cand["id_a"]) | frozenset(cand["id_b"])
-        sig_rows = banded.map_batches(
-            lambda b: b.loc[(b["band"] == -1) & b[id_col].isin(need), [id_col, "sig"]],
-            batch_format="pandas",
-        ).to_pandas()
+        sig_rows = bdf.loc[bdf["band"] == -1, [id_col, "sig"]]
         sig_of = dict(zip(sig_rows[id_col], sig_rows["sig"]))
         sig_a = np.stack(
             [np.frombuffer(sig_of[i], dtype=np.uint64) for i in cand["id_a"]]

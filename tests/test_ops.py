@@ -73,6 +73,26 @@ def test_minhash_lsh_finds_injected_near_dups(docs_df):
         assert (did - 1000, did) in found, f"missed near-dup pair for {did}"
 
 
+def test_banded_vectorized_matches_scalar(docs_df):
+    """The vectorized batch kernel (_batch_sigs) must be bit-identical to
+    the scalar reference (signature) for every doc, including the empty,
+    whitespace-only, sub-shingle-length and unicode edge cases."""
+    import numpy as np
+
+    from nerpii_ray.stages.dedup import _MERSENNE, MinHasher
+
+    texts = list(docs_df["text"]) + ["", "   ", "one", "two words", "héllo wörld"]
+    vec = MinHasher(num_perm=64, shingle_k=3)
+    ref = MinHasher(num_perm=64, shingle_k=3)
+    kept, sigs = vec._batch_sigs(texts)
+    pos = {int(d): i for i, d in enumerate(kept)}
+    sentinel = np.full(64, _MERSENNE, dtype=np.uint64)
+    for j, t in enumerate(texts):
+        want = ref.signature(t)
+        got = sigs[pos[j]] if j in pos else sentinel
+        assert np.array_equal(want, got), f"signature mismatch at doc {j}"
+
+
 def test_minhash_pairs_match_naive_lsh(docs_df):
     """The two-phase keyed-exchange pairing must produce exactly the
     pair set a naive single-process LSH produces from the same
