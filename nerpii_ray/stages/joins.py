@@ -1,12 +1,13 @@
 """Join operators (SURVEY §2.6: the reference has none; the engine needs
 both patterns at scale).
 
-* broadcast_join — the small-side pattern: the dimension table ships as
-  an actor-pool constructor argument (stored in the object store once;
-  each actor materializes it once in ``__init__``) and every batch is a
-  local pandas merge.  No shuffle, no re-shipping per batch.  (Args by
-  value, not a ``ray.put`` ref in ``fn_constructor_kwargs`` — that
-  pattern deadlocks restartable actor pools, Ray issue 53727.)
+* broadcast_join — the small-side pattern: the dimension table is
+  ``ray.put`` ONCE and every map task reads the ref through a per-worker
+  cache, so the table ships to each node a single time and deserializes
+  once per worker process — no shuffle, no re-shipping per batch, no
+  actor-pool spin-up.  (Refs in task ``fn_kwargs`` are safe; the
+  issue-53727 deadlock only bites refs inside restartable actor pools'
+  ctor args.)
 * partitioned_hash_join — both sides large: tag + union + bucketed
   groupby, merging each bucket with pandas.  B buckets bound the skew;
   salt hot keys upstream if a single key exceeds a bucket.
@@ -19,15 +20,26 @@ from typing import Sequence
 import pandas as pd
 
 
-class _BroadcastMerger:
-    def __init__(self, small_ref, on: Sequence[str], how: str, suffix: str):
-        self.small = small_ref
-        self.on, self.how, self.suffix = list(on), how, suffix
+#: per-worker-process cache of broadcast tables, keyed by object ref hex:
+#: each worker deserializes the small side once, later tasks on the same
+#: worker hit the memo.  Bounded: a long-lived worker serving many joins
+#: drops the oldest entries rather than accumulating dimension tables.
+_BCAST_CACHE: dict = {}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(
-            self.small, on=self.on, how=self.how, suffixes=("", self.suffix)
-        )
+
+def _bcast_merge(batch: pd.DataFrame, *, small, on, how, suffix) -> pd.DataFrame:
+    import ray
+
+    if isinstance(small, ray.ObjectRef):
+        key = small.hex()
+        df = _BCAST_CACHE.get(key)
+        if df is None:
+            if len(_BCAST_CACHE) >= 8:
+                _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+            df = _BCAST_CACHE.setdefault(key, ray.get(small))
+    else:  # direct call in tests / driver-side reuse
+        df = small
+    return batch.merge(df, on=list(on), how=how, suffixes=("", suffix))
 
 
 def broadcast_join(
@@ -37,15 +49,15 @@ def broadcast_join(
     how: str = "inner",
     suffix: str = "_r",
     batch_size: int = 8192,
-    concurrency=(1, 4),
 ):
     """Join a Dataset against a small pandas table without a shuffle."""
+    import ray
+
     return ds.map_batches(
-        _BroadcastMerger,
-        fn_constructor_kwargs=dict(small_ref=small_df, on=on, how=how, suffix=suffix),
+        _bcast_merge,
+        fn_kwargs=dict(small=ray.put(small_df), on=list(on), how=how, suffix=suffix),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 

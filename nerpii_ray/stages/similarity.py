@@ -1,14 +1,14 @@
 """Similarity search over an embedding column (list<float>).
 
-* brute_force_topk — the exact baseline: the query matrix is broadcast
-  once as an actor-pool constructor argument (Ray stores ctor args in the
-  object store once; each actor deserializes them a single time in
-  ``__init__`` — never per batch).  Each batch does ONE float matmul and
-  emits its local top-k per query; a tiny groupby merge produces the
-  global top-k.  Shuffle volume is O(k × batches × queries), never
-  O(rows).  (A bare ``ray.put`` ref inside ``fn_constructor_kwargs``
-  deadlocks restartable actor pools — Ray issue 53727 — hence args by
-  value.)
+* brute_force_topk — the exact baseline: a task-pool ``map_batches``
+  whose per-worker-process scorer cache (_SCORER_CACHE) normalizes the
+  query matrix once per worker — setup-once semantics without actor
+  spin-up, and the kilobyte query payload rides ``fn_kwargs`` (one
+  object-store entry, shared by every task).  Each batch does ONE float
+  matmul and emits its local top-k per query; a tiny root merge produces
+  the global top-k.  Shuffle volume is O(k × batches × queries), never
+  O(rows).  (The earlier actor-pool form hit Ray issue 53727 with
+  by-ref ctor args; by-value + worker cache sidesteps it entirely.)
 * ivf_topk — the scale path: a sampled k-means codebook (built once on
   the driver from a small sample), batches prune to rows whose nearest
   centroid is in the query's probe list, then the same local-top-k merge.
@@ -70,7 +70,11 @@ def _topk_tree(local_ds, k: int, id_col: str):
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return df
+            # repartition pads with COLUMN-LESS empty blocks; passing one
+            # through re-emits a names=[] schema and trips the streaming
+            # executor's schema-stability warning — substitute the typed
+            # empty frame (schema-stable blocks also keep operator fusing)
+            return df if len(df.columns) else _typed_empty(id_col)
         return (
             df.sort_values(["cos_sim", id_col], ascending=[False, True])
             .groupby("q_id", sort=False)
@@ -84,7 +88,41 @@ def _topk_tree(local_ds, k: int, id_col: str):
         df["cos_sim"] = np.round(df["cos_sim"], 6)
         return df.reset_index(drop=True)
 
-    return tree_aggregate(local_ds, merge, merge, final_fn=finalize)
+    # levels=(1,): the map stage IS the first tree level here — every
+    # scorer task already cut its output to ≤ k rows per query, so the
+    # root merges batches × k × queries rows (k≈10: small until ~10^5
+    # blocks; pass deeper levels from the caller beyond that).  A 16-way
+    # pre-level would pad the tiny input with empty schema-less blocks
+    # (Ray repartition) and cost an extra shuffle round for nothing.
+    return tree_aggregate(local_ds, merge, merge, levels=(1,), final_fn=finalize)
+
+
+#: per-worker-process scorer cache (see stages/dedup.py _MH_CACHE for the
+#: pattern): scorer construction normalizes the query matrix / computes
+#: probe lists once per worker, tasks reuse Ray's prestarted workers with
+#: zero actor spin-up, and the query/codebook payloads are kilobytes —
+#: cheap to ship in fn_kwargs (the object store dedups the ref per task
+#: anyway).  State is a pure memo, so tasks stay idempotent.
+_SCORER_CACHE: dict = {}
+
+
+def _cached_scorer(cls, **kwargs):
+    key = (cls.__name__,) + tuple(
+        (k, v.tobytes() if isinstance(v, np.ndarray) else v)
+        for k, v in sorted(kwargs.items())
+    )
+    sc = _SCORER_CACHE.get(key)
+    if sc is None:
+        sc = _SCORER_CACHE.setdefault(key, cls(**kwargs))
+    return sc
+
+
+def _brute_force_batch(batch: pd.DataFrame, **kwargs) -> pd.DataFrame:
+    return _cached_scorer(_BruteForceScorer, **kwargs)(batch)
+
+
+def _ivf_batch(batch: pd.DataFrame, **kwargs) -> pd.DataFrame:
+    return _cached_scorer(_IVFScorer, **kwargs)(batch)
 
 
 def brute_force_topk(
@@ -93,20 +131,18 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    concurrency=(1, 4),
     batch_size: int = 4096,
 ):
     """Exact cosine top-k for each query row.  Returns
     (q_id, <id_col>, cos_sim, rank), ties broken by id."""
     local = ds.map_batches(
-        _BruteForceScorer,
-        fn_constructor_kwargs=dict(
+        _brute_force_batch,
+        fn_kwargs=dict(
             queries_ref=np.asarray(queries, dtype=np.float64), k=k,
             vec_col=vec_col, id_col=id_col,
         ),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     return _topk_tree(local, k, id_col)
 
@@ -176,7 +212,6 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sample_rows: int = 2048,
-    concurrency=(1, 4),
 ):
     """Approximate top-k: IVF cell pruning (codebook from a sample) then
     exact rescoring inside probed cells.  Recall measured against
@@ -194,12 +229,11 @@ def ivf_topk(
     sample = np.stack([np.asarray(v, dtype=np.float64) for v in sampled[vec_col]])
     cb = train_codebook(sample, nlist)
     local = ds.map_batches(
-        _IVFScorer,
-        fn_constructor_kwargs=dict(
+        _ivf_batch,
+        fn_kwargs=dict(
             queries_ref=np.asarray(queries, dtype=np.float64), codebook_ref=cb,
             k=k, nprobe=nprobe, vec_col=vec_col, id_col=id_col,
         ),
         batch_format="pandas",
-        concurrency=concurrency,
     )
     return _topk_tree(local, k, id_col)
