@@ -401,8 +401,9 @@ def doc_mentions(sf_dir: str):
 
 
 class _IbanScanner:
-    """Actor-pool scanner for iban_detect: the registry compiles once per
-    actor (T2 semantics); __call__ runs the REAL combined-regex scan."""
+    """Scanner for iban_detect: the registry compiles once per worker
+    (T2 semantics, via taskcache); __call__ runs the REAL combined-regex
+    scan."""
 
     def __init__(self):
         from nerpii_ray.state.registry import RecognizerRegistry
@@ -425,6 +426,12 @@ class _IbanScanner:
                 "iban": pd.array([out["surface"][i] for i in idx], dtype=str),
             }
         )
+
+
+def _scan_iban_batch(b: pd.DataFrame) -> pd.DataFrame:
+    from nerpii_ray.stages.taskcache import worker_cached
+
+    return worker_cached(_IbanScanner)(b)
 
 
 @register(
@@ -464,7 +471,7 @@ def iban_detect(sf_dir: str):
         )
 
     return ds.map_batches(mk_text, batch_format="pandas").map_batches(
-        _IbanScanner, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+        _scan_iban_batch, batch_format="pandas", batch_size=4096
     )
 
 
@@ -517,9 +524,9 @@ def it_detect_sql() -> str:
 
 
 class _ItalianScanner:
-    """Actor-pool scanner with the lang="it" registry compiled once per
-    actor; emits gazetteer PERSON/LOCATION mentions + gender enrichment
-    (``named_entity_recognizer.py:203-231, 338-341``)."""
+    """Scanner with the lang="it" registry compiled once per worker
+    (taskcache); emits gazetteer PERSON/LOCATION mentions + gender
+    enrichment (``named_entity_recognizer.py:203-231, 338-341``)."""
 
     def __init__(self):
         from nerpii_ray.state.registry import RecognizerRegistry
@@ -549,6 +556,12 @@ class _ItalianScanner:
         return df
 
 
+def _scan_italian_batch(b: pd.DataFrame) -> pd.DataFrame:
+    from nerpii_ray.stages.taskcache import worker_cached
+
+    return worker_cached(_ItalianScanner)(b)
+
+
 @register("it_person_locations", it_detect_sql())
 def it_person_locations(sf_dir: str):
     """Italian-language detection (VERDICT r2 #4): the lang="it"
@@ -574,7 +587,7 @@ def it_person_locations(sf_dir: str):
         )
 
     return ds.map_batches(mk_text, batch_format="pandas").map_batches(
-        _ItalianScanner, batch_format="pandas", batch_size=4096, concurrency=(1, 4)
+        _scan_italian_batch, batch_format="pandas", batch_size=4096
     )
 
 
@@ -919,12 +932,12 @@ def _langid_sql() -> str:
 
 @register("doc_langid", _langid_sql())
 def doc_langid(sf_dir: str):
-    from nerpii_ray.stages.textstats import LangId, langid_concurrency
+    from nerpii_ray.stages.textstats import langid_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(
-        LangId, batch_format="pandas", concurrency=langid_concurrency()
-    ).select_columns(["doc_id", "pred_lang"])
+    return ds.map_batches(langid_batch, batch_format="pandas").select_columns(
+        ["doc_id", "pred_lang"]
+    )
 
 
 # =====================================================================

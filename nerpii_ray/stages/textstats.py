@@ -115,15 +115,15 @@ class LangId:
         return out
 
 
-def langid_concurrency() -> tuple:
-    """LangId pool bounds: autoscale from 1 up to the cluster's CPU
-    count (the pool was previously capped at 2 actors, which starved 30
-    of 32 cores on a langid-heavy pipeline; autoscaling keeps upstream
-    reads schedulable — a pinned full-width pool would deadlock them)."""
-    import ray
+def langid_batch(batch: pd.DataFrame, *, text_col: str = "text") -> pd.DataFrame:
+    """Task-pool form of LangId: the stopword bitmask table builds once
+    per worker process (taskcache), tasks reuse prestarted workers with
+    zero actor spin-up, and the stage is elastic at cluster width — this
+    replaced the autoscaling actor pool whose spin-up dominated short
+    runs and whose width cap once starved 30 of 32 cores."""
+    from nerpii_ray.stages.taskcache import worker_cached
 
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(2, ncpu))
+    return worker_cached(LangId, text_col=text_col)(batch)
 
 
 def text_stats_pipeline(docs_ds, text_col: str = "text", batch_size: int = 8192):
@@ -134,9 +134,8 @@ def text_stats_pipeline(docs_ds, text_col: str = "text", batch_size: int = 8192)
         batch_size=batch_size,
     )
     return ds.map_batches(
-        LangId,
-        fn_constructor_kwargs=dict(text_col=text_col),
+        langid_batch,
+        fn_kwargs=dict(text_col=text_col),
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=langid_concurrency(),
     )
