@@ -2,12 +2,12 @@
 
 Reference flow: ``BatchAnalyzerEngine.analyze_dict`` runs every recognizer
 over every cell of every object column in one Python process
-(``named_entity_recognizer.py:407-430``).  Here the same semantics run as an
-actor-pool ``map_batches`` stage: the registry (regexes, gazetteers, deny
-list) is compiled once per actor in ``__init__`` — mirroring the one-time
-engine construction at ``named_entity_recognizer.py:343-385`` — and each
-call scans a zero-copy Arrow batch of turns into an exploded *mentions*
-table.
+(``named_entity_recognizer.py:407-430``).  Here the same semantics run as a
+task-pool ``map_batches`` stage with a per-worker recognizer cache: the
+registry (regexes, gazetteers, deny list) is compiled once per worker
+process — mirroring the one-time engine construction at
+``named_entity_recognizer.py:343-385`` — and each call scans a zero-copy
+Arrow batch of turns into an exploded *mentions* table.
 
 Output schema (mention rows):
   <key columns passed through> + group_key:string, entity:string,
@@ -235,6 +235,26 @@ class RecognizerActor:
         return pa.concat_tables(parts, promote_options="default")
 
 
+#: per-worker recognizer cache, keyed by a driver-minted stage token.
+#: RecognizerActor's ctor args (registry/config objects) aren't hashable
+#: by value, but every task of ONE stage shares the same kwargs — so the
+#: driver stamps the stage with a token and each worker constructs the
+#: recognizer once per stage.  Construction is deterministic from the
+#: kwargs (registry compile is ~2 ms) and the _id_cache is a pure memo,
+#: so tasks stay idempotent; Ray puts the fn_kwargs closure in the
+#: object store once, not per task.
+_REC_CACHE: dict = {}
+
+
+def _recognize_batch(batch: pa.Table, *, token: str, ctor: dict) -> pa.Table:
+    rec = _REC_CACHE.get(token)
+    if rec is None:
+        if len(_REC_CACHE) >= 8:  # bound: id-caches can reach ~100 MB each
+            _REC_CACHE.pop(next(iter(_REC_CACHE)))
+        rec = _REC_CACHE.setdefault(token, RecognizerActor(**ctor))
+    return rec(batch)
+
+
 def recognize_mentions(
     ds,
     config: Optional[EngineConfig] = None,
@@ -247,27 +267,32 @@ def recognize_mentions(
     attach_ids: bool = False,
     emit_redacted: Optional[str] = None,
 ):
-    """Attach the recognizer actor pool to a Dataset of turns/documents."""
+    """Attach the recognizer stage to a Dataset of turns/documents.
+
+    Task pool + per-worker cached recognizer (see stages/taskcache.py for
+    the rationale): setup-once-per-worker semantics with zero actor
+    spin-up and elastic width — the old autoscaling actor pool paid a
+    serialized ramp of process starts at the head of every flagship run
+    and pinned its width below cluster scale."""
+    import uuid
+
     cfg = config or EngineConfig()
+    ctor = dict(
+        registry=registry,
+        config=cfg,
+        text_col=text_col,
+        key_cols=key_cols,
+        group_col=group_col,
+        group_from=group_from,
+        emit_group_counts=emit_group_counts,
+        attach_ids=attach_ids,
+        emit_redacted=emit_redacted,
+    )
     return ds.map_batches(
-        RecognizerActor,
-        fn_constructor_kwargs=dict(
-            registry=registry,
-            config=cfg,
-            text_col=text_col,
-            key_cols=key_cols,
-            group_col=group_col,
-            group_from=group_from,
-            emit_group_counts=emit_group_counts,
-            attach_ids=attach_ids,
-            emit_redacted=emit_redacted,
-        ),
+        _recognize_batch,
+        fn_kwargs=dict(token=uuid.uuid4().hex, ctor=ctor),
         batch_format="pyarrow",
         batch_size=cfg.recognizer_batch_size,
-        concurrency=(
-            min(cfg.recognizer_min_concurrency, cfg.recognizer_concurrency),
-            cfg.recognizer_concurrency,
-        ),
         num_cpus=1,
         zero_copy_batch=True,
     )

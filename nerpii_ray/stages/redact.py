@@ -115,6 +115,21 @@ class RedactorActor:
         )
 
 
+#: per-worker redactor cache, token-keyed like recognize._REC_CACHE
+#: (ctor args unhashable by value; one token per stage; construction
+#: deterministic, so tasks stay idempotent)
+_RED_CACHE: dict = {}
+
+
+def _redact_batch(batch: pa.Table, *, token: str, ctor: dict) -> pa.Table:
+    red = _RED_CACHE.get(token)
+    if red is None:
+        if len(_RED_CACHE) >= 8:
+            _RED_CACHE.pop(next(iter(_RED_CACHE)))
+        red = _RED_CACHE.setdefault(token, RedactorActor(**ctor))
+    return red(batch)
+
+
 def redact_transcripts(
     turns_ds,
     config: Optional[EngineConfig] = None,
@@ -122,19 +137,19 @@ def redact_transcripts(
     mode: str = "pseudonym",
     text_col: str = "text",
 ):
-    """Dataset of turns → same schema with ``text`` redacted."""
+    """Dataset of turns → same schema with ``text`` redacted.  Task pool
+    + per-worker cached redactor: no actor spin-up, elastic width."""
+    import uuid
+
     cfg = config or EngineConfig()
     return turns_ds.map_batches(
-        RedactorActor,
-        fn_constructor_kwargs=dict(
-            registry=registry, config=cfg, text_col=text_col, mode=mode
+        _redact_batch,
+        fn_kwargs=dict(
+            token=uuid.uuid4().hex,
+            ctor=dict(registry=registry, config=cfg, text_col=text_col, mode=mode),
         ),
         batch_format="pyarrow",
         batch_size=cfg.recognizer_batch_size,
-        concurrency=(
-            min(cfg.recognizer_min_concurrency, cfg.recognizer_concurrency),
-            cfg.recognizer_concurrency,
-        ),
         num_cpus=1,
         zero_copy_batch=True,
     )
