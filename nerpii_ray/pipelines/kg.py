@@ -141,7 +141,12 @@ def run_kg(
         batch_format="pandas",
         batch_size=None,
     )
-    tool_edges = turns_ds.map_batches(
+    # tool edges / actor-tool nodes need only the metadata columns —
+    # prune `text` (the bulk of the input bytes) so these two re-reads
+    # scan kilobytes per row-group, not the corpus.  select_columns
+    # pushes the projection into the parquet read.
+    turns_meta = turns_ds.select_columns(["conv_id", "turn_idx", "role", "tool"])
+    tool_edges = turns_meta.map_batches(
         extract_tool_edges, batch_format="pandas", batch_size=cfg.batch_size
     )
     edges = entity_edges.union(tool_edges)
@@ -152,7 +157,7 @@ def run_kg(
 
     entity_nodes = build_nodes(with_ids, cfg)
     at_nodes = tree_dedup(
-        turns_ds,
+        turns_meta,
         keys=["node_id"],
         partial_fn=_actor_tool_nodes,
         batch_size=cfg.batch_size,
