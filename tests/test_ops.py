@@ -409,3 +409,68 @@ def test_salt_hot_keys_bounds_bucket_size():
     assert sizes["rare5#0"] == 1
     # row total preserved
     assert sizes.sum() == 1000
+
+
+def test_worker_cached_constructs_once_per_key_and_bounds_entries():
+    """taskcache.worker_cached: one construction per (cls, kwargs) per
+    process, distinct kwargs get distinct instances, and the memo drops
+    oldest entries at the bound instead of growing forever."""
+    from nerpii_ray.stages import taskcache
+
+    calls = []
+
+    class Probe:
+        def __init__(self, tag="x"):
+            self.tag = tag
+            calls.append(tag)
+
+    saved = dict(taskcache._CACHE)
+    taskcache._CACHE.clear()
+    try:
+        a1 = taskcache.worker_cached(Probe, tag="a")
+        a2 = taskcache.worker_cached(Probe, tag="a")
+        b = taskcache.worker_cached(Probe, tag="b")
+        assert a1 is a2 and a1 is not b
+        assert calls == ["a", "b"]
+        for i in range(taskcache._MAX_ENTRIES + 4):
+            taskcache.worker_cached(Probe, tag=f"fill{i}")
+        assert len(taskcache._CACHE) <= taskcache._MAX_ENTRIES
+        # evicted key reconstructs (still correct, just re-built)
+        taskcache.worker_cached(Probe, tag="a")
+        assert calls.count("a") == 2
+    finally:
+        taskcache._CACHE.clear()
+        taskcache._CACHE.update(saved)
+
+
+def test_token_keyed_recognizer_cache_reuses_and_separates_stages():
+    """recognize._recognize_batch: same token → one recognizer per
+    process; different token → fresh state (no cross-stage bleed)."""
+    import pyarrow as pa
+
+    from nerpii_ray.stages import recognize as rec
+
+    batch = pa.table(
+        {
+            "conv_id": pa.array([1], pa.int64()),
+            "turn_idx": pa.array([0], pa.int64()),
+            "role": pa.array(["user"], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            "text": pa.array(["mail me at ada@example.com"], pa.string()),
+        }
+    )
+    ctor = dict(registry=None, config=None)
+    saved = dict(rec._REC_CACHE)
+    rec._REC_CACHE.clear()
+    try:
+        out1 = rec._recognize_batch(batch, token="t1", ctor=ctor)
+        obj1 = rec._REC_CACHE["t1"]
+        rec._recognize_batch(batch, token="t1", ctor=ctor)
+        assert rec._REC_CACHE["t1"] is obj1
+        rec._recognize_batch(batch, token="t2", ctor=ctor)
+        assert rec._REC_CACHE["t2"] is not obj1
+        ents = out1.column("entity").to_pylist()
+        assert "EMAIL_ADDRESS" in ents
+    finally:
+        rec._REC_CACHE.clear()
+        rec._REC_CACHE.update(saved)
