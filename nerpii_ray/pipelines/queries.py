@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-40 of 45 queries carry a SQL oracle — including the KG flagship (edges,
+44 of 49 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -1926,3 +1926,170 @@ def top_orders_per_segment(sf_dir: str):
         ).reset_index(drop=True)
 
     return tree_aggregate(joined, topk, topk, final_fn=finalize)
+
+
+# =====================================================================
+# Ordered / windowed relational operators (beyond-reference: as-of join,
+# partitioned window functions, sliding time windows, exact quantiles)
+# =====================================================================
+
+
+@register(
+    "events_prev_purchase",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS prev_purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id,
+           COALESCE(p.prev_purchase_cents, -1) AS prev_purchase_cents
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts
+    """,
+)
+def events_prev_purchase(sf_dir: str):
+    """As-of join (stages/joins.asof_join): every event picks the value
+    of the STRICTLY most recent prior purchase of the same user, -1 when
+    none.  The right side is made (user, ts)-unique by a keyed max
+    aggregate first (the as-of contract), mirroring the SQL's GROUP BY."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+    left = ev.map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas"
+    )
+
+    def purchase_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[b["event_type"] == "purchase"]
+        df = pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype("int64"),
+                "ts": p["ts"],
+                "prev_purchase_cents": np.round(p["value"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+        return _max_by_user_ts(df)
+
+    right = tree_aggregate(
+        ev, purchase_partial, _max_by_user_ts, keys=["user_id", "ts"]
+    )
+    joined = asof_join(left, right, key="user_id", ts="ts", strict=True)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "prev_purchase_cents": b["prev_purchase_cents"]
+                .fillna(-1)
+                .astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def _max_by_user_ts(df: pd.DataFrame) -> pd.DataFrame:
+    if df.empty:
+        return df
+    return (
+        df.groupby(["user_id", "ts"], sort=False, observed=True)[
+            "prev_purchase_cents"
+        ]
+        .max()
+        .reset_index()
+    )
+
+
+@register(
+    "customer_order_running",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS run_cents,
+           CAST(COALESCE(DATE_DIFF('day', LAG(o_orderdate) OVER w,
+                o_orderdate), -1) AS BIGINT) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_running(sf_dir: str):
+    """Partitioned window functions (stages/window.running_order_stats):
+    ROW_NUMBER / running SUM / LAG-gap per customer, via one hash
+    shuffle + vectorized in-bucket kernels — no global sort."""
+    from nerpii_ray.stages.window import running_order_stats
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    return running_order_stats(ds)
+
+
+@register(
+    "events_rolling_hour",
+    """
+    SELECT event_id,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last_hour
+    FROM events
+    """,
+)
+def events_rolling_hour(sf_dir: str):
+    """Sliding time window (stages/window.rolling_time_count): per-event
+    count of same-user events in the preceding hour, RANGE-frame
+    semantics (inclusive both ends, µs-pinned)."""
+    from nerpii_ray.stages.window import rolling_time_count
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return rolling_time_count(ds, window_sec=3600, out_col="n_last_hour")
+
+
+@register(
+    "lineitem_price_quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_disc(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                0.5) AS BIGINT) AS median_cents,
+           CAST(quantile_disc(CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+                0.95) AS BIGINT) AS p95_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_quantiles(sf_dir: str):
+    """Exact grouped quantiles WITHOUT a sort
+    (stages/agg.grouped_quantile_disc): value-count combiner → tree →
+    domain-bounded histogram root; DuckDB quantile_disc semantics
+    (element ceil(q*n)-1 of the sorted group)."""
+    from nerpii_ray.stages.agg import grouped_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents_counts(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "cents": np.round(b["l_extendedprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+        return (
+            df.groupby(["l_returnflag", "cents"], sort=False, observed=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    return grouped_quantile_disc(
+        ds,
+        ["l_returnflag"],
+        "cents",
+        [0.5, 0.95],
+        ["median_cents", "p95_cents"],
+        partial_fn=cents_counts,
+    )

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence, Tuple
 
+import numpy as np
 import pandas as pd
 
 #: combiner-output row count beyond which the tree finishes with the
@@ -207,3 +208,77 @@ def salt_hot_keys(
         return b
 
     return ds.map_batches(tag, batch_format="pandas")
+
+
+def grouped_quantile_disc(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    q_names: Sequence[str],
+    partial_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    """Exact discrete quantiles per group WITHOUT sorting the data:
+    DuckDB-``quantile_disc`` semantics (0-based element index
+    ``ceil(q*n) - 1`` of the per-group sorted values).
+
+    Physical plan — the scale-safe exact-quantile form for discrete
+    domains (integer cents, token counts, day numbers):
+
+      1. per-batch combiner: ``(keys…, value) → cnt`` value counts —
+         the shuffle moves one row per distinct (group, value) per
+         batch, never per input row;
+      2. cardinality-aware grouped sum over ``keys + [value_col]``
+         (merge tree; keyed actor exchange past the root threshold);
+      3. one histogram-sized root: per-group cumulative counts pick
+         each quantile — the histogram is bounded by
+         |groups| × |distinct values|, a property of the DOMAIN
+         (price grid, length grid), not of the row count, which is
+         what makes the single root hold at 100 TB.  For continuous
+         float domains use a fixed-point grid upstream or an
+         approximate sketch instead.
+
+    ``partial_fn`` overrides step 1 (e.g. to derive the integer value
+    column from raw floats inside the same pass).  Returns one row per
+    group: ``keys…, n (BIGINT), <q_names…> (value dtype)``.
+    """
+    keys, qs, q_names = list(keys), list(qs), list(q_names)
+    gcols = keys + [value_col]
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(gcols, sort=False, observed=True).size().rename("cnt")
+        return out.reset_index()
+
+    hist = grouped_sum(
+        ds, gcols, ["cnt"], partial_fn=partial_fn or count_partial,
+        adaptive=True,
+    )
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = {k: pd.Series(dtype="object") for k in keys}
+            cols["n"] = pd.Series(dtype="int64")
+            for name in q_names:
+                cols[name] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols)
+        df = df.sort_values(gcols, kind="stable")
+        gb = df.groupby(keys, sort=False, observed=True)
+        cum = gb["cnt"].cumsum()
+        n = gb["cnt"].transform("sum")
+        out = gb["cnt"].sum().rename("n").reset_index()
+        for q, name in zip(qs, q_names):
+            # smallest value whose cumulative count reaches ceil(q*n)
+            target = np.ceil(q * n - 1e-9)  # float-robust ceil(q*n)
+            hit = df.loc[(cum >= target).to_numpy(), gcols]
+            first = hit.groupby(keys, sort=False, observed=True)[
+                value_col
+            ].first().rename(name)
+            out = out.merge(first.reset_index(), on=keys, how="left")
+        return out.reset_index(drop=True)
+
+    # the histogram is domain-bounded (see above): repartition(1) holds
+    # |groups|×|values| rows, not data-sized — same contract as the
+    # bounded-key adaptive=False grouped sums
+    return hist.repartition(1).map_batches(
+        pick, batch_format="pandas", batch_size=None
+    )

@@ -11,13 +11,47 @@ both patterns at scale).
 * partitioned_hash_join — both sides large: tag + union + bucketed
   groupby, merging each bucket with pandas.  B buckets bound the skew;
   salt hot keys upstream if a single key exceeds a bucket.
+* asof_join — ordered-inequality join (left row ← latest right row of
+  the same key at-or-before its timestamp): same bucketed plan, with a
+  ``pd.merge_asof`` kernel per bucket.  Ray Data has no asof operator;
+  this is the composition form (map_batches tag + groupby + sorted
+  merge) the task brief calls for.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
+
+
+def _pd_dtype(t):
+    """Dataset.schema() types are pyarrow DataTypes (arrow blocks) or
+    numpy dtypes (pandas blocks); normalize to a pandas dtype."""
+    try:
+        return pd.api.types.pandas_dtype(t.to_pandas_dtype())
+    except (AttributeError, TypeError):
+        return pd.api.types.pandas_dtype(t)
+
+
+def _null_capable(dtype):
+    """The dtype a column must ride in when the other union side holds
+    nulls for it: ints → float64, bools → object, the rest already admit
+    NaN/NaT/None."""
+    if pd.api.types.is_integer_dtype(dtype):
+        return np.dtype("float64")
+    if pd.api.types.is_bool_dtype(dtype):
+        return np.dtype("object")
+    return dtype
+
+
+def _null_series(dtype, index):
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return pd.Series(pd.NaT, index=index, dtype=dtype)
+    if dtype == np.dtype("object"):
+        return pd.Series(None, index=index, dtype="object")
+    return pd.Series(np.nan, index=index, dtype=dtype)
 
 
 #: per-worker-process cache of broadcast tables, keyed by object ref hex:
@@ -99,5 +133,99 @@ def partitioned_hash_join(
         lg = g.loc[g["__side"] == "L", left_cols]
         rg = g.loc[g["__side"] == "R", right_cols]
         return lg.merge(rg, on=on, how=how, suffixes=("", "_r"))
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    ts: str,
+    num_buckets: int = 64,
+    strict: bool = False,
+    suffix: str = "_r",
+):
+    """Backward as-of join: each left row picks the right row of the same
+    ``key`` with the greatest ``ts`` ≤ (or < when ``strict``) its own,
+    or nulls when none precedes.  Matches DuckDB
+    ``ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts`` (``>`` when
+    strict), which is the SQL-oracle twin.
+
+    Physical plan: both sides hash-bucketed on ``key`` (a left bucket
+    holds exactly the keys of the matching right bucket), unioned with a
+    side tag, and each bucket runs one vectorized ``pd.merge_asof`` after
+    a single in-bucket sort — no global sort, no broadcast of the right
+    side.  Right-side (key, ts) pairs must be unique (pre-aggregate
+    upstream); with duplicates pandas keeps the last in sort order while
+    SQL engines choose arbitrarily, so the contract rejects them.
+
+    Scale notes: bucket ≤ worker heap (size ``num_buckets``); both
+    sides shuffle once, ~row-sized; skewed keys salt upstream only if a
+    single key's history exceeds a heap.
+
+    Schema stability: the tagged union pads each side with the other
+    side's columns, so every one-sided column is carried in a
+    null-capable dtype (int/bool → float64/object) ON BOTH SIDES —
+    otherwise L-blocks and R-blocks would flip int64↔float64 and emit
+    schema-unstable RefBundles (breaks operator fusing; same class as
+    the typed-empty fix in stages/similarity.py).  Integer payloads come
+    out float64 with NaN for no-match; cast back downstream.
+    """
+    left_cols = [str(c) for c in left.schema().names]
+    right_cols = [str(c) for c in right.schema().names]
+    out_right = [c for c in right_cols if c != key and c != ts] or []
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    lt = dict(zip(left_cols, (_pd_dtype(t) for t in left.schema().types)))
+    rt = dict(zip(right_cols, (_pd_dtype(t) for t in right.schema().types)))
+    one_sided = {c: _null_capable(lt[c]) for c in left_cols if c not in rt}
+    one_sided.update(
+        {c: _null_capable(rt[c]) for c in right_cols if c not in lt}
+    )
+
+    def tag(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy(deep=False)
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = _null_series(one_sided[c], b.index)
+                elif c in one_sided and b[c].dtype != one_sided[c]:
+                    b[c] = b[c].astype(one_sided[c])
+            b = b[all_cols]
+            b["__bucket"] = (
+                pd.util.hash_pandas_object(b[key], index=False) % num_buckets
+            ).astype("int64")
+            b["__side"] = side
+            return b
+
+        return fn
+
+    both = left.map_batches(tag("L"), batch_format="pandas").union(
+        right.map_batches(tag("R"), batch_format="pandas")
+    )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "L", left_cols].sort_values(
+            ts, kind="stable"
+        )
+        rg = g.loc[g["__side"] == "R", [key, ts] + out_right].sort_values(
+            ts, kind="stable"
+        )
+        if rg.duplicated([key, ts]).any():
+            raise ValueError(
+                "asof_join: right side has duplicate (key, ts) pairs — "
+                "pre-aggregate the right side to make the match unique"
+            )
+        out = pd.merge_asof(
+            lg,
+            rg,
+            on=ts,
+            by=key,
+            direction="backward",
+            allow_exact_matches=not strict,
+            suffixes=("", suffix),
+        )
+        return out.reset_index(drop=True)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -117,3 +117,88 @@ def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
         intervals, [user_col], ["n_sessions", "n_events"],
         partial_fn=count_partial,
     )
+
+
+def rolling_time_count(
+    events_ds,
+    window_sec: int = 3600,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "n_window",
+    num_buckets: int = 64,
+):
+    """Sliding time window: for every event, the count of same-key events
+    with ``ts`` in ``[ts - window, ts]`` — SQL's ``COUNT(*) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
+    CURRENT ROW)``, including CURRENT ROW's ts-peers per the RANGE frame
+    rule.
+
+    Per-key co-location via ``keyed_partition_apply`` (one hash shuffle,
+    B heap-bounded buckets); inside a bucket the kernel is two
+    ``searchsorted`` calls on the per-user sorted µs timestamps — no
+    Python loop, no global sort.  Window bounds compare in integer
+    MICROSECONDS (RANGE is inclusive at both ends).
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    win_us = window_sec * 1_000_000
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col], kind="stable")
+        ts = _ts_us(g[ts_col]).to_numpy()
+        # per-user offsets: users are contiguous after the sort
+        user = g[user_col].to_numpy()
+        starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
+        bounds = np.r_[starts, len(user)]
+        n = np.empty(len(user), dtype=np.int64)
+        for i in range(len(starts)):  # per-USER loop, kernels vectorized
+            lo, hi = bounds[i], bounds[i + 1]
+            seg = ts[lo:hi]
+            n[lo:hi] = np.searchsorted(seg, seg, side="right") - np.searchsorted(
+                seg, seg - win_us, side="left"
+            )
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: n})
+
+    return keyed_partition_apply(events_ds, [user_col], kernel, num_buckets)
+
+
+def running_order_stats(
+    orders_ds,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    id_col: str = "o_orderkey",
+    price_col: str = "o_totalprice",
+    num_buckets: int = 64,
+):
+    """Per-key ordered window functions over the orders stream: sequence
+    number (ROW_NUMBER), running money total (SUM OVER), and whole-day
+    gap to the previous order (LAG diff; -1 for the first order).  The
+    SQL twin is a WINDOW w AS (PARTITION BY key ORDER BY date, id)
+    clause — see ``customer_order_running`` in pipelines/queries.py.
+
+    Same physical plan as ``rolling_time_count``: one hash shuffle to
+    co-locate keys, then one in-bucket sort + pandas groupby cumsum /
+    cumcount / diff — all C kernels.  Money in integer cents.
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, date_col, id_col], kind="stable")
+        cents = np.round(g[price_col].to_numpy() * 100).astype(np.int64)
+        gb = g.groupby(key_col, sort=False, observed=True)
+        seq = gb.cumcount().to_numpy() + 1
+        run = pd.Series(cents).groupby(g[key_col].to_numpy()).cumsum().to_numpy()
+        day = _ts_us(g[date_col]) // 86_400_000_000
+        gap = day.groupby(g[key_col].to_numpy()).diff()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                "order_seq": seq.astype(np.int64),
+                "run_cents": run.astype(np.int64),
+                "gap_days": gap.fillna(-1).astype(np.int64).to_numpy(),
+            }
+        )
+
+    return keyed_partition_apply(orders_ds, [key_col], kernel, num_buckets)

@@ -474,3 +474,140 @@ def test_token_keyed_recognizer_cache_reuses_and_separates_stages():
     finally:
         rec._REC_CACHE.clear()
         rec._REC_CACHE.update(saved)
+
+
+# ---------------------------------------------------------------------
+# Ordered / windowed operators (asof join, window functions, quantiles)
+# ---------------------------------------------------------------------
+
+
+def test_asof_join_backward_strict_and_inclusive():
+    from nerpii_ray.stages.joins import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 3],
+            "t": pd.to_datetime(
+                ["2020-01-01 10:00", "2020-01-01 11:00", "2020-01-01 09:00",
+                 "2020-01-01 10:00", "2020-01-01 10:00"]
+            ),
+            "lid": [10, 11, 12, 20, 30],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "t": pd.to_datetime(
+                ["2020-01-01 10:00", "2020-01-01 10:30", "2020-01-01 09:00"]
+            ),
+            "v": [100, 130, 200],
+        }
+    )
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    # inclusive (<=): the 10:00 left row of k=1 matches the 10:00 right row
+    out = (
+        asof_join(lds, rds, key="k", ts="t", num_buckets=4, strict=False)
+        .to_pandas()
+        .set_index("lid")["v"]
+    )
+    assert out[10] == 100 and out[11] == 130 and np.isnan(out[12])
+    assert out[20] == 200 and np.isnan(out[30])
+    # strict (<): the exact-ts match is excluded
+    out2 = (
+        asof_join(lds, rds, key="k", ts="t", num_buckets=4, strict=True)
+        .to_pandas()
+        .set_index("lid")["v"]
+    )
+    assert np.isnan(out2[10]) and out2[11] == 130
+
+    # duplicate (key, ts) on the right is a contract violation
+    dup = rd.from_pandas(
+        pd.DataFrame(
+            {"k": [1, 1], "t": pd.to_datetime(["2020-01-01", "2020-01-01"]),
+             "v": [1, 2]}
+        )
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        asof_join(lds, dup, key="k", ts="t", num_buckets=4).materialize()
+
+
+def test_grouped_quantile_disc_matches_duckdb_rule():
+    import duckdb
+
+    from nerpii_ray.stages.agg import grouped_quantile_disc
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, 5000),
+            "v": rng.integers(0, 300, 5000).astype("int64"),
+        }
+    )
+    got = (
+        grouped_quantile_disc(
+            rd.from_pandas(df), ["g"], "v", [0.5, 0.95, 0.01],
+            ["p50", "p95", "p01"],
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            """SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                      quantile_disc(v, 0.5) AS p50,
+                      quantile_disc(v, 0.95) AS p95,
+                      quantile_disc(v, 0.01) AS p01
+               FROM df GROUP BY g ORDER BY g"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["g", "n", "p50", "p95", "p01"]], want, check_dtype=False
+    )
+
+
+def test_rolling_time_count_range_frame_semantics():
+    from nerpii_ray.stages.window import rolling_time_count
+
+    # window = 10s; boundary at exactly ts-10s is INCLUDED (RANGE frame)
+    ts = pd.to_datetime(
+        [
+            "2020-01-01 00:00:00", "2020-01-01 00:00:05",
+            "2020-01-01 00:00:10", "2020-01-01 00:00:21",
+        ]
+    )
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4], "user_id": [7, 7, 7, 7], "ts": ts}
+    )
+    out = (
+        rolling_time_count(rd.from_pandas(df), window_sec=10, num_buckets=2)
+        .to_pandas()
+        .set_index("event_id")["n_window"]
+    )
+    assert out[1] == 1 and out[2] == 2 and out[3] == 3 and out[4] == 1
+
+
+def test_running_order_stats_kernel():
+    from nerpii_ray.stages.window import running_order_stats
+
+    df = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [5, 5, 5, 9],
+            "o_orderdate": pd.to_datetime(
+                ["2020-01-01", "2020-01-04", "2020-01-04", "2020-02-01"]
+            ),
+            "o_totalprice": [10.0, 20.0, 5.5, 1.0],
+        }
+    )
+    out = (
+        running_order_stats(rd.from_pandas(df), num_buckets=2)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert out["order_seq"].tolist() == [1, 2, 3, 1]
+    assert out["run_cents"].tolist() == [1000, 3000, 3550, 100]
+    assert out["gap_days"].tolist() == [-1, 3, 0, -1]
