@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-44 of 49 queries carry a SQL oracle — including the KG flagship (edges,
+45 of 50 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -2092,4 +2092,64 @@ def lineitem_price_quantiles(sf_dir: str):
         [0.5, 0.95],
         ["median_cents", "p95_cents"],
         partial_fn=cents_counts,
+    )
+
+
+@register(
+    "events_recent_purchases",
+    """
+    SELECT e.event_id,
+           CAST(COUNT(p.ts) AS BIGINT) AS n_recent_purchases
+    FROM events e
+    LEFT JOIN (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND e.ts BETWEEN p.ts AND p.ts + INTERVAL 1 HOUR
+    GROUP BY e.event_id
+    """,
+)
+def events_recent_purchases(sf_dir: str):
+    """Range-containment join (stages/joins.interval_join): every event
+    counts the same-user purchases whose one-hour follow-up window
+    [p.ts, p.ts + 1h] contains it (inclusive both ends).  DuckDB runs
+    the twin as an IEJoin; the engine runs granule-bucketed containment
+    — each point lives in ONE granule so pairs are never double-counted
+    — then a cardinality-aware grouped count over event_id."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    points = ev.map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas"
+    )
+
+    def windows(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[b["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype("int64"),
+                "lo": p["ts"],
+                "hi": p["ts"] + pd.Timedelta(hours=1),
+            }
+        )
+
+    intervals = ev.map_batches(windows, batch_format="pandas")
+    pairs = interval_join(
+        points, intervals, ts="ts", lo="lo", hi="hi", key="user_id",
+        granularity_sec=3600, how="left",
+    )
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            b.groupby("event_id", sort=False, observed=True)["lo"]
+            .count()  # non-NaT only: matchless left rows count 0
+            .rename("n_recent_purchases")
+            .reset_index()
+        )
+        out["event_id"] = out["event_id"].astype("int64")
+        out["n_recent_purchases"] = out["n_recent_purchases"].astype("int64")
+        return out
+
+    return grouped_sum(
+        pairs, ["event_id"], ["n_recent_purchases"], partial_fn=cnt_partial
     )

@@ -16,6 +16,10 @@ both patterns at scale).
   ``pd.merge_asof`` kernel per bucket.  Ray Data has no asof operator;
   this is the composition form (map_batches tag + groupby + sorted
   merge) the task brief calls for.
+* interval_join — range-containment join (point row ← every interval
+  row with ``lo ≤ ts ≤ hi``, optionally same-key): time-granule
+  bucketing with bounded interval replication; the third of the
+  custom-operator trio (as-of, range, windowed) the task brief names.
 """
 
 from __future__ import annotations
@@ -229,3 +233,155 @@ def asof_join(
         return out.reset_index(drop=True)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def interval_join(
+    points,
+    intervals,
+    ts: str,
+    lo: str,
+    hi: str,
+    key: str | None = None,
+    granularity_sec: int = 3600,
+    num_key_buckets: int = 64,
+    how: str = "inner",
+    suffix: str = "_r",
+):
+    """Range-containment join: each point row matches every interval row
+    with ``lo ≤ ts ≤ hi`` — and the same ``key`` when one is given.
+    SQL twin: ``FROM points p [LEFT] JOIN intervals i ON
+    [p.key = i.key AND] p.ts BETWEEN i.lo AND i.hi`` (DuckDB runs it as
+    an IEJoin; Ray Data has no inequality join at all).
+
+    Physical plan — time-granule bucketing with bounded replication:
+
+      1. pick a granule G (``granularity_sec``); a point belongs to the
+         ONE granule ``ts // G``; an interval replicates into every
+         granule it overlaps (``lo // G`` … ``hi // G`` — at most
+         ``span/G + 1`` copies, so G should be of the order of the
+         TYPICAL interval span: replication stays O(1) while a granule
+         holds only the intervals that can possibly match its points);
+      2. both sides hash further on ``key`` into ``num_key_buckets``
+         lanes (1 lane when keyless), bounding per-task width when one
+         granule is hot;
+      3. each (granule, lane) bucket merges in pandas — equi-merge on
+         ``key`` (or cross when keyless) then the vectorized BETWEEN
+         filter.  A point lives in exactly one bucket and every interval
+         that can contain it is present there, so per-point results are
+         complete in-bucket and never double-counted.
+
+    ``how="left"`` keeps matchless points with null interval columns
+    (their payload dtypes ride null-capable — ints come out float64,
+    same contract as ``asof_join``).  Intervals with ``hi < lo`` raise.
+
+    Scale notes: the shuffle moves points once and intervals ×O(1); the
+    in-bucket merge is |pts_bucket| × |ivs_bucket| worst-case for the
+    keyless cross form — size G and ``num_key_buckets`` so a bucket's
+    candidate product fits a worker heap; salt upstream for a single
+    pathological key, same contract as ``partitioned_hash_join``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_join: how must be inner|left, got {how!r}")
+    g_us = granularity_sec * 1_000_000
+
+    def _us(s: pd.Series) -> np.ndarray:
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+
+    point_cols = [str(c) for c in points.schema().names]
+    iv_cols = [str(c) for c in intervals.schema().names]
+    # interval payload columns, suffixed where they clash with the points
+    iv_out = {
+        c: (c + suffix if c in point_cols and c != key else c)
+        for c in iv_cols
+        if c != key
+    }
+    all_cols = point_cols + [iv_out[c] for c in iv_cols if c != key]
+
+    pt = dict(zip(point_cols, (_pd_dtype(t) for t in points.schema().types)))
+    it = dict(zip(iv_cols, (_pd_dtype(t) for t in intervals.schema().types)))
+    one_sided = {c: _null_capable(pt[c]) for c in point_cols if c != key}
+    one_sided.update(
+        {iv_out[c]: _null_capable(it[c]) for c in iv_cols if c != key}
+    )
+
+    def lanes(b: pd.DataFrame) -> pd.Series:
+        if key is None or num_key_buckets <= 1:
+            return pd.Series(0, index=b.index, dtype="int64")
+        return (
+            pd.util.hash_pandas_object(b[key], index=False) % num_key_buckets
+        ).astype("int64")
+
+    def pad(b: pd.DataFrame) -> pd.DataFrame:
+        for c in all_cols:
+            if c not in b.columns:
+                b[c] = _null_series(one_sided[c], b.index)
+            elif c in one_sided and b[c].dtype != one_sided[c]:
+                b[c] = b[c].astype(one_sided[c])
+        return b[all_cols + ["__g", "__lane", "__side"]]
+
+    def tag_points(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        b["__g"] = _us(b[ts]) // g_us
+        b["__lane"] = lanes(b)
+        b["__side"] = "P"
+        return pad(b)
+
+    def tag_intervals(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.rename(columns=iv_out).copy(deep=False)
+        lo_g = _us(b[iv_out[lo]]) // g_us
+        hi_g = _us(b[iv_out[hi]]) // g_us
+        if (hi_g < lo_g).any():
+            raise ValueError(
+                "interval_join: interval with hi < lo — fix or filter "
+                "the intervals upstream"
+            )
+        reps = (hi_g - lo_g + 1).astype("int64")
+        idx = np.repeat(np.arange(len(b)), reps)
+        b = b.iloc[idx].reset_index(drop=True)
+        # granule offsets 0..reps-1 within each replicated run
+        off = np.arange(len(idx)) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        b["__g"] = np.repeat(lo_g, reps) + off
+        b["__lane"] = lanes(b)
+        b["__side"] = "I"
+        return pad(b)
+
+    both = points.map_batches(tag_points, batch_format="pandas").union(
+        intervals.map_batches(tag_intervals, batch_format="pandas")
+    )
+
+    iv_payload = [iv_out[c] for c in iv_cols if c != key]
+    join_cols = ([key] if key is not None else []) + iv_payload
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g.loc[g["__side"] == "P", point_cols].reset_index(drop=True)
+        ivs = g.loc[g["__side"] == "I", join_cols].reset_index(drop=True)
+        if key is not None:
+            m = pts.merge(ivs, on=key, how="left")
+        else:
+            m = pts.merge(ivs, how="cross") if len(ivs) else pts.copy()
+            for c in iv_payload:
+                if c not in m.columns:
+                    m[c] = _null_series(one_sided[c], m.index)
+        t = m[ts].astype("datetime64[us]").astype("int64")
+        lo_v = m[iv_out[lo]].astype("datetime64[us]").astype("int64")
+        hi_v = m[iv_out[hi]].astype("datetime64[us]").astype("int64")
+        # NaT → int64 min, never matches
+        hit = (lo_v <= t) & (t <= hi_v) & m[iv_out[lo]].notna()
+        out = m.loc[hit.to_numpy()]
+        if how == "left":
+            pid = pd.util.hash_pandas_object(pts[point_cols], index=False)
+            # matchless points re-enter with null interval payloads
+            matched = pd.util.hash_pandas_object(
+                out[point_cols], index=False
+            )
+            miss = pts.loc[~pid.isin(set(matched)).to_numpy()].copy()
+            for c in iv_payload:
+                miss[c] = _null_series(one_sided[c], miss.index)
+            out = pd.concat([out, miss], ignore_index=True)
+        return out[all_cols].reset_index(drop=True)
+
+    return both.groupby(["__lane", "__g"]).map_groups(
+        merge_bucket, batch_format="pandas"
+    )

@@ -611,3 +611,92 @@ def test_running_order_stats_kernel():
     assert out["order_seq"].tolist() == [1, 2, 3, 1]
     assert out["run_cents"].tolist() == [1000, 3000, 3550, 100]
     assert out["gap_days"].tolist() == [-1, 3, 0, -1]
+
+
+def test_interval_join_keyed_left_and_inner():
+    from nerpii_ray.stages.joins import interval_join
+
+    pts = pd.DataFrame(
+        {
+            "pid": [1, 2, 3, 4],
+            "k": [7, 7, 7, 9],
+            "t": pd.to_datetime(
+                ["2020-01-01 00:10", "2020-01-01 02:00",
+                 "2020-01-01 00:30", "2020-01-01 00:10"]
+            ),
+        }
+    )
+    ivs = pd.DataFrame(
+        {
+            "k": [7, 7, 9],
+            "lo": pd.to_datetime(
+                ["2020-01-01 00:00", "2020-01-01 00:20", "2020-01-02 00:00"]
+            ),
+            "hi": pd.to_datetime(
+                ["2020-01-01 01:00", "2020-01-01 03:00", "2020-01-02 01:00"]
+            ),
+            "tag": ["a", "b", "c"],
+        }
+    )
+    out = interval_join(
+        rd.from_pandas(pts), rd.from_pandas(ivs),
+        ts="t", lo="lo", hi="hi", key="k",
+        granularity_sec=1800, num_key_buckets=4, how="left",
+    ).to_pandas()
+    by_pid = out.groupby("pid")["tag"].apply(
+        lambda s: sorted(x for x in s if isinstance(x, str))
+    )
+    assert by_pid[1] == ["a"]          # only first window contains 00:10
+    assert by_pid[2] == ["b"]          # 02:00 only in the second window
+    assert by_pid[3] == ["a", "b"]     # 00:30 in both (boundary granules)
+    assert by_pid[4] == []             # k=9 interval is on the next day
+    assert len(out) == 5               # 4 matches + 1 matchless left row
+
+    inner = interval_join(
+        rd.from_pandas(pts), rd.from_pandas(ivs),
+        ts="t", lo="lo", hi="hi", key="k",
+        granularity_sec=1800, num_key_buckets=4, how="inner",
+    ).to_pandas()
+    assert len(inner) == 4 and set(inner["pid"]) == {1, 2, 3}
+
+
+def test_interval_join_keyless_cross_containment():
+    from nerpii_ray.stages.joins import interval_join
+
+    pts = pd.DataFrame(
+        {"pid": [1, 2], "t": pd.to_datetime(["2020-01-01 00:30",
+                                             "2020-01-05 00:00"])}
+    )
+    ivs = pd.DataFrame(
+        {
+            "lo": pd.to_datetime(["2020-01-01 00:00"]),
+            # a 3-day interval spans many granules; the 00:30 point must
+            # match exactly once (points live in ONE granule)
+            "hi": pd.to_datetime(["2020-01-04 00:00"]),
+            "tag": ["w"],
+        }
+    )
+    out = interval_join(
+        rd.from_pandas(pts), rd.from_pandas(ivs),
+        ts="t", lo="lo", hi="hi", key=None,
+        granularity_sec=3600, how="left",
+    ).to_pandas()
+    assert (out["pid"] == 1).sum() == 1
+    assert out.set_index("pid")["tag"][1] == "w"
+    assert pd.isna(out.set_index("pid")["tag"][2])
+
+
+def test_interval_join_rejects_inverted_intervals():
+    from nerpii_ray.stages.joins import interval_join
+
+    pts = rd.from_pandas(
+        pd.DataFrame({"pid": [1], "t": pd.to_datetime(["2020-01-01"])})
+    )
+    bad = rd.from_pandas(
+        pd.DataFrame(
+            {"lo": pd.to_datetime(["2020-01-02"]),
+             "hi": pd.to_datetime(["2020-01-01"])}
+        )
+    )
+    with pytest.raises(Exception, match="hi < lo"):
+        interval_join(pts, bad, ts="t", lo="lo", hi="hi").materialize()
