@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-45 of 50 queries carry a SQL oracle — including the KG flagship (edges,
+46 of 51 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -2152,4 +2152,47 @@ def events_recent_purchases(sf_dir: str):
 
     return grouped_sum(
         pairs, ["event_id"], ["n_recent_purchases"], partial_fn=cnt_partial
+    )
+
+
+@register(
+    "events_value_quantile_sketch",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events
+    )
+    SELECT event_type,
+           CAST(quantile_disc(cents, 0.5) AS BIGINT) AS p50_cents,
+           CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95_cents
+    FROM s WHERE rk <= 64 GROUP BY event_type
+    """,
+)
+def events_value_quantile_sketch(sf_dir: str):
+    """APPROXIMATE grouped quantiles via the mergeable bottom-k (KMV)
+    sketch (stages/agg.grouped_quantile_sketch) — the continuous-domain
+    scale path next to the exact ``lineitem_price_quantiles``.  The SQL
+    twin replays the SKETCH itself (md5-priority bottom-64 sample →
+    quantile_disc), so the oracle is exact at any scale even though the
+    estimate is approximate; k=64 here so the sample is a real subset
+    (~2k rows/group at sf0.01), not a degenerate full scan."""
+    from nerpii_ray.stages.agg import grouped_quantile_sketch
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "cents": np.round(b["value"].to_numpy() * 100).astype("int64"),
+                "eid": b["event_id"].astype("int64"),
+            }
+        )
+
+    return grouped_quantile_sketch(
+        ds, ["event_type"], "cents", "eid", [0.5, 0.95],
+        ["p50_cents", "p95_cents"], k=64, prep_fn=prep,
     )

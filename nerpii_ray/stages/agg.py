@@ -282,3 +282,84 @@ def grouped_quantile_disc(
     return hist.repartition(1).map_batches(
         pick, batch_format="pandas", batch_size=None
     )
+
+
+def grouped_quantile_sketch(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    qs: Sequence[float],
+    q_names: Sequence[str],
+    k: int = 1024,
+    prep_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    """Approximate grouped quantiles for CONTINUOUS domains — the scale
+    path ``grouped_quantile_disc``'s docstring points to when the value
+    grid is unbounded.  A mergeable bottom-k (KMV) sample: per group,
+    keep the k rows whose ``md5(id)`` hex is smallest (ties broken by
+    id), then take discrete quantiles OF THE SAMPLE.
+
+    Properties that make this the right sketch here:
+    * mergeable — bottom-k of a concat of bottom-k's is the global
+      bottom-k, so it rides the cardinality-aware tree/exchange like any
+      other combiner (state per group is k rows, independent of n);
+    * deterministic AND SQL-replayable — md5 priorities are stable
+      across processes and reproducible in DuckDB (``ROW_NUMBER() OVER
+      (PARTITION BY keys ORDER BY md5(id), id) <= k`` + quantile_disc
+      replays the whole sketch exactly at ANY scale — the oracle checks
+      the algorithm, not a scale-dependent coincidence);
+    * md5-of-unique-id is a uniform k-subset per group ⇒ rank error
+      O(1/sqrt(k)); exact whenever a group has ≤ k rows.
+
+    ``prep_fn`` (optional) derives ``keys + [value_col, id_col]`` from
+    raw batches (e.g. float → integer cents) inside the same pass.
+    Output: one row per group — ``keys…, <q_names…>``.
+    """
+    keys, qs, q_names = list(keys), list(qs), list(q_names)
+    cols = keys + [value_col, id_col]
+    PRI = "__kmv_pri"
+
+    def bottom_k(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([PRI, id_col], kind="stable")
+            .groupby(keys, sort=False, observed=True)
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from nerpii_ray.functions.textfns import md5_of_strings
+
+        if prep_fn is not None:
+            b = prep_fn(b)
+        b = b[cols].copy(deep=False)
+        b[PRI] = md5_of_strings(b[id_col].astype(str))
+        return bottom_k(b)
+
+    merged = tree_aggregate(ds, partial, bottom_k, keys=keys)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols_out = {c: pd.Series(dtype="object") for c in keys}
+            for name in q_names:
+                cols_out[name] = pd.Series(dtype="int64")
+            return pd.DataFrame(cols_out)
+        df = df.sort_values(keys + [value_col], kind="stable")
+        gb = df.groupby(keys, sort=False, observed=True)
+        pos = gb.cumcount().to_numpy()
+        m = gb[value_col].transform("size").to_numpy()
+        out = gb.size().rename("__m").reset_index()[keys]
+        for q, name in zip(qs, q_names):
+            # sample element ceil(q*m) - 1 (0-based), quantile_disc rule
+            target = np.ceil(q * m - 1e-9).astype("int64") - 1
+            sel = df.loc[pos == np.maximum(target, 0), keys + [value_col]]
+            out = out.merge(
+                sel.rename(columns={value_col: name}), on=keys, how="left"
+            )
+        return out.reset_index(drop=True)
+
+    # blocks out of the tree are key-disjoint on BOTH finishes (single
+    # root = one block; exchange = per-actor key ranges), so a whole-
+    # block map finalizes each group exactly once
+    return merged.map_batches(finish, batch_format="pandas", batch_size=None)

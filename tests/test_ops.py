@@ -700,3 +700,72 @@ def test_interval_join_rejects_inverted_intervals():
     )
     with pytest.raises(Exception, match="hi < lo"):
         interval_join(pts, bad, ts="t", lo="lo", hi="hi").materialize()
+
+
+def test_grouped_quantile_sketch_exact_when_group_fits_k():
+    from nerpii_ray.stages.agg import grouped_quantile_sketch
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, 900),
+            "v": rng.normal(0, 1000, 900).round().astype("int64"),
+            "rid": np.arange(900),
+        }
+    )
+    got = (
+        grouped_quantile_sketch(
+            rd.from_pandas(df), ["g"], "v", "rid", [0.5, 0.9],
+            ["p50", "p90"], k=2000,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    want = (
+        duckdb.sql(
+            """SELECT g, quantile_disc(v, 0.5) AS p50,
+                      quantile_disc(v, 0.9) AS p90
+               FROM df GROUP BY g ORDER BY g"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_grouped_quantile_sketch_rank_error_and_determinism():
+    from nerpii_ray.stages.agg import grouped_quantile_sketch
+
+    rng = np.random.default_rng(5)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 2, n),
+            "v": rng.integers(0, 1_000_000, n).astype("int64"),
+            "rid": np.arange(n),
+        }
+    )
+
+    def run():
+        return (
+            grouped_quantile_sketch(
+                rd.from_pandas(df), ["g"], "v", "rid", [0.5], ["p50"],
+                k=1024,
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+
+    a, b = run(), run()
+    pd.testing.assert_frame_equal(a, b)  # md5 priorities: deterministic
+    for g in (0, 1):
+        vals = np.sort(df.loc[df["g"] == g, "v"].to_numpy())
+        est = a.loc[a["g"] == g, "p50"].iloc[0]
+        rank = np.searchsorted(vals, est) / len(vals)
+        # bottom-k of md5(unique id) is a uniform sample: rank error
+        # O(1/sqrt(k)); 5/sqrt(1024) ≈ 0.16 is a >5-sigma-safe bound
+        assert abs(rank - 0.5) < 0.16, (g, rank)
