@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-46 of 51 queries carry a SQL oracle — including the KG flagship (edges,
+49 of 54 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -32,6 +32,7 @@ co-reference; tag-mode redaction is SQL-checked as doc_redact_tags).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable, Dict
 
 import numpy as np
@@ -2195,4 +2196,126 @@ def events_value_quantile_sketch(sf_dir: str):
     return grouped_quantile_sketch(
         ds, ["event_type"], "cents", "eid", [0.5, 0.95],
         ["p50_cents", "p95_cents"], k=64, prep_fn=prep,
+    )
+
+
+@register(
+    "doc_simhash_dup_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h, c
+      FROM tc
+    ), votes AS (
+      SELECT doc_id, r.b,
+             SUM(c * (2 * CAST((h >> CAST(r.b AS INT)) & 1 AS BIGINT) - 1)) AS vote
+      FROM th, range(64) r(b) GROUP BY doc_id, r.b
+    ), sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                      ELSE CAST(0 AS UBIGINT) END) AS sim
+      FROM votes GROUP BY doc_id
+    ), sigs AS (
+      SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+      FROM documents d LEFT JOIN sims s USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    """,
+)
+def doc_simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dup PAIRS (stages/dedup.simhash_dup_pairs): banded
+    LSH pairing over the bit-exact signatures — lossless for hamming ≤ 3
+    (pigeonhole over four 16-bit bands), so the SQL twin is the plain
+    all-pairs XOR-popcount filter.  12 pairs at sf0.01."""
+    from nerpii_ray.stages.dedup import simhash_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dup_pairs(ds, max_hamming=3)
+
+
+@register(
+    "doc_distinct_token_estimate",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok
+      FROM documents
+    ), km AS (
+      SELECT md5(tok) AS hx FROM toks ORDER BY hx LIMIT 1024
+    ), s AS (
+      SELECT COUNT(*) AS m, MAX(hx) AS kth FROM km
+    )
+    SELECT CASE WHEN m < 1024 THEN m
+                ELSE CAST(FLOOR((1024 - 1)
+                     / (CAST(('0x' || substr(kth, 1, 16)) AS UBIGINT)
+                        / 18446744073709551616.0)) AS BIGINT)
+           END AS est_distinct
+    FROM s
+    """,
+)
+def doc_distinct_token_estimate(sf_dir: str):
+    """Corpus-wide distinct-token COUNT DISTINCT estimate via the KMV
+    bottom-k sketch (stages/agg.distinct_count_sketch, k=1024).  The SQL
+    twin replays the sketch (k smallest md5 hashes + the closed-form
+    (k−1)/r_k estimate), so the check is exact at any corpus size; at
+    small sf the sketch degenerates to the exact distinct count."""
+    from nerpii_ray.stages.agg import distinct_count_sketch
+    from nerpii_ray.functions.textfns import md5_of_strings
+
+    ds = _read(sf_dir, "documents", ["text"])
+    tok_re = re.compile(r"\w+")
+
+    def token_hashes(b: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        for t in b["text"].fillna(""):
+            toks.update(tok_re.findall(t.lower()))
+        return pd.DataFrame({"hx": md5_of_strings(pd.Series(sorted(toks)))})
+
+    return distinct_count_sketch(ds, token_hashes, k=1024)
+
+
+@register(
+    "orders_priority_pivot",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_open,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_priority_pivot(sf_dir: str):
+    """Pivot via conditional aggregation: status counts widened to
+    columns per priority.  Indicator sums are plain additive combiners,
+    so the whole pivot rides grouped_sum; adaptive=False is safe — the
+    key space is the 5 TPC-H priorities by construction."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    cols = {"O": "n_open", "F": "n_finished", "P": "n_pending"}
+
+    def ind(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"o_orderpriority": b["o_orderpriority"]})
+        for status, name in cols.items():
+            out[name] = (b["o_orderstatus"] == status).astype("int64")
+        return (
+            out.groupby("o_orderpriority", sort=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_sum(
+        ds, ["o_orderpriority"], list(cols.values()), partial_fn=ind,
+        adaptive=False,
     )

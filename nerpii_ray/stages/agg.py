@@ -363,3 +363,50 @@ def grouped_quantile_sketch(
     # root = one block; exchange = per-actor key ranges), so a whole-
     # block map finalizes each group exactly once
     return merged.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+def distinct_count_sketch(
+    ds,
+    partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    k: int = 1024,
+):
+    """Approximate COUNT DISTINCT via the KMV (k minimum values) sketch
+    — the classic bottom-k estimator (Bar-Yossef et al. 2002): keep the
+    k smallest DISTINCT md5 hashes of the items; if fewer than k exist
+    the count is exact, else estimate (k−1) / r_k where r_k is the kth
+    smallest hash as a fraction of the hash space.  Relative error
+    ~1/sqrt(k−2) (~3 % at k=1024).
+
+    Like ``grouped_quantile_sketch``, md5 makes the sketch deterministic
+    and SQL-replayable at any scale: the DuckDB twin is
+    ``ORDER BY md5(item) LIMIT k`` + the same closed-form estimate, so
+    the oracle checks the algorithm exactly even though the estimate is
+    approximate.  State is k hashes regardless of input size; merge =
+    distinct-union → k smallest (idempotent, associative) — rides the
+    plain merge tree with a single tiny root.
+
+    ``partial_fn``: batch → frame with one column ``hx`` holding the
+    md5 hex of each item occurrence (dedup happens in the tree).
+    Output: one row — ``est_distinct`` (BIGINT).
+    """
+
+    def bottom(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("hx").sort_values("hx", kind="stable")
+        return df.head(k).reset_index(drop=True)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return bottom(partial_fn(b))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = len(df)
+        if m < k:
+            est = m  # sketch holds every distinct item: exact
+        else:
+            kth = df["hx"].max()
+            # first 8 md5 bytes as a fraction of the 64-bit hash space —
+            # the same truncation the SQL twin uses
+            frac = int(kth[:16], 16) / 2.0**64
+            est = int(np.floor((k - 1) / frac))
+        return pd.DataFrame({"est_distinct": pd.Series([est], dtype="int64")})
+
+    return tree_aggregate(ds, partial, bottom, final_fn=finish)

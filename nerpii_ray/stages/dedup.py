@@ -672,3 +672,106 @@ def embedding_dup_pairs(
         )
 
     return ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")
+
+
+def simhash_dup_pairs(
+    ds,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+):
+    """SimHash near-duplicate PAIRS: every (id_a < id_b) whose 64-bit
+    SimHash signatures differ in at most ``max_hamming`` bits, with the
+    Hamming distance.  SQL twin: all-pairs
+    ``bit_count(xor(a.sim, b.sim)) <= h`` over the ``doc_simhash``
+    signature CTE — exact, because the banding below is LOSSLESS for
+    ``max_hamming < 4`` (pigeonhole: ≤3 flipped bits cannot touch all
+    four 16-bit bands, so every qualifying pair shares at least one
+    band verbatim).
+
+    Physical plan (same shape as the minhash LSH path):
+      1. one text pass → (id, simhash) signatures;
+      2. 4 light band rows per doc (band, 16-bit band value, id, sig) —
+         the shuffle moves ~32-byte rows, never text;
+      3. per-(band, value) bucket: vectorized XOR-popcount over the
+         bucket's signature vector, keep pairs ≤ max_hamming.  Buckets
+         past ``max_bucket`` keep their smallest ids and LOG the dropped
+         count (no silent caps);
+      4. pairs dedup (a pair can share several bands) through the
+         cardinality-aware tree.
+    """
+    if not 0 <= max_hamming < 4:
+        raise ValueError(
+            "simhash_dup_pairs: 16-bit banding is lossless only for "
+            f"max_hamming in 0..3, got {max_hamming}"
+        )
+    from nerpii_ray.stages.agg import tree_dedup
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        sig = add_simhash(b, text_col=text_col, id_col=id_col)
+        n = len(sig)
+        bands = np.repeat(np.arange(4, dtype=np.int64), n)
+        sims = np.tile(sig["simhash"].to_numpy(), 4)
+        return pd.DataFrame(
+            {
+                "band": bands,
+                "bval": ((sims >> (bands.astype(np.uint64) * np.uint64(16)))
+                         & np.uint64(0xFFFF)).astype("int64"),
+                "id": np.tile(sig[id_col].to_numpy(), 4),
+                "sig": sims,
+            }
+        )
+
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pandas")
+        .groupby(["band", "bval"])
+        .map_groups(
+            lambda g: _simhash_pair_bucket(g, max_hamming, max_bucket),
+            batch_format="pandas",
+        )
+    )
+    return tree_dedup(pairs, keys=["id_a", "id_b"])
+
+
+def _simhash_pair_bucket(
+    g: pd.DataFrame, max_hamming: int, max_bucket: int
+) -> pd.DataFrame:
+    """One (band, band-value) bucket: vectorized XOR-popcount over the
+    bucket's signatures, pairs ≤ max_hamming.  Hot buckets keep their
+    smallest ids and LOG the dropped-pair count (no silent caps)."""
+    empty = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "hamming": pd.Series(dtype="int64"),
+        }
+    )
+    if len(g) < 2:
+        return empty
+    g = g.sort_values("id", kind="stable")
+    if len(g) > max_bucket:
+        _LOG.warning(
+            "simhash_dup_pairs: truncated bucket (band=%s bval=%s) "
+            "from %d to %d ids — %d candidate pairs dropped",
+            g["band"].iloc[0], g["bval"].iloc[0], len(g), max_bucket,
+            len(g) * (len(g) - 1) // 2 - max_bucket * (max_bucket - 1) // 2,
+        )
+        g = g.head(max_bucket)
+    sig = g["sig"].to_numpy().astype(np.uint64)
+    ids = g["id"].to_numpy()
+    x = sig[:, None] ^ sig[None, :]
+    ham = (
+        ((x[..., None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
+        .sum(axis=-1)
+        .astype(np.int64)
+    )
+    ia, ib = np.triu_indices(len(g), k=1)
+    keep = ham[ia, ib] <= max_hamming
+    return pd.DataFrame(
+        {
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "hamming": ham[ia[keep], ib[keep]],
+        }
+    )

@@ -769,3 +769,91 @@ def test_grouped_quantile_sketch_rank_error_and_determinism():
         # bottom-k of md5(unique id) is a uniform sample: rank error
         # O(1/sqrt(k)); 5/sqrt(1024) ≈ 0.16 is a >5-sigma-safe bound
         assert abs(rank - 0.5) < 0.16, (g, rank)
+
+
+def test_simhash_dup_pairs_matches_bruteforce_and_logs_truncation(caplog):
+    from nerpii_ray.stages.dedup import add_simhash, simhash_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype="int64"),
+            "text": [
+                base,
+                base + " tonight",          # near-dup of 0
+                base.replace("fox", "cat"),  # near-dup of 0
+                "completely different words about ray data engines",
+                "completely different words about ray data engines",  # exact dup of 3
+                "unrelated third topic entirely with other vocabulary",
+            ],
+        }
+    )
+    got = (
+        simhash_dup_pairs(rd.from_pandas(docs), max_hamming=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    # brute force over the same signatures
+    sig = add_simhash(docs).set_index("doc_id")["simhash"]
+    want = []
+    for a in range(6):
+        for b in range(a + 1, 6):
+            h = bin(int(sig[a]) ^ int(sig[b])).count("1")
+            if h <= 3:
+                want.append((a, b, h))
+    assert list(map(tuple, got[["id_a", "id_b", "hamming"]].to_numpy())) == want
+    assert (4, 3, 0) not in want and (3, 4, 0) in want  # ordered pairs
+
+    with pytest.raises(ValueError, match="0..3"):
+        simhash_dup_pairs(rd.from_pandas(docs), max_hamming=7)
+
+    # hot bucket (many exact dups) truncates — rows through the Ray path,
+    # the log through a direct in-process kernel call (worker logs don't
+    # reach driver caplog)
+    hot = pd.DataFrame(
+        {"doc_id": np.arange(8, dtype="int64"), "text": ["same text here"] * 8}
+    )
+    out = simhash_dup_pairs(
+        rd.from_pandas(hot), max_hamming=0, max_bucket=4
+    ).to_pandas()
+    assert len(out) == 6  # C(4,2): smallest ids kept
+    assert set(out["id_a"]) | set(out["id_b"]) == {0, 1, 2, 3}
+
+    import logging
+
+    from nerpii_ray.stages.dedup import _simhash_pair_bucket
+
+    s = add_simhash(hot)
+    bucket = pd.DataFrame(
+        {"band": 0, "bval": 0, "id": s["doc_id"], "sig": s["simhash"]}
+    )
+    with caplog.at_level(logging.WARNING, logger="nerpii_ray.dedup"):
+        direct = _simhash_pair_bucket(bucket, max_hamming=0, max_bucket=4)
+    assert len(direct) == 6
+    assert any("truncated bucket" in r.message for r in caplog.records)
+
+
+def test_distinct_count_sketch_estimates_and_exact_small():
+    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.stages.agg import distinct_count_sketch
+
+    def hashes(b):
+        return pd.DataFrame({"hx": md5_of_strings(b["v"].astype(str))})
+
+    # exact path: fewer distinct values than k
+    small = pd.DataFrame({"v": np.arange(200) % 37})
+    got = distinct_count_sketch(
+        rd.from_pandas(small), hashes, k=1024
+    ).to_pandas()
+    assert got["est_distinct"].iloc[0] == 37
+
+    # estimator path: 50k distinct values, k=512 → ~4.4% stderr; also
+    # deterministic (md5 priorities)
+    big = pd.DataFrame({"v": np.arange(50_000)})
+    ds = rd.from_pandas(big)
+    a = distinct_count_sketch(ds, hashes, k=512).to_pandas()
+    b = distinct_count_sketch(ds, hashes, k=512).to_pandas()
+    est = a["est_distinct"].iloc[0]
+    assert est == b["est_distinct"].iloc[0]
+    assert abs(est - 50_000) / 50_000 < 0.2  # >4-sigma-safe bound
