@@ -1,5 +1,5 @@
 """Key co-location primitive for per-key ordered operators (window
-functions, as-of joins, rolling windows).
+functions, as-of joins, rolling windows, range joins).
 
 The reference has no per-group ordered computation at all (it is a
 single pandas frame; ``named_entity_recognizer.py:317`` iterates columns
@@ -7,17 +7,23 @@ of one in-memory table), but an engine at 10^12 rows needs the pattern
 constantly: "bring every row of one key to one place, sorted, then run a
 vectorized kernel over it".
 
-``keyed_partition_apply`` is the one primitive: rows are tagged with
-``hash(keys) % num_buckets`` and each bucket — which contains ONLY whole
-key-groups — is handed to a vectorized pandas function.  This is the
-same physical plan as ``partitioned_hash_join`` (stages/joins.py): one
-hash shuffle, B reducers, no sort of the full table (the kernel sorts
-within its bucket, sized to a worker heap).
+``keyed_partition_apply`` is the one primitive, with the same
+cardinality-aware physical plan as the aggregation tree (stages/agg.py):
+
+* SMALL input (≤ the root threshold): ONE task runs the kernel over the
+  whole frame — at this size any shuffle's fixed cost dwarfs the kernel
+  (measured: Ray's sort-based ``groupby().map_groups`` spends 4–8 s of
+  fixed latency to co-locate kilobytes of rows that a single task
+  handles in milliseconds);
+* LARGE input: the keyed hash-actor exchange (stages/exchange.py) —
+  B aggregator actors each own ``hash(keys) % B`` and run the kernel
+  once over their key range at finish, so no node ever holds the full
+  table and the result stays key-partitioned in the object store.
 
 Partitioning assumptions (stated per SURVEY §4):
-* every bucket fits one worker's heap — size ``num_buckets`` to the
-  data (rows/bucket ≈ N/B); at the 100-TB design point B is tens of
-  thousands, bounded below by heap, above by per-task fixed costs;
+* every bucket fits one worker's heap — the default actor count scales
+  with cluster width and row count (≈ one per 1M rows, capped at CPUs);
+  at the 100-TB design point pass ``num_buckets`` in the thousands;
 * per-key ordering is established INSIDE the bucket kernel (sort the
   bucket frame), never globally — a global ``Dataset.sort`` would be an
   all-to-all over the full table for ordering only ever consumed
@@ -29,43 +35,49 @@ Partitioning assumptions (stated per SURVEY §4):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import pandas as pd
-
-_BUCKET = "__kpa_bucket"
 
 
 def keyed_partition_apply(
     ds,
     keys: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = 64,
+    num_buckets: Optional[int] = None,
 ):
-    """Apply ``fn`` (pandas → pandas, vectorized) to hash-bucketed
-    partitions, each containing only complete key-groups.
+    """Apply ``fn`` (pandas → pandas, vectorized) to key-partitioned
+    frames, each containing only complete key-groups.
 
-    ``fn`` sees a frame with the original columns (the bucket tag is
-    stripped) holding every row of each key routed to that bucket, in
-    arbitrary order — sort inside if the kernel needs order.
+    ``fn`` sees a frame with the original columns holding every row of
+    each key routed to that partition, in arbitrary order — sort inside
+    if the kernel needs order.  It must tolerate an empty frame and
+    multiple keys per call.  The input is materialized once (the
+    cardinality decision needs a count; every row is consumed exactly
+    once either way).
     """
+    import ray
+
+    from nerpii_ray.stages.agg import ROOT_THRESHOLD_DEFAULT
+    from nerpii_ray.stages.exchange import hash_exchange_aggregate
+
     keys = list(keys)
-
-    def tag(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy(deep=False)
-        kf = b[keys[0]].astype(str) if len(keys) == 1 else b[keys].astype(str).agg(
-            "|".join, axis=1
+    ds = ds.materialize()
+    n = ds.count()
+    if n <= ROOT_THRESHOLD_DEFAULT:
+        # ONE task, whole-frame kernel: repartition(1) is a plain
+        # coalesce (no sort sampling) of an already-bounded table
+        return ds.repartition(1).map_batches(
+            fn, batch_format="pandas", batch_size=None
         )
-        b[_BUCKET] = (
-            pd.util.hash_pandas_object(kf, index=False) % num_buckets
-        ).astype("int64")
-        return b
-
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return fn(g.drop(columns=[_BUCKET]))
-
-    return (
-        ds.map_batches(tag, batch_format="pandas")
-        .groupby(_BUCKET)
-        .map_groups(run, batch_format="pandas")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nb = num_buckets or int(min(max(8, ncpu), max(2, n // 1_000_000 + 1)))
+    return hash_exchange_aggregate(
+        ds,
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=keys,
+        num_buckets=nb,
+        finish_fn=fn,
+        as_dataset=True,
     )

@@ -569,25 +569,36 @@ def add_simhash(batch: pd.DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> pd.DataFrame:
     """64-bit SimHash per document (token-hash bit-vote).  Near-dups share
     small Hamming distance; pairing = group on rotated prefixes or band
-    tables downstream."""
-    out_ids, hashes = [], []
-    for did, text in zip(batch[id_col], batch[text_col].fillna("")):
-        toks = _TOKEN_RE.findall(text.lower())
-        if not toks:
-            out_ids.append(did)
-            hashes.append(0)
-            continue
-        uniq, counts = np.unique(np.array(toks), return_counts=True)
-        hs = stable_hash64_np(pd.Series(uniq))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-        sim = np.uint64(0)
+    tables downstream.
+
+    Vectorized across the WHOLE batch: tokenization is the only per-doc
+    Python step; the (doc, token)→count table, the 64 bit-votes (one
+    ``bincount`` scatter per bit — C-speed, O(pairs) memory) and the
+    bit-assembly are batch-wide array ops.  Bit-identical to the naive
+    per-doc reference: vote = Σ count·(2·bit−1), sim bit set where
+    vote > 0, tokenless docs → 0 (pinned by the doc_simhash SQL replay).
+    """
+    ids = batch[id_col].to_numpy()
+    n = len(ids)
+    doc_of, toks = [], []
+    for i, text in enumerate(batch[text_col].fillna("")):
+        tt = _TOKEN_RE.findall(text.lower())
+        if tt:
+            doc_of.append(np.full(len(tt), i, dtype=np.int64))
+            toks.extend(tt)
+    sims = np.zeros(n, dtype=np.uint64)
+    if toks:
+        pairs = pd.DataFrame({"d": np.concatenate(doc_of), "t": toks})
+        cnt = pairs.groupby(["d", "t"], sort=False).size()
+        d = cnt.index.get_level_values(0).to_numpy()
+        c = cnt.to_numpy().astype(np.int64)
+        hs = stable_hash64_np(pd.Series(cnt.index.get_level_values(1)))
         for b in range(64):
-            if votes[b] > 0:
-                sim |= np.uint64(1) << np.uint64(b)
-        out_ids.append(did)
-        hashes.append(int(sim))
-    return pd.DataFrame({id_col: out_ids, "simhash": np.array(hashes, dtype=np.uint64)})
+            bit = ((hs >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            votes = np.bincount(d, weights=(2 * bit - 1) * c, minlength=n)
+            # float64 bincount is exact here (integer-valued, |votes| ≪ 2^53)
+            sims |= (votes > 0).astype(np.uint64) << np.uint64(b)
+    return pd.DataFrame({id_col: ids, "simhash": sims})
 
 
 # ------------------------------------------------- n-gram Jaccard pairs
@@ -679,7 +690,8 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket: int = 256,
+    max_bucket: int = 1024,
+    num_buckets: int = 256,
 ):
     """SimHash near-duplicate PAIRS: every (id_a < id_b) whose 64-bit
     SimHash signatures differ in at most ``max_hamming`` bits, with the
@@ -690,15 +702,23 @@ def simhash_dup_pairs(
     four 16-bit bands, so every qualifying pair shares at least one
     band verbatim).
 
-    Physical plan (same shape as the minhash LSH path):
-      1. one text pass → (id, simhash) signatures;
-      2. 4 light band rows per doc (band, 16-bit band value, id, sig) —
-         the shuffle moves ~32-byte rows, never text;
-      3. per-(band, value) bucket: vectorized XOR-popcount over the
-         bucket's signature vector, keep pairs ≤ max_hamming.  Buckets
-         past ``max_bucket`` keep their smallest ids and LOG the dropped
+    Physical plan (same cardinality-aware shape as the minhash path —
+    crucially NOT ``Dataset.groupby``: the sort-based shuffle costs
+    seconds of fixed latency for kilobytes of band rows, and one task
+    per (band, value) would be up to 4×65536 tiny groups):
+      1. one text pass → (id, simhash) signatures, materialized;
+      2. 4 light band rows per doc (band, 16-bit value, id, sig ride) —
+         ~32-byte rows, never text;
+      3. SMALL (≤ root threshold band rows): pair in ONE task from the
+         already-materialized signatures — at this size per-execution
+         fixed costs dwarf the pairing compute.  SCALE: the keyed actor
+         exchange on (band, value); each actor pairs its key range at
+         finish, so no node ever holds the full band table;
+      4. per-bucket: singleton prefilter, then vectorized XOR-popcount
+         per (band, value) group, pairs ≤ max_hamming.  Buckets past
+         ``max_bucket`` keep their smallest ids and LOG the dropped
          count (no silent caps);
-      4. pairs dedup (a pair can share several bands) through the
+      5. pairs dedup (a pair can share several bands) through the
          cardinality-aware tree.
     """
     if not 0 <= max_hamming < 4:
@@ -706,32 +726,72 @@ def simhash_dup_pairs(
             "simhash_dup_pairs: 16-bit banding is lossless only for "
             f"max_hamming in 0..3, got {max_hamming}"
         )
-    from nerpii_ray.stages.agg import tree_dedup
+    import ray
+    import ray.data as rd
+
+    from nerpii_ray.stages.agg import ROOT_THRESHOLD_DEFAULT, tree_dedup
+    from nerpii_ray.stages.exchange import hash_exchange_aggregate
+
+    sigs = ds.map_batches(
+        lambda b: add_simhash(b, text_col=text_col, id_col=id_col),
+        batch_format="pandas",
+        batch_size=2048,
+    ).materialize()
 
     def band_rows(b: pd.DataFrame) -> pd.DataFrame:
-        sig = add_simhash(b, text_col=text_col, id_col=id_col)
-        n = len(sig)
+        n = len(b)
         bands = np.repeat(np.arange(4, dtype=np.int64), n)
-        sims = np.tile(sig["simhash"].to_numpy(), 4)
+        sims = np.tile(b["simhash"].to_numpy().astype(np.uint64), 4)
         return pd.DataFrame(
             {
                 "band": bands,
                 "bval": ((sims >> (bands.astype(np.uint64) * np.uint64(16)))
                          & np.uint64(0xFFFF)).astype("int64"),
-                "id": np.tile(sig[id_col].to_numpy(), 4),
+                "id": np.tile(b[id_col].to_numpy(), 4),
                 "sig": sims,
             }
         )
 
-    pairs = (
-        ds.map_batches(band_rows, batch_format="pandas")
-        .groupby(["band", "bval"])
-        .map_groups(
-            lambda g: _simhash_pair_bucket(g, max_hamming, max_bucket),
-            batch_format="pandas",
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singletons can't pair — drop them before the per-group loop
+        # (with random 16-bit band values almost every group is one)
+        g = g[g.groupby(["band", "bval"])["id"].transform("size") >= 2]
+        parts = [
+            _simhash_pair_bucket(sub, max_hamming, max_bucket)
+            for _, sub in g.groupby(["band", "bval"], sort=False)
+        ]
+        if not parts:
+            return _simhash_pair_bucket(g.head(0), max_hamming, max_bucket)
+        return pd.concat(parts, ignore_index=True)
+
+    n_band = 4 * sigs.count()
+    if n_band <= ROOT_THRESHOLD_DEFAULT:
+        pairs = bucket_pairs(band_rows(sigs.to_pandas()))
+        pairs = (
+            pairs.sort_values(["id_a", "id_b"], kind="stable")
+            .drop_duplicates(["id_a", "id_b"])
+            .reset_index(drop=True)
         )
+        return rd.from_pandas(pairs)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    num_ex = int(min(max(8, ncpu), max(2, n_band // 1_000_000 + 1)))
+    pairs = hash_exchange_aggregate(
+        sigs.map_batches(band_rows, batch_format="pandas"),
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=["band", "bval"],
+        num_buckets=num_ex,
+        finish_fn=bucket_pairs,
+        as_dataset=True,
     )
     return tree_dedup(pairs, keys=["id_a", "id_b"])
+
+
+#: per-byte popcount table (uint8 → number of set bits)
+_POPCOUNT_LUT = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
 
 
 def _simhash_pair_bucket(
@@ -761,11 +821,10 @@ def _simhash_pair_bucket(
     sig = g["sig"].to_numpy().astype(np.uint64)
     ids = g["id"].to_numpy()
     x = sig[:, None] ^ sig[None, :]
-    ham = (
-        ((x[..., None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1))
-        .sum(axis=-1)
-        .astype(np.int64)
-    )
+    # byte-LUT popcount: n²×8 uint8 workspace instead of the n²×64 int64
+    # a bit-slice reduction would need (537 MB at the 1024 cap)
+    xb = x.view(np.uint8).reshape(len(g), len(g), 8)
+    ham = _POPCOUNT_LUT[xb].sum(axis=-1, dtype=np.int64)
     ia, ib = np.triu_indices(len(g), k=1)
     keep = ham[ia, ib] <= max_hamming
     return pd.DataFrame(

@@ -146,7 +146,7 @@ def asof_join(
     right,
     key: str,
     ts: str,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     strict: bool = False,
     suffix: str = "_r",
 ):
@@ -156,17 +156,19 @@ def asof_join(
     ``ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts`` (``>`` when
     strict), which is the SQL-oracle twin.
 
-    Physical plan: both sides hash-bucketed on ``key`` (a left bucket
-    holds exactly the keys of the matching right bucket), unioned with a
-    side tag, and each bucket runs one vectorized ``pd.merge_asof`` after
-    a single in-bucket sort — no global sort, no broadcast of the right
-    side.  Right-side (key, ts) pairs must be unique (pre-aggregate
-    upstream); with duplicates pandas keeps the last in sort order while
-    SQL engines choose arbitrarily, so the contract rejects them.
+    Physical plan: both sides unioned with a side tag and co-located by
+    ``key`` through ``keyed_partition_apply`` (one-task small path /
+    keyed actor exchange at scale — NOT the sort-based Dataset groupby,
+    whose fixed cost dominates at any size); each partition runs one
+    vectorized ``pd.merge_asof`` after a single in-partition sort — no
+    global sort, no broadcast of the right side.  Right-side (key, ts)
+    pairs must be unique (pre-aggregate upstream); with duplicates
+    pandas keeps the last in sort order while SQL engines choose
+    arbitrarily, so the contract rejects them.
 
-    Scale notes: bucket ≤ worker heap (size ``num_buckets``); both
-    sides shuffle once, ~row-sized; skewed keys salt upstream only if a
-    single key's history exceeds a heap.
+    Scale notes: bucket ≤ worker heap (``num_buckets`` actors at scale);
+    both sides shuffle once, ~row-sized; skewed keys salt upstream only
+    if a single key's history exceeds a heap.
 
     Schema stability: the tagged union pads each side with the other
     side's columns, so every one-sided column is carried in a
@@ -197,9 +199,6 @@ def asof_join(
                 elif c in one_sided and b[c].dtype != one_sided[c]:
                     b[c] = b[c].astype(one_sided[c])
             b = b[all_cols]
-            b["__bucket"] = (
-                pd.util.hash_pandas_object(b[key], index=False) % num_buckets
-            ).astype("int64")
             b["__side"] = side
             return b
 
@@ -232,7 +231,9 @@ def asof_join(
         )
         return out.reset_index(drop=True)
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    return keyed_partition_apply(both, [key], merge_bucket, num_buckets)
 
 
 def interval_join(
@@ -243,7 +244,7 @@ def interval_join(
     hi: str,
     key: str | None = None,
     granularity_sec: int = 3600,
-    num_key_buckets: int = 64,
+    num_buckets: int | None = None,
     how: str = "inner",
     suffix: str = "_r",
 ):
@@ -261,24 +262,27 @@ def interval_join(
          ``span/G + 1`` copies, so G should be of the order of the
          TYPICAL interval span: replication stays O(1) while a granule
          holds only the intervals that can possibly match its points);
-      2. both sides hash further on ``key`` into ``num_key_buckets``
-         lanes (1 lane when keyless), bounding per-task width when one
-         granule is hot;
-      3. each (granule, lane) bucket merges in pandas — equi-merge on
-         ``key`` (or cross when keyless) then the vectorized BETWEEN
-         filter.  A point lives in exactly one bucket and every interval
-         that can contain it is present there, so per-point results are
-         complete in-bucket and never double-counted.
+      2. both sides co-locate by ``(granule, key)`` through
+         ``keyed_partition_apply`` — BOUNDED parallelism (one-task small
+         path / keyed actor exchange), never one task per granule: a
+         year of hourly granules is ~9k groups and per-group fixed costs
+         dominate (measured 227 s → seconds on 100k events when the
+         granule count stopped mapping 1:1 onto tasks);
+      3. inside a partition, one vectorized equi-merge on
+         ``[granule] + [key]`` (the granule column rides along, so
+         co-partitioned granules never cross-match and replicated
+         interval copies never double-count — a point lives in exactly
+         ONE granule) + the BETWEEN filter.
 
     ``how="left"`` keeps matchless points with null interval columns
     (their payload dtypes ride null-capable — ints come out float64,
     same contract as ``asof_join``).  Intervals with ``hi < lo`` raise.
 
     Scale notes: the shuffle moves points once and intervals ×O(1); the
-    in-bucket merge is |pts_bucket| × |ivs_bucket| worst-case for the
-    keyless cross form — size G and ``num_key_buckets`` so a bucket's
-    candidate product fits a worker heap; salt upstream for a single
-    pathological key, same contract as ``partitioned_hash_join``.
+    in-bucket merge is per-(granule, key) candidate-product-sized for
+    the keyless form — size G and ``num_buckets`` so a bucket fits a
+    worker heap; salt upstream for a single pathological key, same
+    contract as ``partitioned_hash_join``.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join: how must be inner|left, got {how!r}")
@@ -304,25 +308,17 @@ def interval_join(
         {iv_out[c]: _null_capable(it[c]) for c in iv_cols if c != key}
     )
 
-    def lanes(b: pd.DataFrame) -> pd.Series:
-        if key is None or num_key_buckets <= 1:
-            return pd.Series(0, index=b.index, dtype="int64")
-        return (
-            pd.util.hash_pandas_object(b[key], index=False) % num_key_buckets
-        ).astype("int64")
-
     def pad(b: pd.DataFrame) -> pd.DataFrame:
         for c in all_cols:
             if c not in b.columns:
                 b[c] = _null_series(one_sided[c], b.index)
             elif c in one_sided and b[c].dtype != one_sided[c]:
                 b[c] = b[c].astype(one_sided[c])
-        return b[all_cols + ["__g", "__lane", "__side"]]
+        return b[all_cols + ["__g", "__side"]]
 
     def tag_points(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy(deep=False)
         b["__g"] = _us(b[ts]) // g_us
-        b["__lane"] = lanes(b)
         b["__side"] = "P"
         return pad(b)
 
@@ -343,7 +339,6 @@ def interval_join(
             np.cumsum(reps) - reps, reps
         )
         b["__g"] = np.repeat(lo_g, reps) + off
-        b["__lane"] = lanes(b)
         b["__side"] = "I"
         return pad(b)
 
@@ -352,18 +347,20 @@ def interval_join(
     )
 
     iv_payload = [iv_out[c] for c in iv_cols if c != key]
-    join_cols = ([key] if key is not None else []) + iv_payload
+    join_cols = ["__g"] + ([key] if key is not None else []) + iv_payload
+    on_cols = ["__g"] + ([key] if key is not None else [])
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        pts = g.loc[g["__side"] == "P", point_cols].reset_index(drop=True)
+        pts = g.loc[g["__side"] == "P", ["__g"] + point_cols].reset_index(
+            drop=True
+        )
         ivs = g.loc[g["__side"] == "I", join_cols].reset_index(drop=True)
-        if key is not None:
-            m = pts.merge(ivs, on=key, how="left")
-        else:
-            m = pts.merge(ivs, how="cross") if len(ivs) else pts.copy()
-            for c in iv_payload:
-                if c not in m.columns:
-                    m[c] = _null_series(one_sided[c], m.index)
+        # positional point id: exact left-semantics bookkeeping even for
+        # fully duplicate point rows (row-content hashing could collide)
+        pts["__pid"] = np.arange(len(pts), dtype=np.int64)
+        # merging on __g keeps co-partitioned granules apart (and IS the
+        # within-granule cross product in the keyless form)
+        m = pts.merge(ivs, on=on_cols, how="left")
         t = m[ts].astype("datetime64[us]").astype("int64")
         lo_v = m[iv_out[lo]].astype("datetime64[us]").astype("int64")
         hi_v = m[iv_out[hi]].astype("datetime64[us]").astype("int64")
@@ -371,17 +368,13 @@ def interval_join(
         hit = (lo_v <= t) & (t <= hi_v) & m[iv_out[lo]].notna()
         out = m.loc[hit.to_numpy()]
         if how == "left":
-            pid = pd.util.hash_pandas_object(pts[point_cols], index=False)
             # matchless points re-enter with null interval payloads
-            matched = pd.util.hash_pandas_object(
-                out[point_cols], index=False
-            )
-            miss = pts.loc[~pid.isin(set(matched)).to_numpy()].copy()
+            miss = pts.loc[~pts["__pid"].isin(out["__pid"]).to_numpy()].copy()
             for c in iv_payload:
                 miss[c] = _null_series(one_sided[c], miss.index)
             out = pd.concat([out, miss], ignore_index=True)
         return out[all_cols].reset_index(drop=True)
 
-    return both.groupby(["__lane", "__g"]).map_groups(
-        merge_bucket, batch_format="pandas"
-    )
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    return keyed_partition_apply(both, on_cols, merge_bucket, num_buckets)

@@ -126,7 +126,7 @@ def rolling_time_count(
     ts_col: str = "ts",
     id_col: str = "event_id",
     out_col: str = "n_window",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Sliding time window: for every event, the count of same-key events
     with ``ts`` in ``[ts - window, ts]`` — SQL's ``COUNT(*) OVER
@@ -169,7 +169,7 @@ def running_order_stats(
     date_col: str = "o_orderdate",
     id_col: str = "o_orderkey",
     price_col: str = "o_totalprice",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Per-key ordered window functions over the orders stream: sequence
     number (ROW_NUMBER), running money total (SUM OVER), and whole-day

@@ -641,7 +641,7 @@ def test_interval_join_keyed_left_and_inner():
     out = interval_join(
         rd.from_pandas(pts), rd.from_pandas(ivs),
         ts="t", lo="lo", hi="hi", key="k",
-        granularity_sec=1800, num_key_buckets=4, how="left",
+        granularity_sec=1800, num_buckets=4, how="left",
     ).to_pandas()
     by_pid = out.groupby("pid")["tag"].apply(
         lambda s: sorted(x for x in s if isinstance(x, str))
@@ -655,7 +655,7 @@ def test_interval_join_keyed_left_and_inner():
     inner = interval_join(
         rd.from_pandas(pts), rd.from_pandas(ivs),
         ts="t", lo="lo", hi="hi", key="k",
-        granularity_sec=1800, num_key_buckets=4, how="inner",
+        granularity_sec=1800, num_buckets=4, how="inner",
     ).to_pandas()
     assert len(inner) == 4 and set(inner["pid"]) == {1, 2, 3}
 
@@ -857,3 +857,30 @@ def test_distinct_count_sketch_estimates_and_exact_small():
     est = a["est_distinct"].iloc[0]
     assert est == b["est_distinct"].iloc[0]
     assert abs(est - 50_000) / 50_000 < 0.2  # >4-sigma-safe bound
+
+
+def test_simhash_pairs_small_and_exchange_paths_agree(docs_df):
+    """Cardinality-aware pairing root: the one-task small path and the
+    keyed-exchange scale path (forced via a tiny threshold) must emit
+    identical pair sets including hamming distances."""
+    import nerpii_ray.stages.agg as agg
+    from nerpii_ray.stages.dedup import simhash_dup_pairs
+
+    base = docs_df.head(40).copy()
+    near = base.head(6).copy()
+    near["doc_id"] += 9000
+    near["text"] = near["text"].str.replace("the", "thx", n=1)
+    ds = rd.from_pandas(pd.concat([base, near], ignore_index=True)).repartition(4)
+
+    def pairset(df):
+        return {(a, b): h for a, b, h in
+                zip(df["id_a"], df["id_b"], df["hamming"])}
+
+    want = pairset(simhash_dup_pairs(ds).to_pandas())
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1
+    try:
+        got = pairset(simhash_dup_pairs(ds).to_pandas())
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    assert want == got and len(want) > 0
