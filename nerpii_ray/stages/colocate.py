@@ -45,6 +45,7 @@ def keyed_partition_apply(
     keys: Sequence[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: Optional[int] = None,
+    path: str = "auto",
 ):
     """Apply ``fn`` (pandas → pandas, vectorized) to key-partitioned
     frames, each containing only complete key-groups.
@@ -52,9 +53,19 @@ def keyed_partition_apply(
     ``fn`` sees a frame with the original columns holding every row of
     each key routed to that partition, in arbitrary order — sort inside
     if the kernel needs order.  It must tolerate an empty frame and
-    multiple keys per call.  The input is materialized once (the
-    cardinality decision needs a count; every row is consumed exactly
-    once either way).
+    multiple keys per call.
+
+    ``path`` picks the physical plan:
+    * ``"auto"`` (default) — materialize the input once (the
+      cardinality decision needs a count; the chosen finish then
+      consumes the pinned copy, so every row is still scanned once) and
+      route small inputs to the one-task path, large ones to the
+      exchange;
+    * ``"exchange"`` — go straight to the keyed actor exchange with NO
+      materialization: the right call at a scale known a priori (a
+      100-TB pipeline should stream into the exchange, not pin the
+      whole input in the object store to learn what it already knows);
+    * ``"small"`` — force the one-task finish (tests, bounded inputs).
     """
     import ray
 
@@ -62,16 +73,25 @@ def keyed_partition_apply(
     from nerpii_ray.stages.exchange import hash_exchange_aggregate
 
     keys = list(keys)
-    ds = ds.materialize()
-    n = ds.count()
-    if n <= ROOT_THRESHOLD_DEFAULT:
+    n = None
+    if path == "auto":
+        ds = ds.materialize()
+        n = ds.count()
+        path = "small" if n <= ROOT_THRESHOLD_DEFAULT else "exchange"
+    if path == "small":
         # ONE task, whole-frame kernel: repartition(1) is a plain
         # coalesce (no sort sampling) of an already-bounded table
         return ds.repartition(1).map_batches(
             fn, batch_format="pandas", batch_size=None
         )
+    if path != "exchange":
+        raise ValueError(f"keyed_partition_apply: unknown path {path!r}")
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nb = num_buckets or int(min(max(8, ncpu), max(2, n // 1_000_000 + 1)))
+    nb = num_buckets or int(
+        min(max(8, ncpu), max(2, (n or 0) // 1_000_000 + 1))
+        if n is not None
+        else max(8, ncpu)
+    )
     return hash_exchange_aggregate(
         ds,
         partial_fn=lambda b: b,

@@ -103,14 +103,16 @@ def partitioned_hash_join(
     left,
     right,
     on: Sequence[str],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     how: str = "inner",
 ):
     """Explicit bucketed hash join for two large Datasets.
 
-    Adds ``bucket = hash(key) % B`` to both sides, unions with a side
-    tag, and merges matching buckets inside ``map_groups``.  Each bucket
-    must fit in one worker's heap — size B to the data.
+    Both sides union with a side tag and co-locate by the join key
+    through ``keyed_partition_apply`` (one-task small path / keyed actor
+    exchange — not the sort-based groupby); each partition merges its
+    complete key range in pandas.  Each partition must fit one worker's
+    heap — ``num_buckets`` actors at scale.
     """
     on = list(on)
     left_cols = [str(c) for c in left.schema().names]
@@ -119,11 +121,7 @@ def partitioned_hash_join(
 
     def tag(side: str):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            key = b[on].astype(str).agg("|".join, axis=1)
             b = b.reindex(columns=all_cols)  # align schemas for union
-            b["__bucket"] = (
-                pd.util.hash_pandas_object(key, index=False) % num_buckets
-            ).astype("int64")
             b["__side"] = side
             return b
 
@@ -138,7 +136,9 @@ def partitioned_hash_join(
         rg = g.loc[g["__side"] == "R", right_cols]
         return lg.merge(rg, on=on, how=how, suffixes=("", "_r"))
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    return keyed_partition_apply(both, on, merge_bucket, num_buckets)
 
 
 def asof_join(

@@ -884,3 +884,70 @@ def test_simhash_pairs_small_and_exchange_paths_agree(docs_df):
     finally:
         agg.ROOT_THRESHOLD_DEFAULT = old
     assert want == got and len(want) > 0
+
+
+def test_keyed_partition_apply_paths_agree_across_operators():
+    """The one-task small path and the keyed-exchange path (forced via a
+    tiny root threshold) must agree for every operator riding
+    keyed_partition_apply: rolling window, running stats, asof join,
+    interval join, hash join."""
+    import nerpii_ray.stages.agg as agg
+    from nerpii_ray.stages.joins import (
+        asof_join,
+        interval_join,
+        partitioned_hash_join,
+    )
+    from nerpii_ray.stages.window import rolling_time_count
+
+    rng = np.random.default_rng(3)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(400, dtype="int64"),
+            "user_id": rng.integers(0, 12, 400),
+            "ts": pd.to_datetime("2020-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, 400), unit="s"),
+        }
+    )
+    right = (
+        ev.groupby("user_id", as_index=False)
+        .agg(t=("ts", "median"))
+        .assign(v=lambda d: d["user_id"] * 10)
+    )
+    iv = right.rename(columns={"t": "lo"}).assign(
+        hi=lambda d: d["lo"] + pd.Timedelta(hours=2)
+    )[["user_id", "lo", "hi", "v"]]
+    eds, rds, ids_ = rd.from_pandas(ev), rd.from_pandas(right), rd.from_pandas(iv)
+    rds_ts = rd.from_pandas(right.rename(columns={"t": "ts"}))
+
+    def runs():
+        out = {}
+        out["roll"] = (
+            rolling_time_count(eds, window_sec=600)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        out["asof"] = (
+            asof_join(eds, rds_ts, key="user_id", ts="ts")
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        out["ivj"] = (
+            interval_join(eds, ids_, ts="ts", lo="lo", hi="hi",
+                          key="user_id", granularity_sec=7200, how="left")
+            .to_pandas()
+            .sort_values(["event_id", "v"])
+            .reset_index(drop=True)
+        )
+        out["hj"] = (
+            partitioned_hash_join(eds, rds, on=["user_id"])
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        return out
+
+    small = runs()
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1
+    try:
+        ex = runs()
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    for k in small:
+        pd.testing.assert_frame_equal(small[k], ex[k], check_dtype=False)
