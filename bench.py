@@ -160,6 +160,7 @@ def run_bench() -> dict:
         "doc_minhash_pairs",
         "ann_topk",
         "doc_quality",
+        "customer_order_running",  # ordered-window family (round 3)
     ]
 
     # --scaling sets this: the per-level subprocesses measure ONLY the
