@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-49 of 54 queries carry a SQL oracle — including the KG flagship (edges,
+50 of 55 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -2239,6 +2239,57 @@ def doc_simhash_dup_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_dup_pairs(ds, max_hamming=3)
+
+
+@register(
+    "doc_simhash_dup_clusters",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h, c
+      FROM tc
+    ), votes AS (
+      SELECT doc_id, r.b,
+             SUM(c * (2 * CAST((h >> CAST(r.b AS INT)) & 1 AS BIGINT) - 1)) AS vote
+      FROM th, range(64) r(b) GROUP BY doc_id, r.b
+    ), sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                      ELSE CAST(0 AS UBIGINT) END) AS sim
+      FROM votes GROUP BY doc_id
+    ), sigs AS (
+      SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+      FROM documents d LEFT JOIN sims s USING (doc_id)
+    ), dedges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sigs a JOIN sigs b ON a.doc_id <> b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ), reach(n, r) AS (
+      SELECT a, a FROM dedges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN dedges e ON e.a = r.n
+    )
+    SELECT n AS node, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY n
+    """,
+)
+def doc_simhash_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: connected components over the simhash
+    pair graph (stages/dedup.connected_components — union-find small
+    path / iterative hash-min label propagation at scale).  The SQL twin
+    replays the pairs bit-exactly and closes them with a recursive CTE,
+    so component labels (= min doc_id per component) match exactly.
+    ``node == component`` rows are the canonical survivors a dedup
+    pipeline keeps."""
+    from nerpii_ray.stages.dedup import connected_components, simhash_dup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return connected_components(simhash_dup_pairs(ds, max_hamming=3))
 
 
 @register(

@@ -834,3 +834,151 @@ def _simhash_pair_bucket(
             "hamming": ham[ia[keep], ib[keep]],
         }
     )
+
+
+def connected_components(
+    edges_ds,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+):
+    """Connected components over an undirected edge list — the
+    CLUSTERING step of near-duplicate dedup (minhash/simhash emit PAIRS;
+    keeping one doc per duplicate *group* needs the transitive closure).
+    Returns one row per node that appears in an edge:
+    ``(node, component)`` with component = the smallest node id in the
+    node's component (so ``node == component`` picks the canonical
+    survivor).
+
+    Cardinality-aware, like every other root in this engine:
+
+    * SMALL edge lists (≤ root threshold — near-dup pair tables are
+      output-sized, so this is the common case): one task runs a classic
+      path-compressing union-find — exact, O(E α(E)).
+    * LARGE: iterative hash-min label propagation entirely on Datasets —
+      per round, every node sends its current label to its neighbors
+      (one partitioned-hash-join of labels onto edges per direction) and
+      takes the min of what it holds and hears (cardinality-aware
+      grouped min).  Converges in O(diameter) rounds — near-dup
+      components are shallow (dup clusters, not social graphs); each
+      round's change count is a driver-side scalar, the label table
+      itself stays distributed.  Documented assumption: component
+      diameter ≪ rounds cap (64); pathological chains need the
+      large-star/small-star variant.
+    """
+    import ray.data as rd
+
+    from nerpii_ray.stages.agg import ROOT_THRESHOLD_DEFAULT, grouped_sum, tree_aggregate
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"),
+         "component": pd.Series(dtype="int64")}
+    )
+    if n_edges == 0:
+        return rd.from_pandas(empty)
+
+    if n_edges <= ROOT_THRESHOLD_DEFAULT:
+        e = edges_ds.to_pandas()
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(e[a_col].astype("int64"), e[b_col].astype("int64")):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by label value: smaller id becomes the root, so
+                # the final label IS the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = np.unique(
+            np.concatenate([e[a_col].to_numpy(), e[b_col].to_numpy()])
+        ).astype("int64")
+        comp = np.fromiter((find(int(v)) for v in nodes), dtype="int64",
+                           count=len(nodes))
+        return rd.from_pandas(pd.DataFrame({"node": nodes, "component": comp}))
+
+    # SCALE path: label propagation on Datasets
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate(
+            [b[a_col].to_numpy(), b[b_col].to_numpy()]
+        ).astype("int64")
+        return pd.DataFrame({"node": nodes, "component": nodes}).drop_duplicates()
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("node", sort=False, observed=True)["component"]
+            .min()
+            .reset_index()
+        )
+
+    def _pd_blocks(ds):
+        # the exchange finish emits ARROW blocks; the per-round union
+        # mixes them with pandas message blocks, which Ray's batcher
+        # refuses to combine — normalize the label table's block type
+        return ds.map_batches(
+            lambda b: b, batch_format="pandas", batch_size=None
+        )
+
+    labels = _pd_blocks(
+        tree_aggregate(edges_ds, init_labels, min_merge, keys=["node"])
+    )
+    for _ in range(64):
+        # neighbors' labels: one join per direction (labels keyed by node)
+        msgs = []
+        for src, dst in ((a_col, b_col), (b_col, a_col)):
+            j = partitioned_hash_join(
+                edges_ds.map_batches(
+                    lambda b, s=src, d=dst: pd.DataFrame(
+                        {"node": b[s].astype("int64"),
+                         "dst": b[d].astype("int64")}
+                    ),
+                    batch_format="pandas",
+                ),
+                labels,
+                on=["node"],
+            )
+            msgs.append(
+                j.map_batches(
+                    lambda b: pd.DataFrame(
+                        {"node": b["dst"].astype("int64"),
+                         "component": b["component"].astype("int64")}
+                    ),
+                    batch_format="pandas",
+                )
+            )
+        new_labels = _pd_blocks(
+            tree_aggregate(
+                labels.union(*msgs), min_merge, min_merge, keys=["node"]
+            )
+        ).materialize()
+        changed = (
+            partitioned_hash_join(
+                new_labels,
+                labels.map_batches(
+                    lambda b: b.rename(columns={"component": "old"}),
+                    batch_format="pandas",
+                ),
+                on=["node"],
+            )
+            .map_batches(
+                lambda b: pd.DataFrame(
+                    {"n": [int((b["component"] != b["old"]).sum())]}
+                ),
+                batch_format="pandas",
+            )
+            .sum("n")
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels

@@ -951,3 +951,35 @@ def test_keyed_partition_apply_paths_agree_across_operators():
         agg.ROOT_THRESHOLD_DEFAULT = old
     for k in small:
         pd.testing.assert_frame_equal(small[k], ex[k], check_dtype=False)
+
+
+def test_connected_components_small_and_scale_paths():
+    import nerpii_ray.stages.agg as agg
+    from nerpii_ray.stages.dedup import connected_components
+
+    # two components {1,2,3,7} (chain) and {10,11}; 5 is absent (no edge)
+    edges = pd.DataFrame(
+        {"id_a": [1, 2, 3, 10], "id_b": [2, 3, 7, 11]}
+    )
+    want = {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+    def run():
+        df = connected_components(rd.from_pandas(edges)).to_pandas()
+        return dict(zip(df["node"].astype(int), df["component"].astype(int)))
+
+    assert run() == want
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1  # force the label-propagation path
+    try:
+        assert run() == want
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+
+    # empty edge list → empty typed result (schema survives even though
+    # Ray's to_pandas drops columns of an all-empty Dataset)
+    out = connected_components(
+        rd.from_pandas(pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                     "id_b": pd.Series(dtype="int64")}))
+    )
+    assert out.count() == 0
+    assert [str(n) for n in out.schema().names] == ["node", "component"]
