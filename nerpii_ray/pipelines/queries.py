@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-50 of 55 queries carry a SQL oracle — including the KG flagship (edges,
+53 of 58 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -1792,6 +1792,94 @@ def orders_sample(sf_dir: str):
         return b[pref < "199a"]
 
     return ds.map_batches(hash_filter, batch_format="pandas")
+
+
+@register(
+    "region_nations_concat",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_nations_concat(sf_dir: str):
+    """Ordered string aggregation (stages/agg.grouped_sorted_concat):
+    SQL's string_agg(... ORDER BY ...) — value lists ride the merge tree
+    as rows, one sort+join per group at the root.  Dimension side
+    broadcast (5 regions)."""
+    from nerpii_ray.stages.agg import grouped_sorted_concat
+    from nerpii_ray.stages.joins import broadcast_join
+
+    nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"])
+    region = (
+        _read(sf_dir, "region", ["r_regionkey", "r_name"])
+        .to_pandas()
+        .rename(columns={"r_regionkey": "n_regionkey"})
+    )
+    joined = broadcast_join(nation, region, on=["n_regionkey"])
+    return grouped_sorted_concat(joined, ["r_name"], "n_name", "nations")
+
+
+@register(
+    "events_stratified_sample",
+    """
+    SELECT event_id, event_type FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4)
+          < CASE event_type WHEN 'purchase' THEN 'ffff'
+                            WHEN 'click' THEN '7fff'
+                            ELSE '0ccc' END
+    """,
+)
+def events_stratified_sample(sf_dir: str):
+    """Stratified (per-class rate) sampling — the downsample-hot-classes
+    op of a training-data pipeline: keep 100 % of purchases, ~50 % of
+    clicks, ~5 % of everything else, via the same deterministic
+    content-hash filter as ``orders_sample`` (stable under retries and
+    re-batching, exactly SQL-reproducible; an RNG sampler is neither)."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    rates = {"purchase": "ffff", "click": "7fff"}
+
+    def strat_filter(b: pd.DataFrame) -> pd.DataFrame:
+        pref = md5_of_strings(b["event_id"].astype(str)).str[:4]
+        cut = b["event_type"].map(rates).fillna("0ccc")
+        return b[(pref < cut).to_numpy()]
+
+    return ds.map_batches(strat_filter, batch_format="pandas")
+
+
+@register(
+    "events_jsonl_roundtrip",
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def events_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink parity (S1 twin of the CSV roundtrip): parquet
+    → write_json → read_json → identical table.  Ints and strings only
+    (JSON-exact); floats/timestamps need a cast stage, stated in
+    sources/readers.read_jsonl_table."""
+    import shutil as _shutil
+
+    from nerpii_ray.sources.readers import read_jsonl_table, write_jsonl_table
+
+    out = "/tmp/nerpii_ray_jsonl_roundtrip"
+    _shutil.rmtree(out, ignore_errors=True)
+    write_jsonl_table(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type"]), out
+    )
+    ds = read_jsonl_table(out)
+
+    def fix(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"].astype(str),
+            }
+        )
+
+    return ds.map_batches(fix, batch_format="pandas")
 
 
 @register(

@@ -34,3 +34,16 @@ def read_table(path: str, columns: Optional[Sequence[str]] = None):
 def read_csv_table(path: str):
     """nerpii-parity CSV ingestion (named_entity_recognizer.py:310-311)."""
     return rd.read_csv(path)
+
+
+def read_jsonl_table(path: str):
+    """JSONL ingestion (``ray.data.read_json``): the interchange format
+    training-data drops usually arrive in before they are parqueted.
+    Schema is inferred per block; pair with an explicit projection +
+    cast stage downstream when the corpus is heterogenous."""
+    return rd.read_json(path)
+
+
+def write_jsonl_table(ds, path: str):
+    """JSONL export twin of ``read_jsonl_table`` (one file per block)."""
+    ds.write_json(path)

@@ -410,3 +410,41 @@ def distinct_count_sketch(
         return pd.DataFrame({"est_distinct": pd.Series([est], dtype="int64")})
 
     return tree_aggregate(ds, partial, bottom, final_fn=finish)
+
+
+def grouped_sorted_concat(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    out_col: str,
+    sep: str = ",",
+):
+    """Ordered string aggregation per group — SQL's
+    ``string_agg(value, sep ORDER BY value)``.  The merge state per
+    group is its (still-unsorted-across-partials) value list carried as
+    rows; merging is a plain distinct-free concat, so the combiner only
+    dedups nothing and the ROOT does one sort + join per group.  Use for
+    label lists, provenance trails, per-entity surface inventories —
+    group value lists must individually fit a worker (same contract as
+    any per-group state).
+    """
+    keys = list(keys)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[keys + [value_col]]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = {k: pd.Series(dtype="object") for k in keys}
+            cols[out_col] = pd.Series(dtype="object")
+            return pd.DataFrame(cols)
+        df = df.sort_values(keys + [value_col], kind="stable")
+        out = (
+            df.groupby(keys, sort=False, observed=True)[value_col]
+            .agg(lambda s: sep.join(s.astype(str)))
+            .rename(out_col)
+            .reset_index()
+        )
+        return out
+
+    return tree_aggregate(ds, keep, keep, final_fn=finish)
