@@ -118,3 +118,29 @@ def codice_fiscale_check_char(first15: str) -> str:
 def codice_fiscale_valid(s: str) -> bool:
     s = s.upper()
     return len(s) == 16 and s[15] == codice_fiscale_check_char(s[:15])
+
+
+def dea_valid(s: str) -> bool:
+    """DEA registrant-number checksum (the MEDICAL_LICENSE recognizer in
+    Presidio's supported-entities list the reference inherits,
+    README.md:37): two letters + seven digits, where the 7th digit is
+    the units digit of (d1+d3+d5) + 2·(d2+d4+d6)."""
+    s = s.upper()
+    d = s[2:]
+    if len(s) != 9 or not (s[:2].isalpha() and d.isdigit()):
+        return False
+    total = (
+        int(d[0]) + int(d[2]) + int(d[4])
+        + 2 * (int(d[1]) + int(d[3]) + int(d[5]))
+    )
+    return total % 10 == int(d[6])
+
+
+def dea_complete(prefix_and_six: str) -> str:
+    """Append the DEA check digit (test/fixture helper)."""
+    d = prefix_and_six[2:]
+    total = (
+        int(d[0]) + int(d[2]) + int(d[4])
+        + 2 * (int(d[1]) + int(d[3]) + int(d[5]))
+    )
+    return prefix_and_six + str(total % 10)

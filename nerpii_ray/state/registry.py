@@ -41,7 +41,12 @@ from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
-from nerpii_ray.functions.hashing import codice_fiscale_valid, iban_valid, luhn_valid
+from nerpii_ray.functions.hashing import (
+    codice_fiscale_valid,
+    dea_valid,
+    iban_valid,
+    luhn_valid,
+)
 from nerpii_ray.gazetteers import STREET_WORDS, detection_sets
 
 #: stage tags on emitted mentions
@@ -127,6 +132,14 @@ def default_pattern_specs() -> List[PatternSpec]:
             0.85,
         ),
         PatternSpec("IP_ADDRESS", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", 0.6),
+        # ITIN is a shape-subset of SSN (starts with 9, middle group in
+        # the IRS 70-88/90-92/94-99 ranges) — listed BEFORE US_SSN so the
+        # more specific entity wins at the same position
+        PatternSpec(
+            "US_ITIN",
+            r"\b9\d{2}-(?:7\d|8[0-8]|9[0-2]|9[4-9])-\d{4}\b",
+            0.85,
+        ),
         PatternSpec("US_SSN", r"\b\d{3}-\d{2}-\d{4}\b", 0.85),
         PatternSpec(
             "CREDIT_CARD",
@@ -170,8 +183,33 @@ def default_pattern_specs() -> List[PatternSpec]:
             r"\b(?:[13][a-km-zA-HJ-NP-Z1-9]{25,33}|bc1[a-z0-9]{25,39})\b",
             1.0,
         ),
+        PatternSpec(
+            # DEA registrant number (Presidio's MedicalLicenseRecognizer):
+            # registrant-type letter + initial letter + 7 digits with the
+            # DEA checksum as validator — random letter+digit runs fail
+            # with P=9/10, so no fallback entity
+            "MEDICAL_LICENSE",
+            r"\b[ABCDEFGHJKLMPRSTUX][A-Z]\d{7}\b",
+            1.0,
+            validator=lambda s: dea_valid(s),
+        ),
+        # Presidio IT-pack driver licence shape (2 letters, 7 digits,
+        # 1 letter); shape-only like the US variants, weak score
+        PatternSpec("IT_DRIVER_LICENSE", r"\b[A-Z]{2}\d{7}[A-Z]\b", 0.3),
         PatternSpec("US_PASSPORT", r"\b[A-Z]\d{8}\b", 0.4),
         PatternSpec("US_DRIVER_LICENSE", r"\b[A-Z]\d{7}\b", 0.3),
+        PatternSpec(
+            # partita IVA: 11 digits whose check digit IS the Luhn rule;
+            # listed before US_BANK_NUMBER (its shape superset) — a
+            # checksum-failing 11-digit run falls back to the weak bank-
+            # number entity instead of vanishing
+            "IT_VAT_CODE",
+            r"\b\d{11}\b",
+            1.0,
+            validator=lambda s: luhn_valid(s),
+            fallback_entity="US_BANK_NUMBER",
+            fallback_score=0.3,
+        ),
         # bare 8-12 digit runs: deliberately AFTER (and disjoint from)
         # CREDIT_CARD's 13-19 digit range; weak score like Presidio's
         PatternSpec("US_BANK_NUMBER", r"\b\d{8,12}\b", 0.3),

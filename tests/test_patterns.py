@@ -117,3 +117,46 @@ def test_engine_matches_oracle_on_new_entities(text):
     # compare the span-level mention sets
     got = [g for g in got if not g[0].startswith(("B-", "I-"))]
     assert got == want
+
+
+# -------------------------------------------- round-3 late catalog widening
+def test_itin_wins_over_ssn_shape():
+    # 9XX with IRS middle ranges → ITIN; ordinary SSN stays SSN
+    got = _scan_one("ITIN 912-83-1234 vs SSN 123-45-6789")
+    assert ("US_ITIN", "912-83-1234", 0.85) in got
+    assert ("US_SSN", "123-45-6789", 0.85) in got
+    assert not any(e == "US_SSN" and s == "912-83-1234" for e, s, _ in got)
+    # middle group 89/93 is NOT a valid ITIN range → plain SSN shape
+    got2 = _scan_one("call 989-89-1234")
+    assert any(e == "US_SSN" and s == "989-89-1234" for e, s, _ in got2)
+
+
+def test_dea_medical_license_checksum_gates_entity():
+    from nerpii_ray.functions.hashing import dea_complete, dea_valid
+
+    good = dea_complete("AB123456")  # AB1234563
+    assert dea_valid(good)
+    got = _scan_one(f"prescriber DEA {good} on file")
+    assert ("MEDICAL_LICENSE", good, 1.0) in got
+    # wrong check digit: no MEDICAL_LICENSE (and no fallback entity)
+    bad = good[:-1] + str((int(good[-1]) + 1) % 10)
+    got2 = _scan_one(f"prescriber DEA {bad} on file")
+    assert not any(e == "MEDICAL_LICENSE" for e, _, _ in got2)
+
+
+def test_it_vat_luhn_with_bank_fallback():
+    from nerpii_ray.functions.hashing import luhn_complete
+
+    good = luhn_complete("0074321505")  # 11-digit checksum-valid P.IVA
+    got = _scan_one(f"partita IVA {good} registered")
+    assert ("IT_VAT_CODE", good, 1.0) in got
+    # checksum-failing 11 digits → weak US_BANK_NUMBER fallback
+    bad = good[:-1] + str((int(good[-1]) + 1) % 10)
+    got2 = _scan_one(f"account {bad} on record")
+    assert ("US_BANK_NUMBER", bad, 0.3) in got2
+    assert not any(e == "IT_VAT_CODE" for e, _, _ in got2)
+
+
+def test_it_driver_license_shape():
+    got = _scan_one("patente MI1234567X rilasciata nel 2019")
+    assert ("IT_DRIVER_LICENSE", "MI1234567X", 0.3) in got
