@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-53 of 58 queries carry a SQL oracle — including the KG flagship (edges,
+54 of 59 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -1254,6 +1254,39 @@ _MM_FEATS = ",\n           ".join(
     f"CAST(('0x' || substr(h, {2 * i + 1}, 2)) AS INT) / 256.0 AS f{i}"
     for i in range(8)
 )
+
+
+@register(
+    "embedding_kmeans_assign",
+    """
+    WITH c AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 4)
+    ), d AS (
+      SELECT e.vec_id, c.cl,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.cvec AS DOUBLE[])),
+                          c.cl) AS pick
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM d WHERE pick = 1
+    """,
+)
+def embedding_kmeans_assign(sf_dir: str):
+    """Distributed k-means (stages/similarity.kmeans), oracled at its
+    deterministic core: nearest-centroid assignment against the k=4
+    smallest-id initial centroids (n_iter=0 — the update step's grouped
+    float means are accumulation-order-dependent and belong to pytest,
+    which pins convergence and self-consistency instead).  Ties break to
+    the smallest cluster on both sides (argmin / ORDER BY dist, cl)."""
+    from nerpii_ray.stages.similarity import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned, _ = kmeans(ds, k=4, n_iter=0)
+    return assigned
 
 
 @register(

@@ -237,3 +237,120 @@ def ivf_topk(
         batch_format="pandas",
     )
     return _topk_tree(local, k, id_col)
+
+
+def _assign_batch(b: pd.DataFrame, *, cents, vec_col, id_col) -> pd.DataFrame:
+    """Nearest-centroid assignment for one batch: squared-L2 in float64,
+    ties → smallest cluster index (argmin picks the first minimum — the
+    same rule the SQL twin's ORDER BY dist, cluster encodes)."""
+    import ray
+
+    c = _KM_CACHE.get(cents.hex()) if isinstance(cents, ray.ObjectRef) else cents
+    if c is None:
+        if len(_KM_CACHE) >= 8:
+            _KM_CACHE.pop(next(iter(_KM_CACHE)))
+        c = _KM_CACHE.setdefault(cents.hex(), ray.get(cents))
+    x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+    # direct (x-c)² per centroid (k vectorized passes, no n×k×d blob):
+    # float32 differences are EXACT in float64 and their squares fit 50
+    # bits, so this mirrors the SQL twin's list_distance arithmetic —
+    # the expanded x·x-2x·c+c·c form rounds differently and can flip
+    # near-tie argmins against the oracle
+    d2 = np.empty((len(x), len(c)), dtype=np.float64)
+    for j in range(len(c)):
+        d2[:, j] = ((x - c[j]) ** 2).sum(axis=1)
+    return pd.DataFrame(
+        {
+            id_col: b[id_col].astype("int64"),
+            "cluster": np.argmin(d2, axis=1).astype("int64"),
+        }
+    )
+
+
+_KM_CACHE: dict = {}
+
+
+def kmeans(
+    emb_ds,
+    k: int = 8,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means over an embedding column.
+
+    Deterministic by construction: initial centroids are the ``k``
+    vectors with the SMALLEST ids (found via a k-smallest merge tree, no
+    driver scan), each iteration broadcasts the k×d centroid matrix
+    (``ray.put`` once, per-worker cache) and runs one vectorized
+    assignment + per-cluster partial vector sums through the bounded-key
+    tree — the shuffle carries k rows per batch (cluster, Σvec, n),
+    never points.  The driver touches only k×d floats per iteration.
+
+    Returns ``(assignments_ds, centroids)``: a Dataset of
+    ``(id, cluster)`` from the FINAL assignment pass and the final
+    numpy centroid matrix.  At 100 TB each iteration is one streaming
+    pass; the cross-iteration state is kilobytes.
+    """
+    import ray
+
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    def k_smallest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="stable").head(k)
+
+    def pick_cols(b: pd.DataFrame) -> pd.DataFrame:
+        return k_smallest(b[[id_col, vec_col]])
+
+    init = tree_aggregate(emb_ds, pick_cols, k_smallest).to_pandas()
+    cents = np.stack(init.sort_values(id_col)[vec_col].to_numpy()).astype(
+        np.float64
+    )
+
+    def partial_sums(b: pd.DataFrame, *, cents) -> pd.DataFrame:
+        a = _assign_batch(b, cents=cents, vec_col=vec_col, id_col=id_col)
+        x = np.stack(b[vec_col].to_numpy()).astype(np.float64)
+        out = []
+        for cl in np.unique(a["cluster"].to_numpy()):
+            m = (a["cluster"] == cl).to_numpy()
+            out.append((int(cl), x[m].sum(axis=0), int(m.sum())))
+        return pd.DataFrame(
+            {"cluster": [o[0] for o in out],
+             "vsum": [o[1] for o in out],
+             "n": [o[2] for o in out]}
+        )
+
+    def merge_sums(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        g = df.groupby("cluster", sort=True, observed=True)
+        return pd.DataFrame(
+            {"cluster": list(g.groups),
+             "vsum": [np.sum(np.stack(s.to_numpy()), axis=0)
+                      for _, s in g["vsum"]],
+             "n": g["n"].sum().to_numpy()}
+        )
+
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+        sums = tree_aggregate(
+            emb_ds,
+            lambda b, _r=ref: partial_sums(b, cents=_r),
+            merge_sums,
+        ).to_pandas()  # k rows — groups-sized by construction
+        new = cents.copy()
+        for cl, vs, n in zip(sums["cluster"], sums["vsum"], sums["n"]):
+            if n > 0:
+                new[int(cl)] = np.asarray(vs, dtype=np.float64) / n
+        if np.allclose(new, cents, rtol=0, atol=0):
+            cents = new
+            break
+        cents = new
+
+    ref = ray.put(cents)
+    assigned = emb_ds.map_batches(
+        _assign_batch,
+        fn_kwargs=dict(cents=ref, vec_col=vec_col, id_col=id_col),
+        batch_format="pandas",
+    )
+    return assigned, cents

@@ -983,3 +983,34 @@ def test_connected_components_small_and_scale_paths():
     )
     assert out.count() == 0
     assert [str(n) for n in out.schema().names] == ["node", "component"]
+
+
+def test_kmeans_converges_and_is_self_consistent():
+    from nerpii_ray.stages.similarity import _assign_batch, kmeans
+
+    rng = np.random.default_rng(21)
+    # 3 well-separated blobs in 8-d
+    centers = rng.normal(0, 10, (3, 8))
+    X = np.concatenate(
+        [centers[i] + rng.normal(0, 0.5, (60, 8)) for i in range(3)]
+    ).astype(np.float32)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(180, dtype="int64"), "embedding": list(X)}
+    )
+    ds = rd.from_pandas(df)
+    assigned, cents = kmeans(ds, k=3, n_iter=10)
+    a = assigned.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # blob purity: every true blob maps to exactly one cluster
+    truth = np.repeat([0, 1, 2], 60)
+    for t in range(3):
+        assert a.loc[truth == t, "cluster"].nunique() == 1
+    assert a["cluster"].nunique() == 3
+    # self-consistency: final assignment IS nearest final centroid
+    direct = _assign_batch(df, cents=cents, vec_col="embedding",
+                           id_col="vec_id")
+    assert (direct["cluster"].to_numpy() == a["cluster"].to_numpy()).all()
+    # determinism across runs
+    a2 = kmeans(ds, k=3, n_iter=10)[0].to_pandas().sort_values(
+        "vec_id"
+    ).reset_index(drop=True)
+    assert a.equals(a2)
