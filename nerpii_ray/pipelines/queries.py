@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-54 of 59 queries carry a SQL oracle — including the KG flagship (edges,
+55 of 60 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -929,6 +929,98 @@ def _langid_sql() -> str:
            END AS pred_lang
     FROM s
     """
+
+
+def _corpus_clean_sql() -> str:
+    """SQL twin of the COMPOSED cleaning pipeline (corpus_clean): exact
+    dedup (keep min id per fingerprint) ∧ quality gate ∧ pred_lang='en',
+    then tag-mode redaction.  Every predicate is generated from the same
+    engine constants as its standalone twin (STOPWORDS, DOC_GAZETTEER),
+    so the composition cannot drift from the pieces."""
+    from nerpii_ray.gazetteers import STOPWORDS
+
+    stops = ",".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    hit_cols = []
+    for lang in _LANGID_LANGS:
+        words = ",".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        hit_cols.append(
+            f"length(list_filter(atoks, x -> list_contains([{words}], x))) AS {lang}"
+        )
+    branches = []
+    for lang in _LANGID_LANGS:
+        cond = " AND ".join(f"{lang} >= {o}" for o in _LANGID_LANGS if o != lang)
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    org = "|".join(DOC_GAZETTEER["ORGANIZATION"])
+    person = "|".join(DOC_GAZETTEER["PERSON"])
+    loc = "|".join(DOC_GAZETTEER["LOCATION"])
+    return rf"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS fp
+      FROM documents
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp
+    ), t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+                         x -> x <> '') AS toks,
+             regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS atoks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, text, toks, {", ".join(hit_cols)} FROM t
+    ), flt AS (
+      SELECT doc_id, text FROM s
+      WHERE (length(toks) BETWEEN 5 AND 5000)
+        AND length(list_filter(toks, x -> list_contains([{stops}], x))) >= 1
+        AND (CASE WHEN greatest({", ".join(_LANGID_LANGS)}) = 0 THEN 'und'
+                  {" ".join(branches)} END) = 'en'
+    )
+    SELECT f.doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(coalesce(f.text, ''),
+                 '\b({org})\b', '[ORGANIZATION]', 'g'),
+               '\b({person})\b', '[PERSON]', 'g'),
+             '\b({loc})\b', '[LOCATION]', 'g') AS redacted
+    FROM flt f JOIN keep k USING (doc_id)
+    """
+
+
+@register("corpus_clean", _corpus_clean_sql())
+def corpus_clean(sf_dir: str):
+    """The COMPOSED training-data cleaning pipeline, one streaming pass
+    per stage: exact dedup (distributed min-id-per-fingerprint) semi-
+    joins the enriched stream, which computes quality + language + tag
+    redaction in a single map over each batch and filters to quality
+    English docs.  Demonstrates that the engine's operators compose —
+    the SQL twin is generated from the SAME constants as each
+    standalone piece."""
+    from nerpii_ray.stages.dedup import exact_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+    from nerpii_ray.stages.textstats import add_quality, langid_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept_ids = exact_dedup(docs).map_batches(
+        lambda b: b[["doc_id"]].astype({"doc_id": "int64"}),
+        batch_format="pandas",
+    )
+
+    def enrich(b: pd.DataFrame) -> pd.DataFrame:
+        q = add_quality(pa.Table.from_pandas(b, preserve_index=False))
+        ok = q.column("is_quality").to_numpy(zero_copy_only=False)
+        lang = langid_batch(b)["pred_lang"].to_numpy()
+        keep = ok & (lang == "en")
+        b = b.loc[keep]
+        s = b["text"].fillna("")
+        for ent in ("ORGANIZATION", "PERSON", "LOCATION"):
+            pat = r"\b(" + "|".join(DOC_GAZETTEER[ent]) + r")\b"
+            s = s.str.replace(pat, f"[{ent}]", regex=True)
+        return pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "redacted": s}
+        )
+
+    cleaned = docs.map_batches(enrich, batch_format="pandas")
+    return partitioned_hash_join(cleaned, kept_ids, on=["doc_id"])
 
 
 @register("doc_langid", _langid_sql())
