@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-55 of 60 queries carry a SQL oracle — including the KG flagship (edges,
+56 of 61 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -2146,6 +2146,39 @@ def top_orders_per_segment(sf_dir: str):
 # Ordered / windowed relational operators (beyond-reference: as-of join,
 # partitioned window functions, sliding time windows, exact quantiles)
 # =====================================================================
+
+
+@register(
+    "events_session_table",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS s_start,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS s_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_table(sf_dir: str):
+    """Per-session rows (stages/window.session_table): the mergeable
+    interval tree's output exposed directly — one row per session with
+    µs bounds and event count; the SQL twin rebuilds sessions with the
+    LAG-gap / running-break-count window idiom."""
+    from nerpii_ray.stages.window import session_table
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_table(ds, gap_sec=1800)
 
 
 @register(

@@ -69,12 +69,40 @@ def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
     compare in integer MICROSECONDS (flooring to seconds would disagree
     with the SQL oracle's ``epoch_us`` at exact-gap boundaries).
     """
-    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.agg import grouped_sum
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(user_col, sort=False)
+            .agg(n_sessions=("s_start", "size"), n_events=("n_events", "sum"))
+            .reset_index()
+        )
+        return out.astype({"n_sessions": "int64", "n_events": "int64"})
+
+    # the interval merge is user-local and associative, so it is a valid
+    # per-key-range merge for the exchange finish; the interval rows a
+    # bucket actor accumulates are exactly its users' sessions
+    intervals = _session_intervals(events_ds, gap_sec, user_col)
+    return grouped_sum(
+        intervals, [user_col], ["n_sessions", "n_events"],
+        partial_fn=count_partial,
+    )
+
+
+def _session_intervals(events_ds, gap_sec: int, user_col: str):
+    """The shared mergeable-interval tree under ``sessionize`` and
+    ``session_table``: each batch locally sessionizes into
+    (user, s_start, s_end, n_events) rows; merging partials re-applies
+    the gap rule, which is associative — the shuffle carries one row
+    per LOCAL session, never per event."""
+    from nerpii_ray.stages.agg import tree_aggregate
 
     gap_us = gap_sec * 1_000_000
 
-    def _merge_intervals(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([user_col, "s_start"], kind="stable").reset_index(drop=True)
+    def merge_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([user_col, "s_start"], kind="stable").reset_index(
+            drop=True
+        )
         end_cummax = df.groupby(user_col, sort=False)["s_end"].cummax()
         prev_end = end_cummax.shift()
         first_of_user = df[user_col] != df[user_col].shift()
@@ -97,25 +125,22 @@ def sessionize(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
         df = pd.DataFrame(
             {user_col: b[user_col], "s_start": ts, "s_end": ts, "n_events": 1}
         )
-        return _merge_intervals(df)
+        return merge_intervals(df)
 
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            df.groupby(user_col, sort=False)
-            .agg(n_sessions=("s_start", "size"), n_events=("n_events", "sum"))
-            .reset_index()
-        )
-        return out.astype({"n_sessions": "int64", "n_events": "int64"})
+    return tree_aggregate(events_ds, partial, merge_intervals, keys=[user_col])
 
-    # _merge_intervals is user-local and associative, so it is a valid
-    # per-key-range merge for the exchange finish; the interval rows a
-    # bucket actor accumulates are exactly its users' sessions
-    intervals = tree_aggregate(
-        events_ds, partial, _merge_intervals, keys=[user_col]
-    )
-    return grouped_sum(
-        intervals, [user_col], ["n_sessions", "n_events"],
-        partial_fn=count_partial,
+
+def session_table(events_ds, gap_sec: int = 1800, user_col: str = "user_id"):
+    """One row PER SESSION: (user_id, s_start µs, s_end µs, n_events) —
+    the interval table ``sessionize`` reduces to per-user counts,
+    exposed directly.  The SQL twin is the LAG-gap / running-break-count
+    window form."""
+    return _session_intervals(events_ds, gap_sec, user_col).map_batches(
+        lambda b: b.astype(
+            {user_col: "int64", "s_start": "int64", "s_end": "int64",
+             "n_events": "int64"}
+        ),
+        batch_format="pandas",
     )
 
 
