@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-56 of 61 queries carry a SQL oracle — including the KG flagship (edges,
+57 of 62 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -2146,6 +2146,57 @@ def top_orders_per_segment(sf_dir: str):
 # Ordered / windowed relational operators (beyond-reference: as-of join,
 # partitioned window functions, sliding time windows, exact quantiles)
 # =====================================================================
+
+
+@register(
+    "lineitem_price_moments",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+                 AS cents
+      FROM lineitem
+    ), a AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(cents) AS s1, SUM(cents * cents) AS s2
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+           CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)
+               AS var_pop
+    FROM a
+    """,
+)
+def lineitem_price_moments(sf_dir: str):
+    """Mergeable moments (stages/agg.grouped_moments): COUNT / MEAN /
+    VAR_POP per group with exact arbitrary-precision integer partials —
+    the double result comes from ONE division of exact integers on both
+    sides (n·Σx² − (Σx)² over n², HUGEINT in the twin), so the hash
+    match is bit-stable where a float-partials Welford would drift with
+    merge order."""
+    from nerpii_ray.stages.agg import grouped_moments
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def cents_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame({"l_returnflag": b["l_returnflag"]})
+        df["n"] = 1
+        # Python-int exact sums: an int64 Σx² overflows within one batch
+        df["s1"] = [int(x) for x in v]
+        df["s2"] = [int(x) * int(x) for x in v]
+        return (
+            df.groupby("l_returnflag", sort=False, observed=True)[
+                ["n", "s1", "s2"]
+            ]
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_moments(
+        ds, ["l_returnflag"], "cents", partial_fn=cents_partial
+    )
 
 
 @register(

@@ -448,3 +448,70 @@ def grouped_sorted_concat(
         return out
 
     return tree_aggregate(ds, keep, keep, final_fn=finish)
+
+
+def grouped_moments(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    partial_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    """Mergeable first/second moments per group — COUNT, MEAN, VAR_POP —
+    with EXACT integer accumulation: the combiner state per group is
+    (n, Σx, Σx²) carried as arbitrary-precision Python ints (an int64
+    Σx² overflows at ~10⁵ rows of 10⁷-cent values), so merge order
+    cannot perturb anything.  The floating-point result is produced by
+    ONE double division at the very end from exact integer numerators —
+    var = (n·Σx² − (Σx)²) / n², mean = Σx / n — which is the same single
+    IEEE rounding DuckDB's ``CAST(exact AS DOUBLE) / CAST(exact AS
+    DOUBLE)`` performs, so the oracle match is bit-stable (a naive
+    float-partials Welford would differ per merge order).
+
+    ``value_col`` must be integer-valued (cents, counts, day numbers);
+    derive it in ``partial_fn``.  Output: keys…, n (BIGINT),
+    mean (DOUBLE), var_pop (DOUBLE).
+    """
+    keys = list(keys)
+
+    def default_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col]
+        df = pd.DataFrame({**{k: b[k] for k in keys}})
+        # object dtype: Python-int exact sums from here on
+        df["n"] = 1
+        df["s1"] = v.map(int)
+        df["s2"] = v.map(lambda x: int(x) * int(x))
+        return (
+            df.groupby(keys, sort=False, observed=True)[["n", "s1", "s2"]]
+            .sum()
+            .reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(keys, sort=False, observed=True)[["n", "s1", "s2"]]
+            .sum()
+            .reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = {k: pd.Series(dtype="object") for k in keys}
+            cols.update(n=pd.Series(dtype="int64"),
+                        mean=pd.Series(dtype="float64"),
+                        var_pop=pd.Series(dtype="float64"))
+            return pd.DataFrame(cols)
+        n = df["n"].map(int)
+        s1 = df["s1"].map(int)
+        s2 = df["s2"].map(int)
+        out = df[keys].copy()
+        out["n"] = n.astype("int64")
+        out["mean"] = [float(a) / float(b) for a, b in zip(s1, n)]
+        out["var_pop"] = [
+            float(c * b - a * a) / float(c * c)
+            for a, b, c in zip(s1, s2, n)
+        ]
+        return out.reset_index(drop=True)
+
+    return tree_aggregate(
+        ds, partial_fn or default_partial, merge, final_fn=finish
+    )
