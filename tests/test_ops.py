@@ -1014,3 +1014,39 @@ def test_kmeans_converges_and_is_self_consistent():
         "vec_id"
     ).reset_index(drop=True)
     assert a.equals(a2)
+
+
+def test_quantile_sketch_paths_agree():
+    """grouped_quantile_sketch small-root vs forced-exchange finish must
+    emit identical rows (group-complete blocks on both paths)."""
+    import nerpii_ray.stages.agg as agg
+    from nerpii_ray.stages.agg import grouped_quantile_sketch
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, 4000),
+            "v": rng.integers(0, 10_000, 4000).astype("int64"),
+            "rid": np.arange(4000),
+        }
+    )
+
+    def run():
+        return (
+            grouped_quantile_sketch(
+                rd.from_pandas(df), ["g"], "v", "rid", [0.5, 0.99],
+                ["p50", "p99"], k=128,
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+
+    want = run()
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1
+    try:
+        got = run()
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    pd.testing.assert_frame_equal(want, got, check_dtype=False)
