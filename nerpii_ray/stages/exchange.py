@@ -128,9 +128,18 @@ class _BucketAggregator:
         if frames:
             self.state = self.merge_fn(pd.concat(frames, ignore_index=True))
 
+    def has_data(self) -> bool:
+        return self.state is not None or bool(self.pending)
+
     def finish(self) -> pa.Table:
         self._fold()
-        out = self.state if self.state is not None else pd.DataFrame()
+        if self.state is None:
+            # nothing ever routed here: do NOT call finish_fn on a
+            # column-less frame (kernels index their columns and would
+            # KeyError; a names=[] block also pollutes downstream
+            # schemas) — the caller filters this bucket out
+            return pa.Table.from_pandas(pd.DataFrame(), preserve_index=False)
+        out = self.state
         if self.finish_fn is not None:
             out = self.finish_fn(out)
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -188,7 +197,13 @@ def hash_exchange_aggregate(
 
     # drive the feed; count() forces full consumption
     ds.map_batches(feeder, batch_format="pandas", batch_size=batch_size).count()
-    refs = [a.finish.remote() for a in actors]
+    # skip buckets that never received a row — their finish would be a
+    # column-less block (crashes column-indexing kernels downstream)
+    fed = ray.get([a.has_data.remote() for a in actors])
+    live = [a for a, f in zip(actors, fed) if f]
+    if not live:
+        live = actors[:1]  # all-empty input: one empty block, stable path
+    refs = [a.finish.remote() for a in live]
     if as_dataset:
         # wait for completion WITHOUT fetching to the driver; the block
         # objects are owned by the driver and outlive the actors, which

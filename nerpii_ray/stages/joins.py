@@ -105,6 +105,7 @@ def partitioned_hash_join(
     on: Sequence[str],
     num_buckets: int | None = None,
     how: str = "inner",
+    path: str = "auto",
 ):
     """Explicit bucketed hash join for two large Datasets.
 
@@ -138,7 +139,7 @@ def partitioned_hash_join(
 
     from nerpii_ray.stages.colocate import keyed_partition_apply
 
-    return keyed_partition_apply(both, on, merge_bucket, num_buckets)
+    return keyed_partition_apply(both, on, merge_bucket, num_buckets, path)
 
 
 def asof_join(
@@ -149,6 +150,7 @@ def asof_join(
     num_buckets: int | None = None,
     strict: bool = False,
     suffix: str = "_r",
+    path: str = "auto",
 ):
     """Backward as-of join: each left row picks the right row of the same
     ``key`` with the greatest ``ts`` ≤ (or < when ``strict``) its own,
@@ -233,7 +235,7 @@ def asof_join(
 
     from nerpii_ray.stages.colocate import keyed_partition_apply
 
-    return keyed_partition_apply(both, [key], merge_bucket, num_buckets)
+    return keyed_partition_apply(both, [key], merge_bucket, num_buckets, path)
 
 
 def interval_join(
@@ -247,6 +249,7 @@ def interval_join(
     num_buckets: int | None = None,
     how: str = "inner",
     suffix: str = "_r",
+    path: str = "auto",
 ):
     """Range-containment join: each point row matches every interval row
     with ``lo ≤ ts ≤ hi`` — and the same ``key`` when one is given.
@@ -377,4 +380,4 @@ def interval_join(
 
     from nerpii_ray.stages.colocate import keyed_partition_apply
 
-    return keyed_partition_apply(both, on_cols, merge_bucket, num_buckets)
+    return keyed_partition_apply(both, on_cols, merge_bucket, num_buckets, path)

@@ -152,6 +152,7 @@ def rolling_time_count(
     id_col: str = "event_id",
     out_col: str = "n_window",
     num_buckets: int | None = None,
+    path: str = "auto",
 ):
     """Sliding time window: for every event, the count of same-key events
     with ``ts`` in ``[ts - window, ts]`` — SQL's ``COUNT(*) OVER
@@ -185,7 +186,7 @@ def rolling_time_count(
             )
         return pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: n})
 
-    return keyed_partition_apply(events_ds, [user_col], kernel, num_buckets)
+    return keyed_partition_apply(events_ds, [user_col], kernel, num_buckets, path)
 
 
 def running_order_stats(
@@ -195,6 +196,7 @@ def running_order_stats(
     id_col: str = "o_orderkey",
     price_col: str = "o_totalprice",
     num_buckets: int | None = None,
+    path: str = "auto",
 ):
     """Per-key ordered window functions over the orders stream: sequence
     number (ROW_NUMBER), running money total (SUM OVER), and whole-day
@@ -226,4 +228,4 @@ def running_order_stats(
             }
         )
 
-    return keyed_partition_apply(orders_ds, [key_col], kernel, num_buckets)
+    return keyed_partition_apply(orders_ds, [key_col], kernel, num_buckets, path)

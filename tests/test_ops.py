@@ -1050,3 +1050,26 @@ def test_quantile_sketch_paths_agree():
     finally:
         agg.ROOT_THRESHOLD_DEFAULT = old
     pd.testing.assert_frame_equal(want, got, check_dtype=False)
+
+
+def test_explicit_exchange_path_matches_auto():
+    """path='exchange' (no materialize, stream straight into the keyed
+    exchange — the a-priori-large-input form) must equal auto."""
+    from nerpii_ray.stages.window import rolling_time_count
+
+    rng = np.random.default_rng(9)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(300, dtype="int64"),
+            "user_id": rng.integers(0, 9, 300),
+            "ts": pd.to_datetime("2021-06-01")
+            + pd.to_timedelta(rng.integers(0, 7200, 300), unit="s"),
+        }
+    )
+    ds = rd.from_pandas(ev)
+    auto = rolling_time_count(ds, window_sec=900).to_pandas().sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+    ex = rolling_time_count(ds, window_sec=900, path="exchange").to_pandas(
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(auto, ex)
