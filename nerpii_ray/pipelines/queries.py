@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-57 of 62 queries carry a SQL oracle — including the KG flagship (edges,
+59 of 64 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -841,6 +841,64 @@ def doc_token_counts(sf_dir: str):
         lambda b: add_token_counts(b).select(["doc_id", "n_tokens"]),
         batch_format="pyarrow",
     )
+
+
+@register(
+    "doc_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(coalesce(text, ''),
+                '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def doc_bpe_token_counts(sf_dir: str):
+    """BPE-ish pretokenizer counts (stages/textstats.add_bpe_token_counts)
+    — GPT-2-style pattern kept lookahead-free so Python re and DuckDB
+    RE2 tokenize identically (verified token-list parity, not just
+    counts)."""
+    from nerpii_ray.stages.textstats import add_bpe_token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_bpe_token_counts, batch_format="pandas")
+
+
+@register(
+    "doc_winnow_fingerprints",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 5 + 2),
+               i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 5)),
+                          1, 16)) AS UBIGINT)) AS hs
+      FROM n WHERE len(t) >= 5
+    ), sel AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+               i -> list_min(hs[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS fps
+      FROM h WHERE len(hs) >= 4
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(len(s.fps), 0) AS BIGINT) AS n_fps,
+           CAST(coalesce(list_min(s.fps), 0) AS VARCHAR) AS fp_min
+    FROM documents d LEFT JOIN sel s USING (doc_id)
+    """,
+)
+def doc_winnow_fingerprints(sf_dir: str):
+    """Winnowing (rolling-window) fingerprints
+    (stages/textstats.add_winnow_fingerprints, k=5 char-grams, w=4
+    windows): the SQL twin replays gram hashing, window minima and the
+    distinct selection exactly — fingerprint counts and the minimum
+    print match per document."""
+    from nerpii_ray.stages.textstats import add_winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_winnow_fingerprints, batch_format="pandas")
 
 
 @register(

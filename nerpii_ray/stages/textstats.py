@@ -139,3 +139,86 @@ def text_stats_pipeline(docs_ds, text_col: str = "text", batch_size: int = 8192)
         batch_format="pandas",
         batch_size=batch_size,
     )
+
+
+#: GPT-2-STYLE pretokenizer, lookahead-free so Python re and DuckDB RE2
+#: tokenize IDENTICALLY (the original BPE pattern's \s+(?!\S) lookahead
+#: doesn't exist in RE2): contractions, space-prefixed letter runs,
+#: digit runs, punctuation runs, whitespace runs.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+)
+
+
+def add_bpe_token_counts(batch: pd.DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> pd.DataFrame:
+    """+ n_bpe_tokens: BPE-ish pretokenizer token count per document —
+    the subword-adjacent budget estimate a training pipeline tracks next
+    to the whitespace count.  One vectorized ``str.count`` per batch;
+    the SQL twin is ``length(regexp_extract_all(text, pattern))``."""
+    s = batch[text_col].fillna("")
+    return pd.DataFrame(
+        {
+            id_col: batch[id_col].astype("int64"),
+            "n_bpe_tokens": s.str.count(BPE_TOKEN_PATTERN).astype("int64"),
+        }
+    )
+
+
+def add_winnow_fingerprints(
+    batch: pd.DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): hash every character k-gram of the whitespace-normalized
+    lowercased text, slide a w-window over the hash sequence, keep each
+    window's MINIMUM — the classic rolling-window fingerprint selection
+    that guarantees any shared substring of length ≥ w+k−1 contributes a
+    shared fingerprint.  Gram hash = first 8 md5 bytes (stable across
+    processes AND replayable in SQL, same convention as minhash token
+    ids).  Docs shorter than k chars, or with fewer than w grams, carry
+    no fingerprint (n_fps = 0).
+
+    Output per doc: ``n_fps`` (distinct selected hashes, BIGINT) and
+    ``fp_min`` (smallest selected hash as decimal string — UBIGINT is
+    not hash-comparable through the driver's pandas path).
+    """
+    import hashlib
+
+    ids, n_fps, fp_min = [], [], []
+    for did, text in zip(batch[id_col], batch[text_col].fillna("")):
+        t = re.sub(r"\s+", " ", text).strip().lower()
+        ids.append(did)
+        if len(t) < k:
+            n_fps.append(0)
+            fp_min.append("0")
+            continue
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(t[i : i + k].encode("utf-8")).digest()[:8],
+                    "big",
+                )
+                for i in range(len(t) - k + 1)
+            ),
+            dtype=np.uint64,
+            count=len(t) - k + 1,
+        )
+        if len(hs) < w:
+            n_fps.append(0)
+            fp_min.append("0")
+            continue
+        mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+        sel = np.unique(mins)
+        n_fps.append(int(len(sel)))
+        fp_min.append(str(int(sel.min())))
+    return pd.DataFrame(
+        {
+            id_col: pd.Series(ids).astype("int64"),
+            "n_fps": pd.Series(n_fps, dtype="int64"),
+            "fp_min": pd.Series(fp_min, dtype="object"),
+        }
+    )

@@ -1073,3 +1073,33 @@ def test_explicit_exchange_path_matches_auto():
     ex = rolling_time_count(ds, window_sec=900, path="exchange").to_pandas(
     ).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(auto, ex)
+
+
+def test_winnow_fingerprints_guarantee_and_edges():
+    """Winnowing property: two docs sharing a substring of length
+    >= w+k-1 (= 8 chars here) share at least one selected fingerprint;
+    sub-k and sub-w docs carry none."""
+    from nerpii_ray.stages.textstats import add_winnow_fingerprints
+    import hashlib
+
+    shared = "abcdefghij"  # 10 chars >= w+k-1
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [f"xxx {shared} yyy", f"zz{shared}qq", "ab", "abcde"],
+        }
+    )
+    out = add_winnow_fingerprints(df).set_index("doc_id")
+
+    def selected(text):
+        t = " ".join(text.split()).lower()
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(t[i:i+5].encode()).digest()[:8], "big")
+             for i in range(len(t) - 4)), dtype=np.uint64)
+        return set(np.lib.stride_tricks.sliding_window_view(hs, 4).min(axis=1))
+
+    a, b = selected(df["text"][0]), selected(df["text"][1])
+    assert a & b, "shared 10-char substring must share a fingerprint"
+    assert out.loc[0, "n_fps"] == len(selected(df["text"][0]))
+    assert out.loc[2, "n_fps"] == 0 and out.loc[2, "fp_min"] == "0"  # < k
+    assert out.loc[3, "n_fps"] == 0  # k grams exist but fewer than w
