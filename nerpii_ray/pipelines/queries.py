@@ -16,7 +16,7 @@ embeddings``).  Design rules for hash-stable comparison:
   document-domain gazetteer of words that actually occur (the recognizer
   semantics are what's under test, not the vocabulary).
 
-59 of 64 queries carry a SQL oracle — including the KG flagship (edges,
+60 of 65 queries carry a SQL oracle — including the KG flagship (edges,
 node core, assignments, gender enrichment, replayed over side parquets
 the queries write) and the bit-exact SimHash.  The 5 rows-only entries
 are each non-SQL-expressible for a stated reason: doc_minhash_pairs
@@ -797,6 +797,68 @@ def doc_edges(sf_dir: str):
     from nerpii_ray.stages.agg import tree_dedup
 
     return tree_dedup(ds, keys=["subj_id", "obj_id", "doc_id"], partial_fn=edges)
+
+
+@register(
+    "doc_edge_degree_topk",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT
+          substr(md5('SOURCE:' || source), 1, 16) AS subj_id,
+          substr(md5(entity || ':' || lower(surface)), 1, 16) AS obj_id,
+          doc_id
+      FROM ({_DOC_MENTIONS_SQL_PARTS})
+    ), nodes AS (
+      SELECT subj_id AS node_id FROM e
+      UNION ALL SELECT obj_id FROM e
+    )
+    SELECT node_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM nodes GROUP BY node_id
+    ORDER BY degree DESC, node_id LIMIT 10
+    """,
+)
+def doc_edge_degree_topk(sf_dir: str):
+    """Graph analysis over the document graph: top-10 hub nodes by
+    (multi-)degree.  Two phases, both scale-safe: (1) COMPLETE the
+    grouped degree count through the cardinality-aware tree — an
+    additive count must fully combine before any cut (a hub's degree can
+    be split thin across blocks, so a pre-combine top-k cut would drop
+    it); (2) a top-k cut tree over the now-complete (node, degree) rows
+    — cutting complete rows is safe, and the driver sees k rows, never
+    the node-degree table.  Ties break on node_id on both sides."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+
+    edges = doc_edges(sf_dir)
+
+    def degree_partial(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat(
+            [b["subj_id"], b["obj_id"]], ignore_index=True
+        ).rename("node_id")
+        return (
+            nodes.to_frame()
+            .groupby("node_id", sort=False)
+            .size()
+            .rename("degree")
+            .reset_index()
+        )
+
+    degrees = grouped_sum(
+        edges, ["node_id"], ["degree"], partial_fn=degree_partial
+    )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["degree", "node_id"], ascending=[False, True], kind="stable"
+        ).head(10)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            topk(df)[["node_id", "degree"]]
+            .astype({"degree": "int64"})
+            .reset_index(drop=True)
+        )
+
+    return tree_aggregate(degrees, topk, topk, final_fn=finalize)
 
 
 @register(
