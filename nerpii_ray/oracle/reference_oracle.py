@@ -62,18 +62,47 @@ def _oracle_cf_ok(s: str) -> bool:
     return s[15] == chr(65 + total % 26)
 
 
+def _oracle_dea_ok(s: str) -> bool:
+    """Independent DEA registrant checksum: zip-weighted (1,2,1,2,1,2)
+    digit fold (the engine sums odd/even position groups; same rule,
+    different arithmetic shape)."""
+    d = s[2:]
+    if len(s) != 9 or not (s[:2].isalpha() and d.isdigit()):
+        return False
+    total = sum(int(c) * w for c, w in zip(d[:6], (1, 2, 1, 2, 1, 2)))
+    return total % 10 == int(d[6])
+
+
+def _oracle_mod10_ok(s: str) -> bool:
+    """Independent Luhn for the 11-digit partita IVA: double every
+    second digit from the right via divmod carry-fold (no length gate —
+    the pattern fixes the shape)."""
+    total = 0
+    for i, ch in enumerate(reversed(s)):
+        v = int(ch)
+        if i % 2 == 1:
+            v = sum(divmod(2 * v, 10))
+        total += v
+    return total % 10 == 0
+
+
 _PATTERNS = [
     # (entity, regex, score) in engine priority order
     ("EMAIL_ADDRESS", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", 1.0),
     ("URL", r"(?:https?://|www\.)[A-Za-z0-9.\-]+\.[A-Za-z]{2,}(?:/[^\s]*)?", 0.85),
     ("IP_ADDRESS", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", 0.6),
+    # ITIN before SSN: more specific entity wins at the same position
+    ("US_ITIN", r"\b9\d{2}-(?:7\d|8[0-8]|9[0-2]|9[4-9])-\d{4}\b", 0.85),
     ("US_SSN", r"\b\d{3}-\d{2}-\d{4}\b", 0.85),
     ("CREDIT_CARD", r"\b\d(?:[ \-]?\d){12,18}\b", 1.0),
     ("IBAN_CODE", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", 1.0),
     ("IT_FISCAL_CODE", r"\b[A-Z]{6}\d{2}[ABCDEHLMPRST]\d{2}[A-Z]\d{3}[A-Z]\b", 1.0),
     ("CRYPTO", r"\b(?:[13][a-km-zA-HJ-NP-Z1-9]{25,33}|bc1[a-z0-9]{25,39})\b", 1.0),
+    ("MEDICAL_LICENSE", r"\b[ABCDEFGHJKLMPRSTUX][A-Z]\d{7}\b", 1.0),
+    ("IT_DRIVER_LICENSE", r"\b[A-Z]{2}\d{7}[A-Z]\b", 0.3),
     ("US_PASSPORT", r"\b[A-Z]\d{8}\b", 0.4),
     ("US_DRIVER_LICENSE", r"\b[A-Z]\d{7}\b", 0.3),
+    ("IT_VAT_CODE", r"\b\d{11}\b", 1.0),
     ("US_BANK_NUMBER", r"\b\d{8,12}\b", 0.3),
     (
         "DATE_TIME",
@@ -153,6 +182,14 @@ def oracle_mentions(text: str | None) -> list[dict]:
             # invalid checksum: the engine's alternation still CONSUMES
             # the span (no emission, no re-matching inside it)
             emit = _oracle_iban_ok(surf)
+        elif ent == "MEDICAL_LICENSE":
+            # DEA checksum, no fallback entity: invalid consumes the span
+            emit = _oracle_dea_ok(surf)
+        elif ent == "IT_VAT_CODE":
+            # partita IVA check digit IS the Luhn rule; a failing
+            # 11-digit run falls back to the weak bank-number entity
+            if not _oracle_mod10_ok(surf):
+                ent, score = "US_BANK_NUMBER", 0.3
         elif ent == "IT_FISCAL_CODE":
             if not _oracle_cf_ok(surf):
                 score = 0.5  # shape-valid, checksum failed

@@ -2302,10 +2302,15 @@ def lineitem_price_moments(sf_dir: str):
     def cents_partial(b: pd.DataFrame) -> pd.DataFrame:
         v = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
         df = pd.DataFrame({"l_returnflag": b["l_returnflag"]})
-        df["n"] = 1
-        # Python-int exact sums: an int64 Σx² overflows within one batch
-        df["s1"] = [int(x) for x in v]
-        df["s2"] = [int(x) * int(x) for x in v]
+        # GENUINE object dtype: a bare list assignment is inferred int64
+        # and Σx² silently wraps past 2^63 at realistic scale factors
+        df["n"] = pd.Series([1] * len(df), index=df.index, dtype="object")
+        df["s1"] = pd.Series(
+            [int(x) for x in v], index=df.index, dtype="object"
+        )
+        df["s2"] = pd.Series(
+            [int(x) * int(x) for x in v], index=df.index, dtype="object"
+        )
         return (
             df.groupby("l_returnflag", sort=False, observed=True)[
                 ["n", "s1", "s2"]

@@ -476,10 +476,18 @@ def grouped_moments(
     def default_partial(b: pd.DataFrame) -> pd.DataFrame:
         v = b[value_col]
         df = pd.DataFrame({**{k: b[k] for k in keys}})
-        # object dtype: Python-int exact sums from here on
-        df["n"] = 1
-        df["s1"] = v.map(int)
-        df["s2"] = v.map(lambda x: int(x) * int(x))
+        # GENUINE object dtype (not int64): pandas then sums with Python
+        # big-ints inside groupby().sum().  A `.map(int)` column is
+        # inferred int64 and a group's Σx² silently wraps past 2^63
+        # (~1e5 rows of 1e7-cent values — reached by lineitem at sf1)
+        # while the HUGEINT SQL twin stays exact.
+        df["n"] = pd.Series([1] * len(df), index=df.index, dtype="object")
+        df["s1"] = pd.Series(
+            [int(x) for x in v], index=df.index, dtype="object"
+        )
+        df["s2"] = pd.Series(
+            [int(x) * int(x) for x in v], index=df.index, dtype="object"
+        )
         return (
             df.groupby(keys, sort=False, observed=True)[["n", "s1", "s2"]]
             .sum()
@@ -487,6 +495,14 @@ def grouped_moments(
         )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # re-coerce to object Python ints: partials ride Ray blocks
+        # between tree levels and a format conversion could hand back
+        # int64 columns whose further sums would wrap
+        df = df.copy()
+        for c in ("n", "s1", "s2"):
+            df[c] = pd.Series(
+                [int(x) for x in df[c]], index=df.index, dtype="object"
+            )
         return (
             df.groupby(keys, sort=False, observed=True)[["n", "s1", "s2"]]
             .sum()

@@ -92,6 +92,23 @@ def keyed_partition_apply(
         if n is not None
         else max(8, ncpu)
     )
+    def _typed_empty_result():
+        # all-empty stream: run the kernel once on a TYPED empty frame
+        # (from the input schema) so the result Dataset carries the
+        # kernel's output schema instead of a column-less block.  Lazy —
+        # only the empty branch executes this, and re-running the plan
+        # for schema() on an empty input is cheap.
+        import pyarrow as pa
+
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            empty_in = base.empty_table().to_pandas()
+        else:  # PandasBlockSchema carries (names, numpy dtypes)
+            empty_in = pd.DataFrame(
+                {n: pd.Series(dtype=t) for n, t in zip(base.names, base.types)}
+            )
+        return pa.Table.from_pandas(fn(empty_in), preserve_index=False)
+
     return hash_exchange_aggregate(
         ds,
         partial_fn=lambda b: b,
@@ -100,4 +117,5 @@ def keyed_partition_apply(
         num_buckets=nb,
         finish_fn=fn,
         as_dataset=True,
+        empty_result_fn=_typed_empty_result,
     )

@@ -840,6 +840,7 @@ def connected_components(
     edges_ds,
     a_col: str = "id_a",
     b_col: str = "id_b",
+    _stats: Optional[dict] = None,
 ):
     """Connected components over an undirected edge list — the
     CLUSTERING step of near-duplicate dedup (minhash/simhash emit PAIRS;
@@ -854,16 +855,24 @@ def connected_components(
     * SMALL edge lists (≤ root threshold — near-dup pair tables are
       output-sized, so this is the common case): one task runs a classic
       path-compressing union-find — exact, O(E α(E)).
-    * LARGE: iterative hash-min label propagation entirely on Datasets —
-      per round, every node sends its current label to its neighbors
-      (one partitioned-hash-join of labels onto edges per direction) and
-      takes the min of what it holds and hears (cardinality-aware
-      grouped min).  Converges in O(diameter) rounds — near-dup
-      components are shallow (dup clusters, not social graphs); each
-      round's change count is a driver-side scalar, the label table
-      itself stays distributed.  Documented assumption: component
-      diameter ≪ rounds cap (64); pathological chains need the
-      large-star/small-star variant.
+    * LARGE: alternating large-star / small-star contraction (Kiveris et
+      al., "Connected Components in MapReduce and Beyond", SoCC'14)
+      entirely on Datasets — each phase co-locates the directed edge
+      list by source node (ONE keyed actor exchange, ``path="exchange"``
+      so the stream is never pinned to count it) and a vectorized pandas
+      kernel re-attaches each node's neighbors directly to its minimum
+      neighbor.  Components contract to stars centered at their minimum
+      id in O(log n)-ish rounds even on pathological chains (measured:
+      15 rounds on a 10k-node path; hash-min label propagation needs
+      O(diameter) = 10k).  The edge ROW COUNT is invariant per phase
+      (large-star emits exactly one row per undirected edge, small-star
+      one per input row), so no per-round dedup shuffle is needed.
+      Convergence is detected from the per-phase ``mv`` (moved) column
+      summed to a driver scalar; the edge table itself stays
+      distributed.  Skew note: a component minimum with millions of
+      direct children lands in one bucket at the final rounds — same
+      co-location contract as every keyed op here (salt upstream if one
+      KEY exceeds a worker's heap).
     """
     import ray.data as rd
 
@@ -905,14 +914,98 @@ def connected_components(
                            count=len(nodes))
         return rd.from_pandas(pd.DataFrame({"node": nodes, "component": comp}))
 
-    # SCALE path: label propagation on Datasets
-    from nerpii_ray.stages.joins import partitioned_hash_join
+    # SCALE path: alternating large-star / small-star contraction
+    from nerpii_ray.stages.colocate import keyed_partition_apply
 
-    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
-        nodes = np.concatenate(
-            [b[a_col].to_numpy(), b[b_col].to_numpy()]
-        ).astype("int64")
-        return pd.DataFrame({"node": nodes, "component": nodes}).drop_duplicates()
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[a_col].to_numpy().astype("int64")
+        c = b[b_col].to_numpy().astype("int64")
+        u, v = np.maximum(a, c), np.minimum(a, c)
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]})
+
+    def large_star_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """Per co-located node group (columns node, nbr — BOTH edge
+        directions present): attach every larger neighbor directly to
+        m = min(neighbors ∪ self).  mv=1 marks rows whose target moved
+        (m ≠ node) — the convergence signal."""
+        if df.empty:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64"),
+                 "mv": pd.Series(dtype="int64")}
+            )
+        g = df.groupby("node", sort=False, observed=True)["nbr"].min()
+        node = df["node"].to_numpy()
+        m = np.minimum(df["node"].map(g).to_numpy(), node)
+        big = df["nbr"].to_numpy() > node
+        return pd.DataFrame(
+            {"u": df["nbr"].to_numpy()[big], "v": m[big],
+             "mv": (m[big] != node[big]).astype("int64")}
+        )
+
+    def small_star_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        """Per co-located node group (columns u, v with u > v): attach
+        every smaller neighbor (and u itself) to m = min of u's smaller
+        neighbors."""
+        if df.empty:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64"),
+                 "mv": pd.Series(dtype="int64")}
+            )
+        g = df.groupby("u", sort=False, observed=True)["v"].min()
+        m = df["u"].map(g).to_numpy()
+        u, v = df["u"].to_numpy(), df["v"].to_numpy()
+        root = v == m
+        return pd.DataFrame(
+            {"u": np.where(root, u, v), "v": m,
+             "mv": (~root).astype("int64")}
+        )
+
+    def to_directed(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": np.concatenate([b["u"].to_numpy(), b["v"].to_numpy()]),
+             "nbr": np.concatenate([b["v"].to_numpy(), b["u"].to_numpy()])}
+        )
+
+    edges = edges_ds.map_batches(canon, batch_format="pandas").materialize()
+    max_rounds = 100
+    converged = False
+    rounds = 0
+    for _ in range(max_rounds):
+        rounds += 1
+        both = edges.map_batches(to_directed, batch_format="pandas")
+        lg = keyed_partition_apply(
+            both, ["node"], large_star_kernel, path="exchange"
+        ).materialize()
+        large_moves = lg.sum("mv") or 0
+        sm = keyed_partition_apply(
+            lg.drop_columns(["mv"]), ["u"], small_star_kernel, path="exchange"
+        ).materialize()
+        small_moves = sm.sum("mv") or 0
+        edges = sm.drop_columns(["mv"]).map_batches(
+            lambda b: b, batch_format="pandas", batch_size=None
+        ).materialize()
+        if large_moves == 0 and small_moves == 0:
+            converged = True
+            break
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    if not converged:
+        # no-silent-caps: wrong labels must never leave this function
+        raise RuntimeError(
+            f"connected_components: star contraction did not converge in "
+            f"{max_rounds} rounds — component structure far exceeds the "
+            f"O(log n) design envelope; raise max_rounds explicitly"
+        )
+
+    # fixpoint edges are stars (u → component-min v); every original
+    # node appears exactly once as a u (non-root) or as a v (root)
+    def star_labels(b: pd.DataFrame) -> pd.DataFrame:
+        roots = np.unique(b["v"].to_numpy())
+        return pd.DataFrame(
+            {"node": np.concatenate([b["u"].to_numpy(), roots]),
+             "component": np.concatenate([b["v"].to_numpy(), roots])}
+        )
 
     def min_merge(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -921,64 +1014,6 @@ def connected_components(
             .reset_index()
         )
 
-    def _pd_blocks(ds):
-        # the exchange finish emits ARROW blocks; the per-round union
-        # mixes them with pandas message blocks, which Ray's batcher
-        # refuses to combine — normalize the label table's block type
-        return ds.map_batches(
-            lambda b: b, batch_format="pandas", batch_size=None
-        )
-
-    labels = _pd_blocks(
-        tree_aggregate(edges_ds, init_labels, min_merge, keys=["node"])
-    )
-    for _ in range(64):
-        # neighbors' labels: one join per direction (labels keyed by node)
-        msgs = []
-        for src, dst in ((a_col, b_col), (b_col, a_col)):
-            j = partitioned_hash_join(
-                edges_ds.map_batches(
-                    lambda b, s=src, d=dst: pd.DataFrame(
-                        {"node": b[s].astype("int64"),
-                         "dst": b[d].astype("int64")}
-                    ),
-                    batch_format="pandas",
-                ),
-                labels,
-                on=["node"],
-            )
-            msgs.append(
-                j.map_batches(
-                    lambda b: pd.DataFrame(
-                        {"node": b["dst"].astype("int64"),
-                         "component": b["component"].astype("int64")}
-                    ),
-                    batch_format="pandas",
-                )
-            )
-        new_labels = _pd_blocks(
-            tree_aggregate(
-                labels.union(*msgs), min_merge, min_merge, keys=["node"]
-            )
-        ).materialize()
-        changed = (
-            partitioned_hash_join(
-                new_labels,
-                labels.map_batches(
-                    lambda b: b.rename(columns={"component": "old"}),
-                    batch_format="pandas",
-                ),
-                on=["node"],
-            )
-            .map_batches(
-                lambda b: pd.DataFrame(
-                    {"n": [int((b["component"] != b["old"]).sum())]}
-                ),
-                batch_format="pandas",
-            )
-            .sum("n")
-        )
-        labels = new_labels
-        if not changed:
-            break
-    return labels
+    return tree_aggregate(
+        edges, star_labels, min_merge, keys=["node"]
+    ).map_batches(lambda b: b, batch_format="pandas", batch_size=None)

@@ -37,6 +37,22 @@ import ray
 # changes so a re-execution on a surviving worker replays 0,1,2,… again.
 _FEED_ORDINALS: Dict[str, List[int]] = {}
 
+#: composite routing-key separator — ASCII unit separator.  ``"|"`` made
+#: distinct multi-column keys collide (``("a|b","c")`` and ``("a","b|c")``
+#: both render ``"a|b|c"``); ``"\x00"`` is unusable because pandas' string
+#: hashtable treats values as NUL-terminated C strings.  Routing collisions
+#: only ever co-located extra keys (finish kernels group again inside the
+#: bucket), but a finish_fn that trusts the bucket key must see injective
+#: keys.
+KEY_SEP = "\x1f"
+
+
+def composite_key(part: pd.DataFrame, keys: Sequence[str]) -> pd.Series:
+    """Injective string rendering of a multi-column key (assuming no
+    key value itself contains ``\\x1f``, which no engine key does —
+    they are ids, hashes, labels)."""
+    return part[list(keys)].astype(str).agg(KEY_SEP.join, axis=1)
+
 
 def _task_attempt_number() -> int:
     """Current task's retry attempt (0 on first execution).
@@ -154,6 +170,7 @@ def hash_exchange_aggregate(
     batch_size: int = 65536,
     finish_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
     as_dataset: bool = False,
+    empty_result_fn: Optional[Callable[[], pa.Table]] = None,
 ):
     """Exact grouped aggregation via B aggregator actors.
 
@@ -176,7 +193,7 @@ def hash_exchange_aggregate(
     def feeder(batch: pd.DataFrame) -> pd.DataFrame:
         part = partial_fn(batch)
         if len(part):
-            key_str = part[keys].astype(str).agg("|".join, axis=1)
+            key_str = composite_key(part, keys)
             buckets = pd.util.hash_pandas_object(key_str, index=False) % num_buckets
             # fingerprint from task identity + batch ordinal → a retried
             # task resends under the SAME fingerprint (dropped), while
@@ -201,6 +218,19 @@ def hash_exchange_aggregate(
     # column-less block (crashes column-indexing kernels downstream)
     fed = ray.get([a.has_data.remote() for a in actors])
     live = [a for a, f in zip(actors, fed) if f]
+    if not live and empty_result_fn is not None:
+        # all-empty input: emit the caller's TYPED empty result instead
+        # of a column-less block (which KeyErrors any downstream kernel
+        # that indexes its columns).  Invoked lazily — only this branch
+        # pays for deriving the schema.
+        tbl = empty_result_fn()
+        for a in actors:
+            ray.kill(a)
+        if as_dataset:
+            import ray.data as rd
+
+            return rd.from_arrow(tbl)
+        return tbl.to_pandas()
     if not live:
         live = actors[:1]  # all-empty input: one empty block, stable path
     refs = [a.finish.remote() for a in live]

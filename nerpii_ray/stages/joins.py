@@ -60,9 +60,12 @@ def _null_series(dtype, index):
 
 #: per-worker-process cache of broadcast tables, keyed by object ref hex:
 #: each worker deserializes the small side once, later tasks on the same
-#: worker hit the memo.  Bounded: a long-lived worker serving many joins
-#: drops the oldest entries rather than accumulating dimension tables.
-_BCAST_CACHE: dict = {}
+#: worker hit the memo.  Bounded LRU (move-to-end on hit): a long-lived
+#: worker serving many joins evicts the least-recently-used dimension
+#: table, never a hot one.
+from collections import OrderedDict
+
+_BCAST_CACHE: "OrderedDict" = OrderedDict()
 
 
 def _bcast_merge(batch: pd.DataFrame, *, small, on, how, suffix) -> pd.DataFrame:
@@ -73,8 +76,10 @@ def _bcast_merge(batch: pd.DataFrame, *, small, on, how, suffix) -> pd.DataFrame
         df = _BCAST_CACHE.get(key)
         if df is None:
             if len(_BCAST_CACHE) >= 8:
-                _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+                _BCAST_CACHE.popitem(last=False)
             df = _BCAST_CACHE.setdefault(key, ray.get(small))
+        else:
+            _BCAST_CACHE.move_to_end(key)
     else:  # direct call in tests / driver-side reuse
         df = small
     return batch.merge(df, on=list(on), how=how, suffixes=("", suffix))

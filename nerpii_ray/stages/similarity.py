@@ -103,7 +103,13 @@ def _topk_tree(local_ds, k: int, id_col: str):
 #: zero actor spin-up, and the query/codebook payloads are kilobytes —
 #: cheap to ship in fn_kwargs (the object store dedups the ref per task
 #: anyway).  State is a pure memo, so tasks stay idempotent.
-_SCORER_CACHE: dict = {}
+from collections import OrderedDict
+
+_SCORER_CACHE: "OrderedDict" = OrderedDict()
+
+#: LRU bound — scorers hold normalized query/codebook matrices; evict by
+#: recency so a hot scorer survives bursts of one-off constructions
+_SCORER_MAX = 32
 
 
 def _cached_scorer(cls, **kwargs):
@@ -113,7 +119,11 @@ def _cached_scorer(cls, **kwargs):
     )
     sc = _SCORER_CACHE.get(key)
     if sc is None:
+        if len(_SCORER_CACHE) >= _SCORER_MAX:
+            _SCORER_CACHE.popitem(last=False)
         sc = _SCORER_CACHE.setdefault(key, cls(**kwargs))
+    else:
+        _SCORER_CACHE.move_to_end(key)
     return sc
 
 

@@ -16,11 +16,14 @@ module is the shared form for new call sites.
 
 from __future__ import annotations
 
-_CACHE: dict = {}
+from collections import OrderedDict
+
+_CACHE: "OrderedDict" = OrderedDict()
 
 #: bound on distinct cached constructions per worker — a long-lived
-#: worker serving many differently-parameterized stages drops the oldest
-#: entry rather than accumulating state forever
+#: worker serving many differently-parameterized stages evicts the
+#: least-recently-USED entry (move-to-end on hit), so a hot flagship
+#: recognizer can't be pushed out by a burst of one-off constructions
 _MAX_ENTRIES = 32
 
 
@@ -32,6 +35,8 @@ def worker_cached(cls, /, **kwargs):
     obj = _CACHE.get(key)
     if obj is None:
         if len(_CACHE) >= _MAX_ENTRIES:
-            _CACHE.pop(next(iter(_CACHE)))
+            _CACHE.popitem(last=False)
         obj = _CACHE.setdefault(key, cls(**kwargs))
+    else:
+        _CACHE.move_to_end(key)
     return obj

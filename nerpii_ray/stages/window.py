@@ -171,19 +171,49 @@ def rolling_time_count(
     win_us = window_sec * 1_000_000
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {id_col: g[id_col] if id_col in g else pd.Series(dtype="int64"),
+                 out_col: pd.Series(dtype="int64")}
+            )
         g = g.sort_values([user_col, ts_col], kind="stable")
         ts = _ts_us(g[ts_col]).to_numpy()
-        # per-user offsets: users are contiguous after the sort
+        # per-user segments: users are contiguous after the sort
         user = g[user_col].to_numpy()
         starts = np.flatnonzero(np.r_[True, user[1:] != user[:-1]])
         bounds = np.r_[starts, len(user)]
+        seg_len = np.diff(bounds)
+        seg_first = ts[starts]
+        # offset-bias each user's (rebased) timestamps by the running sum
+        # of (span + window + 1): segments become disjoint on one global
+        # axis, so TWO searchsorted calls replace the per-user Python
+        # loop (a bucket of millions of short histories paid loop
+        # overhead per user).  The left query ts-window can never cross
+        # into the previous segment because inter-segment gaps exceed
+        # the window by construction.
+        span = ts[bounds[1:] - 1] - seg_first
+        gap = span + win_us + 1
+        base = np.zeros(len(starts), dtype=np.int64)
+        if len(starts) > 1:
+            base[1:] = np.cumsum(gap[:-1])
         n = np.empty(len(user), dtype=np.int64)
-        for i in range(len(starts)):  # per-USER loop, kernels vectorized
-            lo, hi = bounds[i], bounds[i + 1]
-            seg = ts[lo:hi]
-            n[lo:hi] = np.searchsorted(seg, seg, side="right") - np.searchsorted(
-                seg, seg - win_us, side="left"
+        CAP = np.int64(1) << 62  # int64 headroom guard for the bias sum
+        s0 = 0
+        while s0 < len(starts):  # almost always ONE slice; the loop is
+            # only entered again when the cumulative bias nears 2^62
+            rebased = base - base[s0]
+            s1 = int(np.searchsorted(rebased + gap, CAP, side="left"))
+            s1 = max(s1, s0 + 1)
+            lo, hi = bounds[s0], bounds[s1]
+            biased = (
+                ts[lo:hi]
+                - np.repeat(seg_first[s0:s1], seg_len[s0:s1])
+                + np.repeat(rebased[s0:s1], seg_len[s0:s1])
             )
+            n[lo:hi] = np.searchsorted(
+                biased, biased, side="right"
+            ) - np.searchsorted(biased, biased - win_us, side="left")
+            s0 = s1
         return pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: n})
 
     return keyed_partition_apply(events_ds, [user_col], kernel, num_buckets, path)

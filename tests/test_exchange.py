@@ -176,3 +176,48 @@ def test_empty_input():
     )
     out = hash_exchange_aggregate(ds, partial, merge, keys=["k"], num_buckets=2)
     assert len(out) == 0
+
+
+def test_composite_key_injective_on_pipe_values():
+    """VERDICT r3 #2: "|"-joined composite keys collided ("a|b","c") with
+    ("a","b|c").  The \\x1f separator must keep them disjoint (and \\x00
+    would be wrong too — pandas' string hashtable is NUL-terminated)."""
+    from nerpii_ray.stages.exchange import KEY_SEP, composite_key
+
+    part = pd.DataFrame({"k1": ["a|b", "a"], "k2": ["c", "b|c"]})
+    ks = composite_key(part, ["k1", "k2"])
+    assert ks.nunique() == 2, ks.tolist()
+    assert KEY_SEP == "\x1f"
+    # end-to-end: the two keys aggregate separately through the exchange
+    df = pd.DataFrame(
+        {"k1": ["a|b", "a"] * 50, "k2": ["c", "b|c"] * 50, "v": [1, 10] * 50}
+    )
+    out = hash_exchange_aggregate(
+        rd.from_pandas(df).repartition(4),
+        partial_fn=lambda b: b.groupby(["k1", "k2"], sort=False)["v"].sum().reset_index(),
+        merge_fn=lambda d: d.groupby(["k1", "k2"], sort=False)["v"].sum().reset_index(),
+        keys=["k1", "k2"],
+        num_buckets=4,
+    ).sort_values(["k1"]).reset_index(drop=True)
+    assert out["v"].tolist() == [500, 50]
+
+
+def test_keyed_partition_apply_empty_stream_typed_schema():
+    """ADVICE r3 (low): an all-empty exchange stream used to emit one
+    column-less block; path="exchange" callers now get the kernel's
+    TYPED output schema so downstream column indexing works."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"k": pd.Series(dtype=str), "v": pd.Series(dtype="int64")})
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("k", sort=False)["v"].sum().reset_index()
+        return out.rename(columns={"v": "total"})
+
+    res = keyed_partition_apply(ds, ["k"], kernel, path="exchange")
+    pdf = res.to_pandas()
+    # empty result still indexable by the kernel's output columns
+    assert list(res.schema().names) == ["k", "total"]
+    assert len(pdf) == 0

@@ -438,6 +438,22 @@ def test_worker_cached_constructs_once_per_key_and_bounds_entries():
         # evicted key reconstructs (still correct, just re-built)
         taskcache.worker_cached(Probe, tag="a")
         assert calls.count("a") == 2
+
+        # VERDICT r3 #6: eviction is by RECENCY, not insertion order — a
+        # hot entry touched between one-off constructions must survive
+        taskcache._CACHE.clear()
+        calls.clear()
+        taskcache.worker_cached(Probe, tag="hot")
+        for i in range(taskcache._MAX_ENTRIES - 1):
+            taskcache.worker_cached(Probe, tag=f"cold{i}")
+            taskcache.worker_cached(Probe, tag="hot")  # touch: move-to-end
+        # cache is now full; one more insert evicts the LRU entry, which
+        # must be cold0 — NOT the oldest-inserted-but-hot "hot"
+        taskcache.worker_cached(Probe, tag="one_more")
+        taskcache.worker_cached(Probe, tag="hot")
+        assert calls.count("hot") == 1, calls
+        taskcache.worker_cached(Probe, tag="cold0")
+        assert calls.count("cold0") == 2
     finally:
         taskcache._CACHE.clear()
         taskcache._CACHE.update(saved)
@@ -1103,3 +1119,72 @@ def test_winnow_fingerprints_guarantee_and_edges():
     assert out.loc[0, "n_fps"] == len(selected(df["text"][0]))
     assert out.loc[2, "n_fps"] == 0 and out.loc[2, "fp_min"] == "0"  # < k
     assert out.loc[3, "n_fps"] == 0  # k grams exist but fewer than w
+
+
+def test_grouped_moments_exact_past_int64(tmp_path):
+    """ADVICE r3 (high): int64 partials silently wrapped once a group's
+    Σx² passed 2^63.  Values ~3e9 square to ~9e18 > 2^63, so 40 rows
+    overflow an int64 accumulator ~150×; the object-dtype Python-int
+    partials must stay exact through the full tree (multi-block input
+    exercises the cross-block merge, not just the within-batch sum)."""
+    from nerpii_ray.stages.agg import grouped_moments
+
+    vals_a = [3_000_000_000 + 7 * i for i in range(40)]
+    vals_b = [4_100_000_000 - 3 * i for i in range(25)]
+    frames = [
+        pd.DataFrame({"g": ["a"] * 20, "v": vals_a[:20]}),
+        pd.DataFrame(
+            {"g": ["a"] * 20 + ["b"] * 13, "v": vals_a[20:] + vals_b[:13]}
+        ),
+        pd.DataFrame({"g": ["b"] * 12, "v": vals_b[13:]}),
+    ]
+    ds = rd.from_pandas(frames)
+    out = (
+        grouped_moments(ds, ["g"], "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+
+    def exact(vs):
+        n, s1 = len(vs), sum(vs)
+        s2 = sum(x * x for x in vs)
+        return n, float(s1) / float(n), float(n * s2 - s1 * s1) / float(n * n)
+
+    for g, vs in (("a", vals_a), ("b", vals_b)):
+        row = out[out["g"] == g].iloc[0]
+        n, mean, var = exact(vs)
+        assert int(row["n"]) == n
+        # bit-exact: one double division from exact integer numerators
+        assert float(row["mean"]) == mean, (g, float(row["mean"]), mean)
+        assert float(row["var_pop"]) == var, (g, float(row["var_pop"]), var)
+
+
+def test_connected_components_path_graph_log_rounds():
+    """VERDICT r3 #4: the scale path must converge in O(log n) rounds on
+    a pathological chain (label propagation needed O(diameter)).  A
+    10k-node path graph, forced onto the star-contraction path, must
+    finish in ≤ 20 alternating rounds (pandas simulation: 15) and label
+    every node with the component minimum."""
+    import nerpii_ray.stages.agg as agg
+    from nerpii_ray.stages.dedup import connected_components
+
+    n = 10_000
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(n).astype("int64")  # relabeled so ids ≁ order
+    edges = pd.DataFrame(
+        {"id_a": perm[np.arange(1, n)], "id_b": perm[np.arange(0, n - 1)]}
+    )
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1  # force the star-contraction path
+    stats: dict = {}
+    try:
+        out = connected_components(
+            rd.from_pandas(edges).repartition(8), _stats=stats
+        ).to_pandas()
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    assert stats["rounds"] <= 20, stats
+    assert len(out) == n
+    assert out["component"].nunique() == 1
+    assert int(out["component"].iloc[0]) == 0

@@ -41,6 +41,12 @@ _PIECES = st.sampled_from(
     + [f"{n} {s} Street" for n in (12, 99) for s in STREET_NAMES[:4]]
     + ["john.doe@example.com", "(555) 123-4567", "865-50-6891", "2024-03-14",
        "https://www.example.org/x", "plain words here", "?", ""]
+    # ADVICE r3: shapes for the four patterns the oracle initially lacked
+    + ["912-78-1234", "912-45-6789",   # ITIN middle-group range vs plain SSN
+       "AB1234563", "XY9871234",       # DEA checksum valid / invalid-consumed
+       "AB1234567C",                   # IT driver licence shape
+       luhn_complete("1234567890"),    # partita IVA, checksum-valid
+       "12345678901"]                  # 11 digits, Luhn-invalid → bank fallback
 )
 
 
