@@ -936,8 +936,17 @@ def doc_bpe_token_counts(sf_dir: str):
     ), h AS (
       SELECT doc_id,
              list_transform(range(1, len(t) - 5 + 2),
-               i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 5)),
-                          1, 16)) AS UBIGINT)) AS hs
+               i -> CAST((
+                 CAST(unicode(substr(t, CAST(i AS INT) + 0, 1)) AS HUGEINT)
+                     * CAST('15655466665053923249' AS HUGEINT)
+               + CAST(unicode(substr(t, CAST(i AS INT) + 1, 1)) AS HUGEINT)
+                     * CAST('6938460308862072877' AS HUGEINT)
+               + CAST(unicode(substr(t, CAST(i AS INT) + 2, 1)) AS HUGEINT)
+                     * CAST('16088033396387240377' AS HUGEINT)
+               + CAST(unicode(substr(t, CAST(i AS INT) + 3, 1)) AS HUGEINT)
+                     * CAST('11400714819323198485' AS HUGEINT)
+               + CAST(unicode(substr(t, CAST(i AS INT) + 4, 1)) AS HUGEINT)
+               ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)) AS hs
       FROM n WHERE len(t) >= 5
     ), sel AS (
       SELECT doc_id,

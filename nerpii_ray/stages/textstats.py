@@ -165,6 +165,13 @@ def add_bpe_token_counts(batch: pd.DataFrame, text_col: str = "text",
     )
 
 
+#: fixed multiplier of the winnowing rolling polynomial hash —
+#: splitmix64's golden-gamma constant (public domain); odd, so
+#: ``x → x·B mod 2^64`` is a bijection.  The SQL twin inlines the
+#: matching coefficient powers ``B^(k−1−j) mod 2^64``.
+_WINNOW_B = np.uint64(0x9E3779B97F4A7C15)
+
+
 def add_winnow_fingerprints(
     batch: pd.DataFrame,
     k: int = 5,
@@ -177,48 +184,78 @@ def add_winnow_fingerprints(
     lowercased text, slide a w-window over the hash sequence, keep each
     window's MINIMUM — the classic rolling-window fingerprint selection
     that guarantees any shared substring of length ≥ w+k−1 contributes a
-    shared fingerprint.  Gram hash = first 8 md5 bytes (stable across
-    processes AND replayable in SQL, same convention as minhash token
-    ids).  Docs shorter than k chars, or with fewer than w grams, carry
-    no fingerprint (n_fps = 0).
+    shared fingerprint.  Gram hash = fixed-coefficient polynomial over
+    the gram's CODEPOINTS mod 2^64 (``Σ cp[j]·B^(k−1−j)``, the
+    Karp–Rabin form the winnowing paper assumes) — computed for the
+    whole batch with k−1 shifted multiply-adds over one codepoint
+    array: no per-document Python loop, no per-gram digest (the
+    previous md5-per-character-position form was the slowest text
+    stage by an order of magnitude).  Window minima are k shifted
+    ``np.minimum`` passes over the same global array, masked at
+    document boundaries.  Docs shorter than k chars, or with fewer
+    than w grams, carry no fingerprint (n_fps = 0).
 
     Output per doc: ``n_fps`` (distinct selected hashes, BIGINT) and
     ``fp_min`` (smallest selected hash as decimal string — UBIGINT is
     not hash-comparable through the driver's pandas path).
     """
-    import hashlib
-
-    ids, n_fps, fp_min = [], [], []
-    for did, text in zip(batch[id_col], batch[text_col].fillna("")):
-        t = re.sub(r"\s+", " ", text).strip().lower()
-        ids.append(did)
-        if len(t) < k:
-            n_fps.append(0)
-            fp_min.append("0")
-            continue
-        hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(t[i : i + k].encode("utf-8")).digest()[:8],
-                    "big",
-                )
-                for i in range(len(t) - k + 1)
-            ),
-            dtype=np.uint64,
-            count=len(t) - k + 1,
+    s = (
+        batch[text_col]
+        .fillna("")
+        .str.replace(r"\s+", " ", regex=True)
+        .str.strip()
+        .str.lower()
+    )
+    ids = batch[id_col].to_numpy().astype("int64")
+    lens = s.str.len().to_numpy().astype(np.int64)
+    n_grams = np.maximum(lens - k + 1, 0)
+    out_n = np.zeros(len(batch), dtype=np.int64)
+    out_min = np.full(len(batch), "0", dtype=object)
+    if int(n_grams.sum()):
+        # ONE codepoint array for the whole batch (utf-32-le: exactly
+        # one uint32 per character, matching Python's char slicing)
+        joined = "".join(s.tolist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        doc_off = np.concatenate([[0], np.cumsum(lens)])
+        # valid gram start positions, O(N) repeat-built (no per-position
+        # searchsorted): doc i's grams start at doc_off[i] + 0..n_grams−1
+        total = int(n_grams.sum())
+        gram_off = np.concatenate([[0], np.cumsum(n_grams)])
+        starts = (
+            np.arange(total)
+            - np.repeat(gram_off[:-1], n_grams)
+            + np.repeat(doc_off[:-1], n_grams)
         )
-        if len(hs) < w:
-            n_fps.append(0)
-            fp_min.append("0")
-            continue
-        mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
-        sel = np.unique(mins)
-        n_fps.append(int(len(sel)))
-        fp_min.append(str(int(sel.min())))
+        cp64 = cp.astype(np.uint64)
+        hs = cp64[starts].copy()
+        for j in range(1, k):  # k−1 vector ops, uint64 wrap = mod 2^64
+            hs = hs * _WINNOW_B + cp64[starts + j]
+        n_wins = np.maximum(n_grams - w + 1, 0)
+        Wt = int(n_wins.sum())
+        if Wt > 0:
+            win_off = np.concatenate([[0], np.cumsum(n_wins)])
+            wstarts = (
+                np.arange(Wt)
+                - np.repeat(win_off[:-1], n_wins)
+                + np.repeat(gram_off[:-1], n_wins)
+            )
+            wm = hs[wstarts].copy()
+            for j in range(1, w):  # w−1 shifted mins = window minimum
+                np.minimum(wm, hs[wstarts + j], out=wm)
+            wd = np.repeat(np.arange(len(n_wins)), n_wins)
+            # per-doc DISTINCT count + min via one lexsort (C-speed; a
+            # pandas groupby.nunique here measured 3-10× slower)
+            order = np.lexsort((wm, wd))
+            wds, wms = wd[order], wm[order]
+            first_of_pair = np.r_[
+                True, (wds[1:] != wds[:-1]) | (wms[1:] != wms[:-1])
+            ]
+            out_n[:] = np.bincount(
+                wds[first_of_pair], minlength=len(n_wins)
+            )
+            first_of_doc = np.r_[True, wds[1:] != wds[:-1]]
+            for i, v in zip(wds[first_of_doc], wms[first_of_doc]):
+                out_min[i] = str(int(v))  # sorted by wm within doc → min
     return pd.DataFrame(
-        {
-            id_col: pd.Series(ids).astype("int64"),
-            "n_fps": pd.Series(n_fps, dtype="int64"),
-            "fp_min": pd.Series(fp_min, dtype="object"),
-        }
+        {id_col: ids, "n_fps": out_n, "fp_min": out_min}
     )

@@ -1096,7 +1096,6 @@ def test_winnow_fingerprints_guarantee_and_edges():
     >= w+k-1 (= 8 chars here) share at least one selected fingerprint;
     sub-k and sub-w docs carry none."""
     from nerpii_ray.stages.textstats import add_winnow_fingerprints
-    import hashlib
 
     shared = "abcdefghij"  # 10 chars >= w+k-1
     df = pd.DataFrame(
@@ -1108,10 +1107,13 @@ def test_winnow_fingerprints_guarantee_and_edges():
     out = add_winnow_fingerprints(df).set_index("doc_id")
 
     def selected(text):
+        # independent per-gram Python-int polynomial (the engine does
+        # k-1 shifted uint64 multiply-adds over the whole batch)
         t = " ".join(text.split()).lower()
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.md5(t[i:i+5].encode()).digest()[:8], "big")
-             for i in range(len(t) - 4)), dtype=np.uint64)
+        B, M = 0x9E3779B97F4A7C15, 1 << 64
+        hs = np.array(
+            [sum(ord(c) * pow(B, 4 - j, M) for j, c in enumerate(t[i:i+5])) % M
+             for i in range(len(t) - 4)], dtype=np.uint64)
         return set(np.lib.stride_tricks.sliding_window_view(hs, 4).min(axis=1))
 
     a, b = selected(df["text"][0]), selected(df["text"][1])
