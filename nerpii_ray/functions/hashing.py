@@ -144,3 +144,57 @@ def dea_complete(prefix_and_six: str) -> str:
         + 2 * (int(d[1]) + int(d[3]) + int(d[5]))
     )
     return prefix_and_six + str(total % 10)
+
+
+def nhs_valid(s: str) -> bool:
+    """UK NHS number checksum (Presidio's NhsRecognizer, inherited by
+    the reference via README.md:37): 10 digits, weights 10..2 over the
+    first nine, check digit = 11 − (sum mod 11) with 11→0 and 10 =
+    never-valid.  Accepts the spaced display form ``123 456 7890``."""
+    d = s.replace(" ", "")
+    if len(d) != 10 or not d.isdigit():
+        return False
+    total = sum(int(c) * w for c, w in zip(d[:9], range(10, 1, -1)))
+    check = 11 - (total % 11)
+    if check == 11:
+        check = 0
+    return check != 10 and check == int(d[9])
+
+
+def tfn_valid(s: str) -> bool:
+    """Australian Tax File Number checksum (Presidio's AU pack): nine
+    digits whose (1,4,3,7,5,8,6,9,10)-weighted sum is ≡ 0 (mod 11)."""
+    if len(s) != 9 or not s.isdigit():
+        return False
+    weights = (1, 4, 3, 7, 5, 8, 6, 9, 10)
+    return sum(int(c) * w for c, w in zip(s, weights)) % 11 == 0
+
+
+def abn_valid(s: str) -> bool:
+    """Australian Business Number checksum (Presidio's AU pack): eleven
+    digits, subtract 1 from the first, then the
+    (10,1,3,5,7,9,11,13,15,17,19)-weighted sum must be ≡ 0 (mod 89)."""
+    if len(s) != 11 or not s.isdigit():
+        return False
+    weights = (10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19)
+    total = sum(int(c) * w for c, w in zip(s, weights)) - 10
+    return total % 89 == 0
+
+
+_NRIC_TABLE_ST = "JZIHGFEDCBA"
+_NRIC_TABLE_FG = "XWUTRQPNMLK"
+
+
+def nric_valid(s: str) -> bool:
+    """Singapore NRIC/FIN checksum (Presidio's SgFinRecognizer): series
+    letter S/T/F/G + seven digits + check letter; digits fold with
+    weights (2,7,6,5,4,3,2), T/G series add 4, and the mod-11 result
+    indexes a per-series letter table."""
+    if len(s) != 9 or s[0] not in "STFG" or not s[1:8].isdigit():
+        return False
+    weights = (2, 7, 6, 5, 4, 3, 2)
+    total = sum(int(c) * w for c, w in zip(s[1:8], weights))
+    if s[0] in "TG":
+        total += 4
+    table = _NRIC_TABLE_ST if s[0] in "ST" else _NRIC_TABLE_FG
+    return s[8] == table[total % 11]

@@ -73,6 +73,47 @@ def _oracle_dea_ok(s: str) -> bool:
     return total % 10 == int(d[6])
 
 
+def _oracle_nhs_ok(s: str) -> bool:
+    """Independent NHS mod-11: valid iff weighted-sum residue ≠ 1 and
+    (sum + check digit) ≡ 0 (mod 11) — algebraically the same rule as
+    the engine's 11−(sum%11) construction, differently shaped."""
+    d = s.replace(" ", "")
+    if len(d) != 10 or not d.isdigit():
+        return False
+    total = sum((10 - i) * int(c) for i, c in enumerate(d[:9]))
+    return total % 11 != 1 and (total + int(d[9])) % 11 == 0
+
+
+def _oracle_tfn_ok(s: str) -> bool:
+    if len(s) != 9 or not s.isdigit():
+        return False
+    total = 0
+    for c, w in zip(reversed(s), (10, 9, 6, 8, 5, 7, 3, 4, 1)):
+        total += int(c) * w
+    return total % 11 == 0
+
+
+def _oracle_abn_ok(s: str) -> bool:
+    """Independent ABN mod-89: fold without the subtract-1 step —
+    (weighted sum − 10) ≡ 0 (mod 89) is the same rule."""
+    if len(s) != 11 or not s.isdigit():
+        return False
+    total = sum(
+        int(c) * w
+        for c, w in zip(s, (10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19))
+    )
+    return (total - 10) % 89 == 0
+
+
+def _oracle_nric_ok(s: str) -> bool:
+    if len(s) != 9 or s[0] not in "STFG" or not s[1:8].isdigit():
+        return False
+    total = sum(int(c) * w for c, w in zip(s[1:8], (2, 7, 6, 5, 4, 3, 2)))
+    total += 4 if s[0] in "TG" else 0
+    table = "JZIHGFEDCBA" if s[0] in "ST" else "XWUTRQPNMLK"
+    return s[8] == table[total % 11]
+
+
 def _oracle_mod10_ok(s: str) -> bool:
     """Independent Luhn for the 11-digit partita IVA: double every
     second digit from the right via divmod carry-fold (no length gate —
@@ -99,10 +140,13 @@ _PATTERNS = [
     ("IT_FISCAL_CODE", r"\b[A-Z]{6}\d{2}[ABCDEHLMPRST]\d{2}[A-Z]\d{3}[A-Z]\b", 1.0),
     ("CRYPTO", r"\b(?:[13][a-km-zA-HJ-NP-Z1-9]{25,33}|bc1[a-z0-9]{25,39})\b", 1.0),
     ("MEDICAL_LICENSE", r"\b[ABCDEFGHJKLMPRSTUX][A-Z]\d{7}\b", 1.0),
+    ("SG_NRIC", r"\b[STFG]\d{7}[A-Z]\b", 1.0),
     ("IT_DRIVER_LICENSE", r"\b[A-Z]{2}\d{7}[A-Z]\b", 0.3),
     ("US_PASSPORT", r"\b[A-Z]\d{8}\b", 0.4),
     ("US_DRIVER_LICENSE", r"\b[A-Z]\d{7}\b", 0.3),
     ("IT_VAT_CODE", r"\b\d{11}\b", 1.0),
+    ("UK_NHS", r"\b\d{3} ?\d{3} ?\d{4}\b", 1.0),
+    ("AU_TFN", r"\b\d{9}\b", 1.0),
     ("US_BANK_NUMBER", r"\b\d{8,12}\b", 0.3),
     (
         "DATE_TIME",
@@ -185,10 +229,24 @@ def oracle_mentions(text: str | None) -> list[dict]:
         elif ent == "MEDICAL_LICENSE":
             # DEA checksum, no fallback entity: invalid consumes the span
             emit = _oracle_dea_ok(surf)
+        elif ent == "SG_NRIC":
+            emit = _oracle_nric_ok(surf)
         elif ent == "IT_VAT_CODE":
-            # partita IVA check digit IS the Luhn rule; a failing
-            # 11-digit run falls back to the weak bank-number entity
+            # partita IVA by Luhn; else the AU ABN mod-89 identity of
+            # the same 11-digit shape; else the weak bank-number entity
             if not _oracle_mod10_ok(surf):
+                if _oracle_abn_ok(surf):
+                    ent, score = "AU_ABN", 1.0
+                else:
+                    ent, score = "US_BANK_NUMBER", 0.3
+        elif ent == "UK_NHS":
+            if not _oracle_nhs_ok(surf):
+                if " " in surf:
+                    ent, score = "PHONE_NUMBER", 0.75
+                else:
+                    ent, score = "US_BANK_NUMBER", 0.3
+        elif ent == "AU_TFN":
+            if not _oracle_tfn_ok(surf):
                 ent, score = "US_BANK_NUMBER", 0.3
         elif ent == "IT_FISCAL_CODE":
             if not _oracle_cf_ok(surf):

@@ -42,10 +42,14 @@ from typing import Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 from nerpii_ray.functions.hashing import (
+    abn_valid,
     codice_fiscale_valid,
     dea_valid,
     iban_valid,
     luhn_valid,
+    nhs_valid,
+    nric_valid,
+    tfn_valid,
 )
 from nerpii_ray.gazetteers import STREET_WORDS, detection_sets
 
@@ -85,6 +89,21 @@ class PatternSpec:
     #: entity to re-try on validator failure (CREDIT_CARD → PHONE_NUMBER)
     fallback_entity: Optional[str] = None
     fallback_score: float = 0.0
+    #: ordered CHAIN of (entity, score, validator-or-None) tried on
+    #: primary-validator failure — the first entry whose validator
+    #: passes (None = unconditional) wins; none passing = consume the
+    #: span with no emission.  Supersedes fallback_entity when set —
+    #: needed where one surface shape carries several checksummed
+    #: identities (an 11-digit run is IT_VAT by Luhn, else AU_ABN by
+    #: mod-89, else a weak bank number).
+    fallbacks: Optional[List[tuple]] = None
+
+    def fallback_chain(self) -> List[tuple]:
+        if self.fallbacks is not None:
+            return self.fallbacks
+        if self.fallback_entity is not None:
+            return [(self.fallback_entity, self.fallback_score, None)]
+        return []
 
 
 _PHONE_PATTERN = (
@@ -193,6 +212,16 @@ def default_pattern_specs() -> List[PatternSpec]:
             1.0,
             validator=lambda s: dea_valid(s),
         ),
+        PatternSpec(
+            # Singapore NRIC/FIN (Presidio's SgFinRecognizer): series
+            # letter + 7 digits + mod-11 check letter from a per-series
+            # table.  Random shapes pass with P≈1/11 against the right
+            # table — no fallback; an invalid code consumes its span.
+            "SG_NRIC",
+            r"\b[STFG]\d{7}[A-Z]\b",
+            1.0,
+            validator=lambda s: nric_valid(s),
+        ),
         # Presidio IT-pack driver licence shape (2 letters, 7 digits,
         # 1 letter); shape-only like the US variants, weak score
         PatternSpec("IT_DRIVER_LICENSE", r"\b[A-Z]{2}\d{7}[A-Z]\b", 0.3),
@@ -207,6 +236,38 @@ def default_pattern_specs() -> List[PatternSpec]:
             r"\b\d{11}\b",
             1.0,
             validator=lambda s: luhn_valid(s),
+            # one 11-digit shape, three checksummed identities: Luhn →
+            # IT VAT; else the AU ABN mod-89 rule (Presidio's AU pack);
+            # else the weak bank-number catch-all
+            fallbacks=[
+                ("AU_ABN", 1.0, lambda s: abn_valid(s)),
+                ("US_BANK_NUMBER", 0.3, None),
+            ],
+        ),
+        PatternSpec(
+            # UK NHS number (Presidio's NhsRecognizer): 10 digits in the
+            # official spaced display form or contiguous; mod-11 check.
+            # Deliberately NOT the dashed form — ddd-ddd-dddd is a US
+            # phone convention and stays PHONE_NUMBER.  On checksum
+            # failure a spaced surface falls back to PHONE_NUMBER
+            # (what the pre-NHS catalog emitted for it) and a
+            # contiguous one to the weak bank number.
+            "UK_NHS",
+            r"\b\d{3} ?\d{3} ?\d{4}\b",
+            1.0,
+            validator=lambda s: nhs_valid(s),
+            fallbacks=[
+                ("US_BANK_NUMBER", 0.3, lambda s: " " not in s),
+                ("PHONE_NUMBER", 0.75, None),
+            ],
+        ),
+        PatternSpec(
+            # Australian TFN (Presidio's AU pack): nine digits, weighted
+            # mod-11; a failing run is just a weak bank number
+            "AU_TFN",
+            r"\b\d{9}\b",
+            1.0,
+            validator=lambda s: tfn_valid(s),
             fallback_entity="US_BANK_NUMBER",
             fallback_score=0.3,
         ),
@@ -369,9 +430,12 @@ class CompiledRegistry:
                 surf = m.group(0)
                 ent, sc = spec.entity, spec.score
                 if spec.validator is not None and not spec.validator(surf):
-                    if spec.fallback_entity is None:
-                        continue
-                    ent, sc = spec.fallback_entity, spec.fallback_score
+                    for f_ent, f_sc, f_val in spec.fallback_chain():
+                        if f_val is None or f_val(surf):
+                            ent, sc = f_ent, f_sc
+                            break
+                    else:
+                        continue  # span consumed, nothing emitted
                 r = row_of(m.start())
                 ls = m.start() - int(row_starts[r])
                 emit(r, ent, surf, ls, ls + len(surf), sc, STAGE_PATTERN)

@@ -160,3 +160,42 @@ def test_it_vat_luhn_with_bank_fallback():
 def test_it_driver_license_shape():
     got = _scan_one("patente MI1234567X rilasciata nel 2019")
     assert ("IT_DRIVER_LICENSE", "MI1234567X", 0.3) in got
+
+
+def test_uk_sg_au_pack_golden():
+    """Round-4 country packs (UK_NHS, SG_NRIC, AU_TFN, AU_ABN): checksum
+    validators plus the full combined-scan precedence, including the
+    three-way 11-digit chain (Luhn → IT_VAT, mod-89 → AU_ABN, else weak
+    bank number) and the NHS spaced-form phone fallback."""
+    from nerpii_ray.functions.hashing import (
+        abn_valid, nhs_valid, nric_valid, tfn_valid,
+    )
+    from nerpii_ray.state.registry import RecognizerRegistry
+
+    assert nhs_valid("403 555 0000") and nhs_valid("4035550000")
+    assert not nhs_valid("1234567890")
+    assert tfn_valid("123456707") and not tfn_valid("123456789")
+    assert abn_valid("51824753556") and not abn_valid("51824753557")
+    assert nric_valid("S1234567D") and nric_valid("G1234567X")
+    assert not nric_valid("S1234567D".replace("D", "B"))
+
+    reg = RecognizerRegistry(
+        add_addresses_recognizer=False,
+        enable_gazetteers=False,
+        enable_model_labels=False,
+    ).compile()
+    cases = {
+        "nhs 403 555 0000 here": [("UK_NHS", "403 555 0000", 1.0)],
+        "call 123 456 7890 now": [("PHONE_NUMBER", "123 456 7890", 0.75)],
+        "acct 1234567890 ok": [("US_BANK_NUMBER", "1234567890", 0.3)],
+        "id S1234567D ok": [("SG_NRIC", "S1234567D", 1.0)],
+        "id S1234567B ok": [],  # invalid NRIC consumes its span
+        "tfn 123456707 ok": [("AU_TFN", "123456707", 1.0)],
+        "abn 51824753556 ok": [("AU_ABN", "51824753556", 1.0)],
+        "vat 10000003946 ok": [("IT_VAT_CODE", "10000003946", 1.0)],
+        "run 12345678901 ok": [("US_BANK_NUMBER", "12345678901", 0.3)],
+    }
+    for text, want in cases.items():
+        out = reg.scan([text])
+        got = list(zip(out["entity"], out["surface"], out["score"]))
+        assert got == want, (text, got, want)

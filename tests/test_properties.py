@@ -47,6 +47,15 @@ _PIECES = st.sampled_from(
        "AB1234567C",                   # IT driver licence shape
        luhn_complete("1234567890"),    # partita IVA, checksum-valid
        "12345678901"]                  # 11 digits, Luhn-invalid → bank fallback
+    # round-4 pack: UK NHS / SG NRIC / AU TFN / AU ABN shapes
+    + ["403 555 0000", "4035550000",   # NHS valid (spaced + contiguous)
+       "123 456 7890",                 # NHS-shaped, invalid → phone fallback
+       "1234567890",                   # contiguous invalid → bank fallback
+       "S1234567D", "T1234567J",       # NRIC valid
+       "S1234567A",                    # NRIC invalid → consumed
+       "123456707", "123456789",       # TFN valid / invalid → bank
+       "51824753556",                  # ABN valid, Luhn-invalid → AU_ABN
+       "10000003946"]                  # ABN valid AND Luhn-valid → IT_VAT wins
 )
 
 
