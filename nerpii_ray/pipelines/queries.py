@@ -2505,7 +2505,9 @@ def customer_order_running(sf_dir: str):
     ds = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
     )
-    return running_order_stats(ds, path="exchange")
+    # pure parquet read: path="auto" decides from the METADATA count —
+    # no pin at any scale (10^12 rows route to the exchange for free)
+    return running_order_stats(ds)
 
 
 @register(
@@ -2525,9 +2527,7 @@ def events_rolling_hour(sf_dir: str):
     from nerpii_ray.stages.window import rolling_time_count
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    return rolling_time_count(
-        ds, window_sec=3600, out_col="n_last_hour", path="exchange"
-    )
+    return rolling_time_count(ds, window_sec=3600, out_col="n_last_hour")
 
 
 @register(
@@ -2991,6 +2991,235 @@ def natid_detect(sf_dir: str):
     )
 
 
+
+
+@register(
+    "lineitem_price_qty_corr",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS x,
+             CAST(l_quantity AS HUGEINT) AS y
+      FROM lineitem
+    ), a AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE)
+               AS covar_pop,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM a
+    """,
+)
+def lineitem_price_qty_corr(sf_dir: str):
+    """Bivariate moments (stages/agg.grouped_corr): COVAR_POP / CORR per
+    group with exact arbitrary-precision integer partials — every double
+    is produced from exact integer numerators with the same expression
+    shape as the HUGEINT SQL, so the hash match is bit-stable where
+    float-partials accumulation drifts with merge order."""
+    from nerpii_ray.stages.agg import grouped_corr
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def to_ints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "x": np.round(b["l_extendedprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+                "y": b["l_quantity"].to_numpy().astype("int64"),
+            }
+        )
+
+    return grouped_corr(
+        ds.map_batches(to_ints, batch_format="pandas"),
+        ["l_returnflag"], "x", "y",
+    )
+
+
+@register(
+    "orders_rollup",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_rollup(sf_dir: str):
+    """ROLLUP aggregate: the finest (priority, status) level reduces
+    through the combiner tree (bounded key space by construction); the
+    two coarser levels and the grand total are derived from that single
+    root block — no second scan, no extra shuffle.  Rolled-up columns
+    carry the explicit 'ALL' sentinel on both sides (NULL-vs-NaN is not
+    hash-comparable through the driver's pandas path)."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "o_orderstatus": b["o_orderstatus"],
+                "n_orders": 1,
+                "revenue_cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False,
+                       observed=True)[["n_orders", "revenue_cents"]]
+            .sum()
+            .reset_index()
+        )
+
+    fine = grouped_sum(
+        ds, ["o_orderpriority", "o_orderstatus"],
+        ["n_orders", "revenue_cents"], partial_fn=partial, adaptive=False,
+    )
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        vals = ["n_orders", "revenue_cents"]
+        lv1 = df.groupby("o_orderpriority", sort=False)[vals].sum().reset_index()
+        lv1["o_orderstatus"] = "ALL"
+        lv0 = df[vals].sum().to_frame().T
+        lv0["o_orderpriority"] = "ALL"
+        lv0["o_orderstatus"] = "ALL"
+        out = pd.concat([df, lv1, lv0], ignore_index=True)
+        out = out[["o_orderpriority", "o_orderstatus"] + vals]
+        return out.astype({"n_orders": "int64", "revenue_cents": "int64"})
+
+    return fine.map_batches(rollup, batch_format="pandas", batch_size=None)
+
+
+@register(
+    "users_customers_full_join",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(u.user_id, c.c_custkey) AS user_id,
+           COALESCE(u.n_events, 0) AS n_events,
+           COALESCE(c.c_mktsegment, 'none') AS segment
+    FROM u FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
+    """,
+)
+def users_customers_full_join(sf_dir: str):
+    """FULL OUTER partitioned hash join: per-user event counts against
+    the customer dimension — rows surviving from either side alone
+    (event users without a customer row AND customers with no events).
+    Outer merging inside key-complete buckets is globally correct: every
+    row of one key is co-located, so a bucket-local outer join is the
+    global one."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    left = grouped_sum(
+        ev.map_batches(
+            lambda b: pd.DataFrame(
+                {"user_id": b["user_id"].astype("int64"), "n_events": 1}
+            ),
+            batch_format="pandas",
+        ),
+        ["user_id"], ["n_events"],
+    )
+    right = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"user_id": b["c_custkey"].astype("int64"),
+             "segment": b["c_mktsegment"]}
+        ),
+        batch_format="pandas",
+    )
+    joined = partitioned_hash_join(
+        left, right, on=["user_id"], how="outer", path="exchange"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "n_events": b["n_events"].fillna(0).astype("int64"),
+                "segment": b["segment"].fillna("none"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+@register(
+    "events_first_last",
+    """
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_value,
+           LAST_VALUE(event_type) OVER w AS last_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def events_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE over the per-user (ts, id)-ordered stream
+    (stages/window.first_last_value) — one metadata-count co-location,
+    in-bucket sort + groupby first/last."""
+    from nerpii_ray.stages.window import first_last_value
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return first_last_value(ds)
+
+
+@register(
+    "doc_token_heavy_hitters",
+    """
+    WITH t AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+               x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token AS value, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM t GROUP BY token
+    ORDER BY est_count DESC, value LIMIT 10
+    """,
+)
+def doc_token_heavy_hitters(sf_dir: str):
+    """Heavy hitters through the mergeable Misra–Gries summary
+    (stages/agg.misra_gries_topk) in its EXACT regime: capacity far
+    exceeds the corpus vocabulary, so no counter is ever decremented and
+    the exact top-10 token counts are the oracle (the same
+    exact-regime-oracle construction as ``ann_ivf_topk_small``).  The
+    lossy regime's N/capacity error bound is pytest-pinned."""
+    from nerpii_ray.stages.agg import misra_gries_topk
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("").str.lower().str.split()
+        return pd.DataFrame({"token": s.explode().dropna()})
+
+    return misra_gries_topk(
+        ds.map_batches(tokens, batch_format="pandas"),
+        "token", capacity=262_144, out_k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -3023,7 +3252,8 @@ _DRIVER_CERTIFIED = [
     "transcript_gender_enrich", "doc_redact_tags", "region_csv_roundtrip",
     "events_jsonl_roundtrip", "orders_union_counts", "customers_sample",
     "orders_sample", "events_stratified_sample", "events_props_extract",
-    "orders_string_agg", "corpus_clean",
+    "orders_string_agg", "corpus_clean", "multimodal_features",
+    "region_nations_concat", "doc_ngram_jaccard_pairs", "embedding_dup_pairs",
 ]
 
 
@@ -3036,7 +3266,8 @@ _WINDOW_DEPRIORITIZED = [
     "orders_sample", "events_stratified_sample", "orders_union_counts",
     "orders_string_agg", "split_part_names", "events_props_extract",
     "transcript_gender_enrich", "doc_fingerprints", "embedding_norms",
-    "distinct_segments",
+    "distinct_segments", "promo_parts", "supplier_per_region", "top_orders",
+    "orders_by_segment", "iban_detect", "it_person_locations",
 ]
 
 

@@ -531,3 +531,151 @@ def grouped_moments(
     return tree_aggregate(
         ds, partial_fn or default_partial, merge, final_fn=finish
     )
+
+
+def grouped_corr(
+    ds,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    partial_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    """Mergeable bivariate moments per group — COVAR_POP and CORR — with
+    the same exact-integer discipline as ``grouped_moments``: the
+    combiner state is (n, Σx, Σy, Σxy, Σx², Σy²) carried as genuine
+    object-dtype Python ints (int64 Σxy/Σx² wrap at realistic scale
+    factors), and every floating-point result is produced from exact
+    integer numerators with the SAME expression shape DuckDB evaluates —
+    covar = (n·Σxy − Σx·Σy)/n², corr = (n·Σxy − Σx·Σy) /
+    (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) — so hash matches are bit-stable.
+
+    ``x_col``/``y_col`` must be integer-valued (cents, counts); derive
+    them in ``partial_fn``.  Output: keys…, n, covar_pop, corr.
+    """
+    import math
+
+    keys = list(keys)
+    state = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+
+    def default_partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = [int(v) for v in b[x_col]]
+        y = [int(v) for v in b[y_col]]
+        df = pd.DataFrame({**{k: b[k] for k in keys}})
+        idx = df.index
+        df["n"] = pd.Series([1] * len(df), index=idx, dtype="object")
+        df["sx"] = pd.Series(x, index=idx, dtype="object")
+        df["sy"] = pd.Series(y, index=idx, dtype="object")
+        df["sxy"] = pd.Series(
+            [a * c for a, c in zip(x, y)], index=idx, dtype="object"
+        )
+        df["sxx"] = pd.Series([a * a for a in x], index=idx, dtype="object")
+        df["syy"] = pd.Series([c * c for c in y], index=idx, dtype="object")
+        return (
+            df.groupby(keys, sort=False, observed=True)[state]
+            .sum()
+            .reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in state:
+            df[c] = pd.Series(
+                [int(v) for v in df[c]], index=df.index, dtype="object"
+            )
+        return (
+            df.groupby(keys, sort=False, observed=True)[state]
+            .sum()
+            .reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = {k: pd.Series(dtype="object") for k in keys}
+            cols.update(n=pd.Series(dtype="int64"),
+                        covar_pop=pd.Series(dtype="float64"),
+                        corr=pd.Series(dtype="float64"))
+            return pd.DataFrame(cols)
+        out = df[keys].copy()
+        n = [int(v) for v in df["n"]]
+        sx = [int(v) for v in df["sx"]]
+        sy = [int(v) for v in df["sy"]]
+        sxy = [int(v) for v in df["sxy"]]
+        sxx = [int(v) for v in df["sxx"]]
+        syy = [int(v) for v in df["syy"]]
+        out["n"] = pd.Series(n, index=df.index).astype("int64")
+        out["covar_pop"] = [
+            float(c * xy - a * b) / float(c * c)
+            for a, b, xy, c in zip(sx, sy, sxy, n)
+        ]
+        out["corr"] = [
+            float(c * xy - a * b)
+            / (math.sqrt(float(c * xx - a * a)) * math.sqrt(float(c * yy - b * b)))
+            for a, b, xy, xx, yy, c in zip(sx, sy, sxy, sxx, syy, n)
+        ]
+        return out.reset_index(drop=True)
+
+    return tree_aggregate(
+        ds, partial_fn or default_partial, merge, final_fn=finish
+    )
+
+
+def misra_gries_topk(
+    ds,
+    value_col: str,
+    capacity: int = 64,
+    out_k: int = 10,
+    partial_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    """Heavy hitters via a mergeable Misra–Gries summary: each combiner
+    keeps at most ``capacity`` (value, count) counters; summaries merge
+    by summing counters and decrementing all by the (capacity+1)-largest
+    count when over capacity (Agarwal et al., "Mergeable Summaries",
+    PODS'12) — the estimate undercounts each value by at most N/capacity
+    regardless of merge order.  One tree pass, state bounded by
+    capacity per block at every level, never by distinct values.
+
+    EXACT regime: with ``capacity`` ≥ the number of distinct values no
+    counter is ever decremented and the output is the exact top-k —
+    that is the SQL-oracle registration; the error bound of the lossy
+    regime is pytest-pinned against exact counts.
+
+    Output: (value, est_count) — the ``out_k`` largest counters, count
+    descending then value ascending (deterministic cut).
+    """
+
+    def default_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b[value_col].value_counts()
+        return pd.DataFrame(
+            {"value": vc.index.astype(str), "est_count": vc.to_numpy()}
+        )
+
+    def mg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"value": pd.Series(dtype="object"),
+                 "est_count": pd.Series(dtype="int64")}
+            )
+        s = (
+            df.groupby("value", sort=False, observed=True)["est_count"]
+            .sum()
+            .sort_values(ascending=False, kind="stable")
+        )
+        if len(s) > capacity:
+            dec = int(s.iloc[capacity])  # (capacity+1)-largest count
+            s = (s - dec).iloc[:capacity]
+            s = s[s > 0]
+        return pd.DataFrame(
+            {"value": s.index.to_numpy(), "est_count": s.to_numpy()}
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = mg_merge(df)
+        df = df.sort_values(
+            ["est_count", "value"], ascending=[False, True], kind="stable"
+        ).head(out_k)
+        df["est_count"] = df["est_count"].astype("int64")
+        return df.reset_index(drop=True)
+
+    return tree_aggregate(
+        ds, partial_fn or default_partial, mg_merge, final_fn=finish
+    )

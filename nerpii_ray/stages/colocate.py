@@ -56,11 +56,13 @@ def keyed_partition_apply(
     multiple keys per call.
 
     ``path`` picks the physical plan:
-    * ``"auto"`` (default) — materialize the input once (the
-      cardinality decision needs a count; the chosen finish then
-      consumes the pinned copy, so every row is still scanned once) and
-      route small inputs to the one-task path, large ones to the
-      exchange;
+    * ``"auto"`` (default) — decide small-vs-exchange from the row
+      count.  For inputs whose count is knowable from METADATA (a pure
+      parquet read: Ray's ``_meta_count``), the decision is free — no
+      materialization, no pin, and the chosen finish is the input's
+      first and only scan, at any scale.  Otherwise materialize the
+      input once (the count needs a scan; the chosen finish then
+      consumes the pinned copy, so rows are still scanned once);
     * ``"exchange"`` — go straight to the keyed actor exchange with NO
       materialization: the right call at a scale known a priori (a
       100-TB pipeline should stream into the exchange, not pin the
@@ -75,8 +77,13 @@ def keyed_partition_apply(
     keys = list(keys)
     n = None
     if path == "auto":
-        ds = ds.materialize()
-        n = ds.count()
+        try:
+            n = ds._meta_count()  # metadata-only count (pure reads)
+        except Exception:  # pragma: no cover - Ray-internal API drift
+            n = None
+        if n is None:
+            ds = ds.materialize()
+            n = ds.count()
         path = "small" if n <= ROOT_THRESHOLD_DEFAULT else "exchange"
     if path == "small":
         # ONE task, whole-frame kernel: repartition(1) is a plain

@@ -259,3 +259,50 @@ def running_order_stats(
         )
 
     return keyed_partition_apply(orders_ds, [key_col], kernel, num_buckets, path)
+
+
+def first_last_value(
+    events_ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "event_type",
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Per-key FIRST_VALUE / LAST_VALUE over the (ts, id)-ordered stream —
+    SQL's ``FIRST_VALUE(v) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)`` pair, reduced
+    to one row per key (the per-row window value is constant within the
+    key).  Same physical plan as every ordered operator here: one hash
+    co-location via ``keyed_partition_apply`` (metadata-count auto path:
+    a pure parquet read never materializes), then an in-bucket sort +
+    groupby first/last — C kernels, no global sort.
+
+    Output: (key, first_value, last_value, n_events).
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {user_col: pd.Series(dtype="int64"),
+                 "first_value": pd.Series(dtype="object"),
+                 "last_value": pd.Series(dtype="object"),
+                 "n_events": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values([user_col, ts_col, id_col], kind="stable")
+        gb = g.groupby(user_col, sort=False, observed=True)[value_col]
+        out = pd.DataFrame(
+            {
+                "first_value": gb.first(),
+                "last_value": gb.last(),
+                "n_events": gb.size().astype("int64"),
+            }
+        ).reset_index()
+        out[user_col] = out[user_col].astype("int64")
+        return out
+
+    return keyed_partition_apply(
+        events_ds, [user_col], kernel, num_buckets, path
+    )

@@ -1190,3 +1190,109 @@ def test_connected_components_path_graph_log_rounds():
     assert len(out) == n
     assert out["component"].nunique() == 1
     assert int(out["component"].iloc[0]) == 0
+
+
+def test_grouped_corr_exact_past_int64():
+    """grouped_corr carries exact object-int bivariate partials; doubles
+    come from one division of exact integers — bit-equal to the Python
+    big-int reference even when Σx² would wrap int64."""
+    import math
+
+    from nerpii_ray.stages.agg import grouped_corr
+
+    rng = np.random.default_rng(11)
+    xs = (3_000_000_000 + rng.integers(0, 10**7, 60)).tolist()
+    ys = rng.integers(1, 50, 60).tolist()
+    frames = [
+        pd.DataFrame({"g": ["a"] * 30, "x": xs[:30], "y": ys[:30]}),
+        pd.DataFrame({"g": ["a"] * 30, "x": xs[30:], "y": ys[30:]}),
+    ]
+    out = grouped_corr(rd.from_pandas(frames), ["g"], "x", "y").to_pandas()
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    want_cov = float(n * sxy - sx * sy) / float(n * n)
+    want_corr = float(n * sxy - sx * sy) / (
+        math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(float(n * syy - sy * sy))
+    )
+    row = out.iloc[0]
+    assert int(row["n"]) == n
+    assert float(row["covar_pop"]) == want_cov
+    assert float(row["corr"]) == want_corr
+
+
+def test_misra_gries_exact_and_lossy_bound():
+    """misra_gries_topk: exact regime (capacity ≥ distinct) returns the
+    exact top-k; lossy regime undercounts each value by at most
+    N/capacity (mergeable-summaries guarantee), never overcounts."""
+    from nerpii_ray.stages.agg import misra_gries_topk
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: value i appears ~ 3000/i times
+    vals = []
+    for i in range(1, 200):
+        vals += [f"v{i:03d}"] * (3000 // i)
+    rng.shuffle(vals)
+    frames = [
+        pd.DataFrame({"tok": vals[i::4]}) for i in range(4)
+    ]
+    ds = rd.from_pandas(frames)
+    true = pd.Series(vals).value_counts()
+
+    exact = misra_gries_topk(ds, "tok", capacity=1000, out_k=10).to_pandas()
+    want = (
+        true.rename_axis("value").reset_index(name="est_count")
+        .sort_values(["est_count", "value"], ascending=[False, True])
+        .head(10).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        exact.astype({"est_count": "int64"}),
+        want.astype({"est_count": "int64"}),
+    )
+
+    lossy = misra_gries_topk(ds, "tok", capacity=32, out_k=10).to_pandas()
+    bound = len(vals) / 32
+    for _, r in lossy.iterrows():
+        t = int(true.get(r["value"], 0))
+        assert r["est_count"] <= t, "MG must never overcount"
+        assert t - r["est_count"] <= bound, (r["value"], t, r["est_count"])
+
+
+def test_first_last_value_matches_pandas():
+    from nerpii_ray.stages.window import first_last_value
+
+    rng = np.random.default_rng(9)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(400, dtype="int64"),
+            "user_id": rng.integers(0, 12, 400),
+            "ts": pd.to_datetime("2021-06-01")
+            + pd.to_timedelta(rng.integers(0, 7200, 400), unit="s"),
+            "event_type": rng.choice(["a", "b", "c"], 400),
+        }
+    )
+    out = (
+        first_last_value(rd.from_pandas(ev))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ref = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    gb = ref.groupby("user_id")["event_type"]
+    want = pd.DataFrame(
+        {
+            "user_id": gb.first().index.astype("int64"),
+            "first_value": gb.first().to_numpy(),
+            "last_value": gb.last().to_numpy(),
+            "n_events": gb.size().to_numpy().astype("int64"),
+        }
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want)
+    # exchange path agrees
+    ex = (
+        first_last_value(rd.from_pandas(ev), path="exchange")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ex, want)
