@@ -198,3 +198,103 @@ def nric_valid(s: str) -> bool:
         total += 4
     table = _NRIC_TABLE_ST if s[0] in "ST" else _NRIC_TABLE_FG
     return s[8] == table[total % 11]
+
+
+def medicare_valid(s: str) -> bool:
+    """Australian Medicare number checksum (Presidio's AU pack): 10
+    digits (optionally displayed 4-5-1), first digit 2–6, and the 9th
+    digit is the (1,3,7,9,1,3,7,9)-weighted sum of the first eight,
+    mod 10.  The 10th digit is the card issue number — not checked."""
+    d = s.replace(" ", "")
+    if len(d) != 10 or not d.isdigit() or d[0] not in "23456":
+        return False
+    weights = (1, 3, 7, 9, 1, 3, 7, 9)
+    return sum(int(c) * w for c, w in zip(d[:8], weights)) % 10 == int(d[8])
+
+
+def acn_valid(s: str) -> bool:
+    """Australian Company Number checksum (Presidio's AU pack): nine
+    digits; complement of the (8,7,6,5,4,3,2,1)-weighted sum of the
+    first eight, mod 10, equals the 9th."""
+    if len(s) != 9 or not s.isdigit():
+        return False
+    weights = (8, 7, 6, 5, 4, 3, 2, 1)
+    total = sum(int(c) * w for c, w in zip(s[:8], weights))
+    return (10 - total % 10) % 10 == int(s[8])
+
+
+def pesel_valid(s: str) -> bool:
+    """Polish PESEL checksum (Presidio's PL pack): eleven digits;
+    complement of the (1,3,7,9,1,3,7,9,1,3)-weighted sum of the first
+    ten, mod 10, equals the 11th."""
+    if len(s) != 11 or not s.isdigit():
+        return False
+    weights = (1, 3, 7, 9, 1, 3, 7, 9, 1, 3)
+    total = sum(int(c) * w for c, w in zip(s[:10], weights))
+    return (10 - total % 10) % 10 == int(s[10])
+
+
+_NIF_LETTERS = "TRWAGMYFPDXBNJZSQVHLCKE"
+
+
+def nif_valid(s: str) -> bool:
+    """Spanish NIF/DNI check letter (Presidio's ES pack): eight digits
+    whose value mod 23 indexes the official letter table."""
+    if len(s) != 9 or not s[:8].isdigit():
+        return False
+    return s[8] == _NIF_LETTERS[int(s[:8]) % 23]
+
+
+_HETU_CHARS = "0123456789ABCDEFHJKLMNPRSTUVWXY"
+
+
+def hetu_valid(s: str) -> bool:
+    """Finnish HETU (henkilötunnus) check character (Presidio's FI
+    pack): ddmmyy, century separator (- + or A), 3-digit individual
+    number; the 9-digit number ddmmyynnn mod 31 indexes the official
+    character table."""
+    if len(s) != 11 or s[6] not in "-+A":
+        return False
+    digits = s[:6] + s[7:10]
+    if not digits.isdigit():
+        return False
+    return s[10] == _HETU_CHARS[int(digits) % 31]
+
+
+#: Verhoeff dihedral-group multiplication and permutation tables
+#: (public-domain algorithm; the Aadhaar check digit scheme)
+_VERHOEFF_D = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+    (1, 2, 3, 4, 0, 6, 7, 8, 9, 5),
+    (2, 3, 4, 0, 1, 7, 8, 9, 5, 6),
+    (3, 4, 0, 1, 2, 8, 9, 5, 6, 7),
+    (4, 0, 1, 2, 3, 9, 5, 6, 7, 8),
+    (5, 9, 8, 7, 6, 0, 4, 3, 2, 1),
+    (6, 5, 9, 8, 7, 1, 0, 4, 3, 2),
+    (7, 6, 5, 9, 8, 2, 1, 0, 4, 3),
+    (8, 7, 6, 5, 9, 3, 2, 1, 0, 4),
+    (9, 8, 7, 6, 5, 4, 3, 2, 1, 0),
+)
+_VERHOEFF_P = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9),
+    (1, 5, 7, 6, 2, 8, 3, 0, 9, 4),
+    (5, 8, 0, 3, 7, 9, 6, 1, 4, 2),
+    (8, 9, 1, 6, 0, 4, 3, 5, 2, 7),
+    (9, 4, 5, 3, 1, 2, 6, 8, 7, 0),
+    (4, 2, 8, 6, 5, 7, 3, 9, 0, 1),
+    (2, 7, 9, 3, 8, 0, 6, 4, 1, 5),
+    (7, 0, 4, 6, 9, 1, 3, 2, 5, 8),
+)
+
+
+def verhoeff_valid(s: str) -> bool:
+    """Verhoeff checksum over a decimal string (the Aadhaar scheme,
+    Presidio's IN pack): fold digits right-to-left through the dihedral
+    D5 multiplication table under the 8-cycle permutation; valid iff
+    the fold lands on 0."""
+    if not s.isdigit():
+        return False
+    c = 0
+    for i, ch in enumerate(reversed(s)):
+        c = _VERHOEFF_D[c][_VERHOEFF_P[i % 8][int(ch)]]
+    return c == 0

@@ -114,6 +114,69 @@ def _oracle_nric_ok(s: str) -> bool:
     return s[8] == table[total % 11]
 
 
+def _oracle_medicare_ok(s: str) -> bool:
+    d = s.replace(" ", "")
+    if len(d) != 10 or not d.isdigit() or d[0] not in "23456":
+        return False
+    total = 0
+    for c, w in zip(reversed(d[:8]), (9, 7, 3, 1, 9, 7, 3, 1)):
+        total += int(c) * w
+    return total % 10 == int(d[8])
+
+
+def _oracle_acn_ok(s: str) -> bool:
+    if len(s) != 9 or not s.isdigit():
+        return False
+    total = sum(int(c) * (8 - i) for i, c in enumerate(s[:8]))
+    return (total + int(s[8])) % 10 == 0
+
+
+def _oracle_pesel_ok(s: str) -> bool:
+    if len(s) != 11 or not s.isdigit():
+        return False
+    total = sum(
+        int(c) * w
+        for c, w in zip(s[:10], (1, 3, 7, 9, 1, 3, 7, 9, 1, 3))
+    )
+    return (total + int(s[10])) % 10 == 0
+
+
+def _oracle_nif_ok(s: str) -> bool:
+    if len(s) != 9 or not s[:8].isdigit():
+        return False
+    return s[8] == "TRWAGMYFPDXBNJZSQVHLCKE"[int(s[:8]) % 23]
+
+
+def _oracle_hetu_ok(s: str) -> bool:
+    if len(s) != 11 or s[6] not in "-+A":
+        return False
+    digits = s[:6] + s[7:10]
+    if not digits.isdigit():
+        return False
+    return s[10] == "0123456789ABCDEFHJKLMNPRSTUVWXY"[int(digits) % 31]
+
+
+# Verhoeff tables as row strings (same public algorithm, string-indexed
+# rather than the engine's tuple-of-tuples)
+_ORACLE_VH_D = (
+    "0123456789", "1234067895", "2340178956", "3401289567", "4012395678",
+    "5987604321", "6598710432", "7659821043", "8765932104", "9876543210",
+)
+_ORACLE_VH_P = (
+    "0123456789", "1576283094", "5803796142", "8916043527",
+    "9453126870", "4286573901", "2793806415", "7046913258",
+)
+
+
+def _oracle_verhoeff_ok(s: str) -> bool:
+    if not s.isdigit():
+        return False
+    c = 0
+    for i, ch in enumerate(reversed(s)):
+        c = int(_ORACLE_VH_D[c][int(_ORACLE_VH_P[i % 8][int(ch)])])
+    return c == 0
+
+
 def _oracle_mod10_ok(s: str) -> bool:
     """Independent Luhn for the 11-digit partita IVA: double every
     second digit from the right via divmod carry-fold (no length gate —
@@ -141,12 +204,17 @@ _PATTERNS = [
     ("CRYPTO", r"\b(?:[13][a-km-zA-HJ-NP-Z1-9]{25,33}|bc1[a-z0-9]{25,39})\b", 1.0),
     ("MEDICAL_LICENSE", r"\b[ABCDEFGHJKLMPRSTUX][A-Z]\d{7}\b", 1.0),
     ("SG_NRIC", r"\b[STFG]\d{7}[A-Z]\b", 1.0),
+    ("ES_NIF", r"\b\d{8}[A-Z]\b", 1.0),
+    ("FI_HETU", r"\b\d{6}[-+A]\d{3}[0-9A-Y]\b", 1.0),
+    ("IN_PAN", r"\b[A-Z]{5}\d{4}[A-Z]\b", 0.85),
     ("IT_DRIVER_LICENSE", r"\b[A-Z]{2}\d{7}[A-Z]\b", 0.3),
     ("US_PASSPORT", r"\b[A-Z]\d{8}\b", 0.4),
     ("US_DRIVER_LICENSE", r"\b[A-Z]\d{7}\b", 0.3),
     ("IT_VAT_CODE", r"\b\d{11}\b", 1.0),
+    ("AU_MEDICARE", r"\b[2-6]\d{3} \d{5} \d\b", 1.0),
     ("UK_NHS", r"\b\d{3} ?\d{3} ?\d{4}\b", 1.0),
     ("AU_TFN", r"\b\d{9}\b", 1.0),
+    ("IN_AADHAAR", r"\b[2-9]\d{11}\b", 1.0),
     ("US_BANK_NUMBER", r"\b\d{8,12}\b", 0.3),
     (
         "DATE_TIME",
@@ -208,12 +276,22 @@ def oracle_mentions(text: str | None) -> list[dict]:
     emitted_spans: list[tuple] = []  # spans that emitted a mention — the
     # engine suppresses gazetteer/org hits only inside THESE
 
-    # pattern recognizers: greedy by (start, priority), non-overlapping —
-    # equivalent to a single left-to-right alternation scan
+    # pattern recognizers: greedy by (start, priority) over the FULL
+    # (overlapping) candidate set — equivalent to the engine's single
+    # left-to-right alternation scan.  Plain ``finditer`` would be
+    # wrong here: its non-overlapping semantics can consume a long
+    # early candidate (e.g. a spaced CREDIT_CARD span bridging two
+    # number groups) that the greedy selection then SKIPS for overlap,
+    # hiding the later same-pattern match the engine's rescan finds.
     cands = []
     for prio, (ent, rx, score) in enumerate(_COMPILED):
-        for m in rx.finditer(text):
+        pos = 0
+        while True:
+            m = rx.search(text, pos)
+            if not m:
+                break
             cands.append((m.start(), prio, m.end(), ent, score, m.group(0)))
+            pos = m.start() + 1
     cands.sort()
     for start, prio, end, ent, score, surf in cands:
         if any(not (end <= s or start >= e) for s, e in taken):
@@ -231,22 +309,38 @@ def oracle_mentions(text: str | None) -> list[dict]:
             emit = _oracle_dea_ok(surf)
         elif ent == "SG_NRIC":
             emit = _oracle_nric_ok(surf)
+        elif ent == "ES_NIF":
+            emit = _oracle_nif_ok(surf)
+        elif ent == "FI_HETU":
+            emit = _oracle_hetu_ok(surf)
         elif ent == "IT_VAT_CODE":
-            # partita IVA by Luhn; else the AU ABN mod-89 identity of
-            # the same 11-digit shape; else the weak bank-number entity
+            # one 11-digit shape, three checksummed identities, then
+            # the weak bank-number catch-all
             if not _oracle_mod10_ok(surf):
                 if _oracle_abn_ok(surf):
                     ent, score = "AU_ABN", 1.0
+                elif _oracle_pesel_ok(surf):
+                    ent, score = "PL_PESEL", 1.0
                 else:
                     ent, score = "US_BANK_NUMBER", 0.3
+        elif ent == "AU_MEDICARE":
+            emit = _oracle_medicare_ok(surf)
         elif ent == "UK_NHS":
             if not _oracle_nhs_ok(surf):
-                if " " in surf:
+                if " " not in surf and _oracle_medicare_ok(surf):
+                    ent, score = "AU_MEDICARE", 1.0
+                elif " " in surf:
                     ent, score = "PHONE_NUMBER", 0.75
                 else:
                     ent, score = "US_BANK_NUMBER", 0.3
         elif ent == "AU_TFN":
             if not _oracle_tfn_ok(surf):
+                if _oracle_acn_ok(surf):
+                    ent, score = "AU_ACN", 1.0
+                else:
+                    ent, score = "US_BANK_NUMBER", 0.3
+        elif ent == "IN_AADHAAR":
+            if not _oracle_verhoeff_ok(surf):
                 ent, score = "US_BANK_NUMBER", 0.3
         elif ent == "IT_FISCAL_CODE":
             if not _oracle_cf_ok(surf):

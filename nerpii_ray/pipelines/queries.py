@@ -1644,7 +1644,7 @@ _KG_ORACLE_DIR = "/tmp/nerpii_ray_oracle"
 #: Ordering contract: the engine query (which writes the side parquet)
 #: must run BEFORE its SQL twin — the driver's sweep does this; the
 #: pytest oracle sweep does too.
-_ORACLE_SIDE_VERSION = 2
+_ORACLE_SIDE_VERSION = 3  # r4: overlapping-candidate oracle scan + packs
 
 
 def _side_suffix(sf: float) -> str:
@@ -3220,6 +3220,283 @@ def doc_token_heavy_hitters(sf_dir: str):
     )
 
 
+
+
+@register(
+    "doc_pagerank",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT
+          substr(md5('SOURCE:' || source), 1, 16) AS src,
+          substr(md5(entity || ':' || lower(surface)), 1, 16) AS dst
+      FROM ({_DOC_MENTIONS_SQL_PARTS})
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    ), params AS (
+      SELECT CAST(1000000000000 AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                 AS base
+      FROM nodes
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT node, (SELECT base FROM params) AS r FROM nodes
+    ), s1 AS (
+      SELECT e.dst AS node, SUM(r0.r // d.outdeg) AS s
+      FROM e JOIN deg d ON e.src = d.src JOIN r0 ON r0.node = e.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT n.node, (15 * (SELECT base FROM params)) // 100
+             + (85 * COALESCE(s1.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN s1 ON n.node = s1.node
+    ), s2 AS (
+      SELECT e.dst AS node, SUM(r1.r // d.outdeg) AS s
+      FROM e JOIN deg d ON e.src = d.src JOIN r1 ON r1.node = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT n.node, (15 * (SELECT base FROM params)) // 100
+             + (85 * COALESCE(s2.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN s2 ON n.node = s2.node
+    ), s3 AS (
+      SELECT e.dst AS node, SUM(r2.r // d.outdeg) AS s
+      FROM e JOIN deg d ON e.src = d.src JOIN r2 ON r2.node = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT n.node, (15 * (SELECT base FROM params)) // 100
+             + (85 * COALESCE(s3.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN s3 ON n.node = s3.node
+    )
+    SELECT node, CAST(r AS BIGINT) AS pagerank_fp FROM r3
+    """,
+)
+def doc_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (stages/graph.pagerank_fp, 3
+    iterations, damping 85/100, rank mass scaled to 10^12) over the
+    document co-mention graph — floating-point sums are merge-order-
+    dependent and could never hash-match, so the OPERATOR is defined in
+    order-independent integer arithmetic and the SQL twin replays it
+    exactly (same floor divisions, same leak convention for sinks)."""
+    from nerpii_ray.stages.agg import tree_dedup
+    from nerpii_ray.stages.graph import pagerank_fp
+
+    edges = doc_edges(sf_dir)
+
+    def to_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": b["subj_id"], "dst": b["obj_id"]}
+        ).drop_duplicates()
+
+    pairs = tree_dedup(edges, keys=["src", "dst"], partial_fn=to_pairs)
+    return pagerank_fp(pairs)
+
+
+
+
+class _NatIdEuScanner:
+    """Scanner for natid_detect_eu (same construction as _NatIdScanner:
+    full default catalog incl. the second-tier packs, compiled once per
+    worker, real combined-regex scan with the validator chains)."""
+
+    def __init__(self):
+        from nerpii_ray.state.registry import RecognizerRegistry
+
+        self.reg = RecognizerRegistry(
+            add_addresses_recognizer=False,
+            enable_gazetteers=False,
+            enable_model_labels=False,
+        ).compile()
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        out = self.reg.scan(b["text"].tolist())
+        keys = b["c_custkey"].to_numpy()
+        return pd.DataFrame(
+            {
+                "c_custkey": pd.array(
+                    [keys[r] for r in out["row"]], dtype="int64"
+                ),
+                "entity": pd.array(out["entity"], dtype=str),
+                "surface": pd.array(out["surface"], dtype=str),
+            }
+        )
+
+
+def _scan_natid_eu_batch(b: pd.DataFrame) -> pd.DataFrame:
+    from nerpii_ray.stages.taskcache import worker_cached
+
+    return worker_cached(_NatIdEuScanner)(b)
+
+
+@register(
+    "natid_detect_eu",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             chr(50 + CAST(c_custkey % 5 AS INT))
+               || lpad(CAST((c_custkey * 48271) % 1000000000 AS VARCHAR),
+                       9, '0') AS medicare,
+             lpad(CAST((c_custkey * 69621) % 1000000000 AS VARCHAR),
+                  9, '0') AS nine,
+             lpad(CAST((c_custkey * 16785407) % 100000000000 AS VARCHAR),
+                  11, '0') AS eleven,
+             lpad(CAST((c_custkey * 99991) % 100000000 AS VARCHAR),
+                  8, '0') AS nifnum,
+             chr(65 + CAST((c_custkey * 7) % 26 AS INT)) AS nifletter,
+             lpad(CAST((c_custkey * 37) % 1000000 AS VARCHAR), 6, '0')
+               AS hetu6,
+             lpad(CAST((c_custkey * 11) % 1000 AS VARCHAR), 3, '0')
+               AS hetu3,
+             substr('0123456789ABCDEFHJKLMNPRSTUVWXY',
+                    CAST((c_custkey * 13) % 31 AS INT) + 1, 1) AS hetuchk,
+             chr(50 + CAST(c_custkey % 8 AS INT))
+               || lpad(CAST((c_custkey * 16807) % 100000000000 AS VARCHAR),
+                       11, '0') AS aadhaar
+      FROM customer
+    ), v0 AS (
+      SELECT *, 0 AS c FROM c
+    ), v1 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('0123456789', CAST(substr(aadhaar, 12, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v0),
+      v2 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('1576283094', CAST(substr(aadhaar, 11, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v1),
+      v3 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('5803796142', CAST(substr(aadhaar, 10, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v2),
+      v4 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('8916043527', CAST(substr(aadhaar, 9, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v3),
+      v5 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('9453126870', CAST(substr(aadhaar, 8, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v4),
+      v6 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('4286573901', CAST(substr(aadhaar, 7, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v5),
+      v7 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('2793806415', CAST(substr(aadhaar, 6, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v6),
+      v8 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('7046913258', CAST(substr(aadhaar, 5, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v7),
+      v9 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('0123456789', CAST(substr(aadhaar, 4, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v8),
+      v10 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('1576283094', CAST(substr(aadhaar, 3, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v9),
+      v11 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('5803796142', CAST(substr(aadhaar, 2, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v10),
+      v12 AS (SELECT * REPLACE (CAST(substr('0123456789123406789523401789563401289567401239567859876043216598710432765982104387659321049876543210', c * 10 + CAST(substr('8916043527', CAST(substr(aadhaar, 1, 1) AS INT) + 1, 1) AS INT) + 1, 1) AS INT) AS c) FROM v11)
+    , v AS (
+      SELECT c_custkey, medicare, nine, eleven, nifnum, nifletter,
+             hetu6, hetu3, hetuchk, aadhaar, (c = 0) AS aadhaar_ok,
+        -- Medicare: (1,3,7,9,1,3,7,9)-weighted first 8, mod 10 = 9th
+        list_sum(list_transform(range(1, 9),
+          i -> CAST(substr(medicare, CAST(i AS INT), 1) AS BIGINT)
+               * ([1,3,7,9,1,3,7,9])[CAST(i AS INT)])) % 10
+          = CAST(substr(medicare, 9, 1) AS BIGINT) AS medicare_ok,
+        -- TFN then ACN chain over the 9-digit run
+        list_sum(list_transform(range(1, 10),
+          i -> CAST(substr(nine, CAST(i AS INT), 1) AS BIGINT)
+               * ([1,4,3,7,5,8,6,9,10])[CAST(i AS INT)])) % 11 = 0
+          AS tfn_ok,
+        (10 - list_sum(list_transform(range(1, 9),
+          i -> CAST(substr(nine, CAST(i AS INT), 1) AS BIGINT)
+               * (9 - CAST(i AS INT)))) % 10) % 10
+          = CAST(substr(nine, 9, 1) AS BIGINT) AS acn_ok,
+        -- 11-digit chain: Luhn -> IT_VAT, ABN, PESEL, bank
+        list_sum(list_transform(range(1, 12),
+          i -> CASE WHEN CAST(i AS INT) % 2 = 0
+                    THEN 2 * CAST(substr(eleven, CAST(i AS INT), 1) AS BIGINT)
+                         - CASE WHEN CAST(substr(eleven, CAST(i AS INT), 1)
+                                          AS BIGINT) > 4
+                                THEN 9 ELSE 0 END
+                    ELSE CAST(substr(eleven, CAST(i AS INT), 1) AS BIGINT)
+               END)) % 10 = 0 AS luhn_ok,
+        (list_sum(list_transform(range(1, 12),
+          i -> CAST(substr(eleven, CAST(i AS INT), 1) AS BIGINT)
+               * ([10,1,3,5,7,9,11,13,15,17,19])[CAST(i AS INT)])) - 10)
+          % 89 = 0 AS abn_ok,
+        (10 - list_sum(list_transform(range(1, 11),
+          i -> CAST(substr(eleven, CAST(i AS INT), 1) AS BIGINT)
+               * ([1,3,7,9,1,3,7,9,1,3])[CAST(i AS INT)])) % 10) % 10
+          = CAST(substr(eleven, 11, 1) AS BIGINT) AS pesel_ok,
+        nifletter = substr('TRWAGMYFPDXBNJZSQVHLCKE',
+                           CAST(CAST(nifnum AS BIGINT) % 23 AS INT) + 1, 1)
+          AS nif_ok,
+        hetuchk = substr('0123456789ABCDEFHJKLMNPRSTUVWXY',
+                         CAST(CAST(hetu6 || hetu3 AS BIGINT) % 31 AS INT)
+                         + 1, 1) AS hetu_ok
+      FROM v12
+    )
+    SELECT c_custkey, 'AU_MEDICARE' AS entity,
+           substr(medicare, 1, 4) || ' ' || substr(medicare, 5, 5) || ' '
+             || substr(medicare, 10, 1) AS surface
+    FROM v WHERE medicare_ok
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN tfn_ok THEN 'AU_TFN'
+                WHEN acn_ok THEN 'AU_ACN'
+                ELSE 'US_BANK_NUMBER' END, nine FROM v
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN luhn_ok THEN 'IT_VAT_CODE'
+                WHEN abn_ok THEN 'AU_ABN'
+                WHEN pesel_ok THEN 'PL_PESEL'
+                ELSE 'US_BANK_NUMBER' END, eleven FROM v
+    UNION ALL
+    SELECT c_custkey, 'ES_NIF', nifnum || nifletter FROM v WHERE nif_ok
+    UNION ALL
+    SELECT c_custkey, 'FI_HETU', hetu6 || '-' || hetu3 || hetuchk
+    FROM v WHERE hetu_ok
+    UNION ALL
+    SELECT c_custkey, 'IN_PAN',
+           chr(65 + CAST((c_custkey * 1) % 26 AS INT))
+           || chr(65 + CAST((c_custkey * 3) % 26 AS INT))
+           || chr(65 + CAST((c_custkey * 5) % 26 AS INT))
+           || chr(65 + CAST((c_custkey * 7) % 26 AS INT))
+           || chr(65 + CAST((c_custkey * 11) % 26 AS INT))
+           || lpad(CAST((c_custkey * 97) % 10000 AS VARCHAR), 4, '0')
+           || chr(65 + CAST((c_custkey * 17) % 26 AS INT)) FROM v
+    UNION ALL
+    SELECT c_custkey,
+           CASE WHEN aadhaar_ok THEN 'IN_AADHAAR'
+                ELSE 'US_BANK_NUMBER' END, aadhaar FROM v
+    """,
+)
+def natid_detect_eu(sf_dir: str):
+    """Second-tier pack detection (AU_MEDICARE/ACN, IN_PAN/AADHAAR,
+    ES_NIF, PL_PESEL, FI_HETU) through the real combined-registry scan,
+    including every validator fallback chain (9-digit TFN→ACN→bank,
+    11-digit Luhn→ABN→PESEL→bank).  Candidates derive deterministically
+    from customer keys; the SQL twin replays shape, checksum and
+    precedence — the Aadhaar Verhoeff fold is UNROLLED as twelve
+    table-lookup CTE steps over the dihedral-group strings."""
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def mk_text(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].astype("int64")
+        mc = (
+            (50 + k % 5).map(lambda c: chr(int(c)))
+            + ((k * 48271) % 10**9).map("{:09d}".format)
+        )
+        mc = mc.str.slice(0, 4) + " " + mc.str.slice(4, 9) + " " + mc.str.slice(9, 10)
+        nine = ((k * 69621) % 10**9).map("{:09d}".format)
+        eleven = ((k * 16785407) % 10**11).map("{:011d}".format)
+        nif = ((k * 99991) % 10**8).map("{:08d}".format) + (
+            65 + (k * 7) % 26
+        ).map(lambda c: chr(int(c)))
+        hetu = (
+            ((k * 37) % 10**6).map("{:06d}".format)
+            + "-"
+            + ((k * 11) % 1000).map("{:03d}".format)
+            + ((k * 13) % 31).map(
+                lambda i: "0123456789ABCDEFHJKLMNPRSTUVWXY"[int(i)]
+            )
+        )
+        pan = (
+            sum(
+                ((65 + (k * m) % 26).map(lambda c: chr(int(c))) for m in (3, 5, 7, 11)),
+                start=(65 + (k * 1) % 26).map(lambda c: chr(int(c))),
+            )
+            + ((k * 97) % 10**4).map("{:04d}".format)
+            + (65 + (k * 17) % 26).map(lambda c: chr(int(c)))
+        )
+        aadhaar = (
+            (50 + k % 8).map(lambda c: chr(int(c)))
+            + ((k * 16807) % 10**11).map("{:011d}".format)
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": k,
+                "text": "mc " + mc + " acn " + nine + " id " + eleven
+                        + " dni " + nif + " fi " + hetu + " pan " + pan
+                        + " uid " + aadhaar,
+            }
+        )
+
+    return ds.map_batches(mk_text, batch_format="pandas").map_batches(
+        _scan_natid_eu_batch, batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -3268,6 +3545,7 @@ _WINDOW_DEPRIORITIZED = [
     "transcript_gender_enrich", "doc_fingerprints", "embedding_norms",
     "distinct_segments", "promo_parts", "supplier_per_region", "top_orders",
     "orders_by_segment", "iban_detect", "it_person_locations",
+    "lineitem_orders_hash_join", "doc_token_counts",
 ]
 
 

@@ -43,13 +43,19 @@ import numpy as np
 
 from nerpii_ray.functions.hashing import (
     abn_valid,
+    acn_valid,
     codice_fiscale_valid,
     dea_valid,
+    hetu_valid,
     iban_valid,
     luhn_valid,
+    medicare_valid,
     nhs_valid,
+    nif_valid,
     nric_valid,
+    pesel_valid,
     tfn_valid,
+    verhoeff_valid,
 )
 from nerpii_ray.gazetteers import STREET_WORDS, detection_sets
 
@@ -222,6 +228,25 @@ def default_pattern_specs() -> List[PatternSpec]:
             1.0,
             validator=lambda s: nric_valid(s),
         ),
+        PatternSpec(
+            # Spanish NIF/DNI (Presidio's ES pack): 8 digits + the
+            # mod-23 table letter; invalid letters consume the span
+            "ES_NIF",
+            r"\b\d{8}[A-Z]\b",
+            1.0,
+            validator=lambda s: nif_valid(s),
+        ),
+        PatternSpec(
+            # Finnish HETU (Presidio's FI pack): ddmmyy + century
+            # separator + nnn + mod-31 check character
+            "FI_HETU",
+            r"\b\d{6}[-+A]\d{3}[0-9A-Y]\b",
+            1.0,
+            validator=lambda s: hetu_valid(s),
+        ),
+        # Indian PAN (Presidio's IN pack): 5 letters, 4 digits, 1
+        # letter — structured shape, no public checksum
+        PatternSpec("IN_PAN", r"\b[A-Z]{5}\d{4}[A-Z]\b", 0.85),
         # Presidio IT-pack driver licence shape (2 letters, 7 digits,
         # 1 letter); shape-only like the US variants, weak score
         PatternSpec("IT_DRIVER_LICENSE", r"\b[A-Z]{2}\d{7}[A-Z]\b", 0.3),
@@ -241,8 +266,18 @@ def default_pattern_specs() -> List[PatternSpec]:
             # else the weak bank-number catch-all
             fallbacks=[
                 ("AU_ABN", 1.0, lambda s: abn_valid(s)),
+                ("PL_PESEL", 1.0, lambda s: pesel_valid(s)),
                 ("US_BANK_NUMBER", 0.3, None),
             ],
+        ),
+        PatternSpec(
+            # Australian Medicare in the official 4-5-1 display form
+            # (Presidio's AU pack); contiguous 10-digit Medicare numbers
+            # arrive through UK_NHS's fallback chain instead
+            "AU_MEDICARE",
+            r"\b[2-6]\d{3} \d{5} \d\b",
+            1.0,
+            validator=lambda s: medicare_valid(s),
         ),
         PatternSpec(
             # UK NHS number (Presidio's NhsRecognizer): 10 digits in the
@@ -257,6 +292,10 @@ def default_pattern_specs() -> List[PatternSpec]:
             1.0,
             validator=lambda s: nhs_valid(s),
             fallbacks=[
+                # a contiguous 10-digit run failing NHS may still be a
+                # checksum-valid Medicare number
+                ("AU_MEDICARE", 1.0,
+                 lambda s: " " not in s and medicare_valid(s)),
                 ("US_BANK_NUMBER", 0.3, lambda s: " " not in s),
                 ("PHONE_NUMBER", 0.75, None),
             ],
@@ -268,6 +307,20 @@ def default_pattern_specs() -> List[PatternSpec]:
             r"\b\d{9}\b",
             1.0,
             validator=lambda s: tfn_valid(s),
+            # one 9-digit shape, two checksummed identities
+            fallbacks=[
+                ("AU_ACN", 1.0, lambda s: acn_valid(s)),
+                ("US_BANK_NUMBER", 0.3, None),
+            ],
+        ),
+        PatternSpec(
+            # Indian Aadhaar (Presidio's IN pack): 12 digits starting
+            # 2-9, Verhoeff checksum; a failing run is a weak bank
+            # number like any other digit run
+            "IN_AADHAAR",
+            r"\b[2-9]\d{11}\b",
+            1.0,
+            validator=lambda s: verhoeff_valid(s),
             fallback_entity="US_BANK_NUMBER",
             fallback_score=0.3,
         ),

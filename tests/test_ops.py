@@ -1296,3 +1296,40 @@ def test_first_last_value_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(ex, want)
+
+
+def test_pagerank_fp_hand_graph_and_determinism():
+    """pagerank_fp on a hand graph: integer fixed-point ranks equal the
+    straight-line Python replay, sinks leak (stated convention), and the
+    result is identical across partitionings (order-independent integer
+    sums)."""
+    from nerpii_ray.stages.graph import pagerank_fp
+
+    edges = pd.DataFrame(
+        {"src": ["a", "a", "b", "c"], "dst": ["b", "c", "c", "d"]}
+    )
+
+    def replay(iters=3, scale=10**12):
+        nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+        n = len(nodes)
+        base = scale // n
+        outdeg = edges.groupby("src").size().to_dict()
+        r = {v: base for v in nodes}
+        for _ in range(iters):
+            s = {v: 0 for v in nodes}
+            for u, v in zip(edges["src"], edges["dst"]):
+                s[v] += r[u] // outdeg[u]
+            r = {v: (15 * base) // 100 + (85 * s[v]) // 100 for v in nodes}
+        return r
+
+    want = replay()
+    for parts in (1, 3):
+        out = (
+            pagerank_fp(rd.from_pandas(edges).repartition(parts))
+            .to_pandas()
+            .set_index("node")["pagerank_fp"]
+            .to_dict()
+        )
+        assert out == want, (parts, out, want)
+    # sink 'd' holds only base+incoming, sources decay toward base term
+    assert want["d"] > want["a"]

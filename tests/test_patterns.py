@@ -199,3 +199,46 @@ def test_uk_sg_au_pack_golden():
         out = reg.scan([text])
         got = list(zip(out["entity"], out["surface"], out["score"]))
         assert got == want, (text, got, want)
+
+
+def test_second_tier_pack_golden():
+    """Round-4 second tier (AU_MEDICARE/ACN, IN_PAN/AADHAAR, ES_NIF,
+    PL_PESEL, FI_HETU): checksums plus combined-scan precedence — the
+    9/10/11/12-digit runs resolve through their validator chains."""
+    from nerpii_ray.functions.hashing import (
+        acn_valid, hetu_valid, medicare_valid, nif_valid, pesel_valid,
+        verhoeff_valid,
+    )
+    from nerpii_ray.state.registry import RecognizerRegistry
+
+    assert medicare_valid("2123456700") and medicare_valid("2123 45670 1")
+    assert not medicare_valid("3999999999")
+    assert acn_valid("010485766") and not acn_valid("010485767")
+    assert pesel_valid("44051401359") and not pesel_valid("44051401350")
+    assert nif_valid("12345678Z") and not nif_valid("12345678A")
+    assert hetu_valid("010190-123M") and not hetu_valid("010190-123X")
+    assert verhoeff_valid("234567890009") and verhoeff_valid("2363")
+    assert not verhoeff_valid("234567890001")
+
+    reg = RecognizerRegistry(
+        add_addresses_recognizer=False,
+        enable_gazetteers=False,
+        enable_model_labels=False,
+    ).compile()
+    cases = {
+        "card 2123 45670 1 x": [("AU_MEDICARE", "2123 45670 1", 1.0)],
+        "card 2123456700 x": [("AU_MEDICARE", "2123456700", 1.0)],
+        "card 3999 99999 9 x": [],  # invalid spaced Medicare consumed
+        "acn 010485766 x": [("AU_ACN", "010485766", 1.0)],
+        "id 44051401359 x": [("PL_PESEL", "44051401359", 1.0)],
+        "dni 12345678Z x": [("ES_NIF", "12345678Z", 1.0)],
+        "dni 12345678A x": [],  # invalid NIF letter consumed
+        "hetu 010190-123M x": [("FI_HETU", "010190-123M", 1.0)],
+        "pan ABCDE1234F x": [("IN_PAN", "ABCDE1234F", 0.85)],
+        "uid 234567890009 x": [("IN_AADHAAR", "234567890009", 1.0)],
+        "uid 234567890001 x": [("US_BANK_NUMBER", "234567890001", 0.3)],
+    }
+    for text, want in cases.items():
+        out = reg.scan([text])
+        got = list(zip(out["entity"], out["surface"], out["score"]))
+        assert got == want, (text, got, want)

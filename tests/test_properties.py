@@ -56,6 +56,16 @@ _PIECES = st.sampled_from(
        "123456707", "123456789",       # TFN valid / invalid → bank
        "51824753556",                  # ABN valid, Luhn-invalid → AU_ABN
        "10000003946"]                  # ABN valid AND Luhn-valid → IT_VAT wins
+    # round-4 second tier: AU Medicare/ACN, IN PAN/Aadhaar, ES/PL/FI
+    + ["2123 45670 1",                 # Medicare valid, 4-5-1 display form
+       "2123456700",                   # Medicare valid, contiguous (NHS chain)
+       "3999 99999 9",                 # Medicare-shaped, checksum-invalid
+       "010485766",                    # ACN valid (TFN-invalid 9-digit run)
+       "44051401359", "44051401350",   # PESEL valid / invalid 11-digit
+       "12345678Z", "12345678A",       # NIF valid / invalid letter
+       "010190-123M", "010190-123X",   # HETU valid / invalid check char
+       "ABCDE1234F",                   # PAN shape
+       "234567890009", "234567890001"]  # Aadhaar Verhoeff valid / invalid
 )
 
 
