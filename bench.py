@@ -161,6 +161,8 @@ def run_bench() -> dict:
         "ann_topk",
         "doc_quality",
         "customer_order_running",  # ordered-window family (round 3)
+        "doc_pagerank",            # iterative graph family (round 4)
+        "natid_detect_eu",         # checksum-chain scan family (round 4)
     ]
 
     # --scaling sets this: the per-level subprocesses measure ONLY the

@@ -3497,6 +3497,80 @@ def natid_detect_eu(sf_dir: str):
     )
 
 
+
+
+@register(
+    "doc_tfidf_stats",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+               x -> x <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, df.df
+    FROM tf JOIN df USING (token)
+    """,
+)
+def doc_tfidf_stats(sf_dir: str):
+    """TF-IDF building block: per (doc, token) term frequency joined
+    with the token's document frequency — emitted as exact INTEGERS so
+    the check is hash-stable (the float idf = ln(N/df) is one
+    deterministic map for any consumer; a selection by float score
+    could flip on libm differences, integers cannot).  Physical plan:
+    explode → combiner tree on (doc, token) → combiner tree on token →
+    one keyed-exchange hash join back — the classic two-aggregation
+    fan-out/fan-in a 100-TB corpus statistics pass is made of."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tokens(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("").str.lower().str.split()
+        out = pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "token": s}
+        ).explode("token")
+        out = out[out["token"].notna()]
+        out["tf"] = 1
+        return out.groupby(["doc_id", "token"], sort=False, observed=True)[
+            ["tf"]
+        ].sum().reset_index()
+
+    tf = grouped_sum(
+        ds.map_batches(tokens, batch_format="pandas"),
+        ["doc_id", "token"], ["tf"],
+    ).map_batches(
+        lambda b: b, batch_format="pandas", batch_size=None
+    ).materialize()  # two consumers: the df census and the join
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"token": b["token"], "df": 1})
+        return out.groupby("token", sort=False, observed=True)[["df"]].sum(
+        ).reset_index()
+
+    dfreq = grouped_sum(tf, ["token"], ["df"], partial_fn=df_partial)
+    joined = partitioned_hash_join(tf, dfreq, on=["token"], path="exchange")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "token": b["token"],
+                "tf": b["tf"].astype("int64"),
+                "df": b["df"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -3545,7 +3619,7 @@ _WINDOW_DEPRIORITIZED = [
     "transcript_gender_enrich", "doc_fingerprints", "embedding_norms",
     "distinct_segments", "promo_parts", "supplier_per_region", "top_orders",
     "orders_by_segment", "iban_detect", "it_person_locations",
-    "lineitem_orders_hash_join", "doc_token_counts",
+    "lineitem_orders_hash_join", "doc_token_counts", "events_sessions",
 ]
 
 
