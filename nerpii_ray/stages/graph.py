@@ -28,6 +28,7 @@ def pagerank_fp(
     iters: int = 3,
     scale: int = 1_000_000_000_000,
     damp_pct: int = 85,
+    path: str = "auto",
 ):
     """Fixed-iteration PageRank over a directed edge list, in integer
     fixed-point.
@@ -48,12 +49,61 @@ def pagerank_fp(
     every iteration.  All arithmetic is int64 (rank mass ≤ scale, and
     ``damp · Σ ≤ 100·scale`` fits comfortably).
 
+    ``path`` picks the physical plan, cardinality-aware like every root
+    in this engine (the node/edge tables are the AGGREGATED mention
+    graph — output-sized, orders below the corpus):
+    * ``"small"`` / ``"auto"``-under-threshold — ONE task runs the whole
+      iteration loop over the edge frame (a 3-iteration loop over a
+      block-sized graph is milliseconds of numpy; the distributed form
+      pays ~16 fixed-cost dataset executions for the same answer);
+    * ``"exchange"`` / ``"auto"``-past-threshold — the distributed
+      iterative plan described above, ranks never on one node.
+    Both paths compute the identical integer arithmetic (pinned by a
+    cross-path equality test).
+
     Returns a Dataset ``(node, pagerank_fp:int64)``.
     """
-    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.agg import (
+        ROOT_THRESHOLD_DEFAULT,
+        grouped_sum,
+        tree_dedup,
+    )
     from nerpii_ray.stages.joins import partitioned_hash_join
 
     e = edges_ds.materialize()
+    if path == "auto":
+        path = "small" if e.count() <= ROOT_THRESHOLD_DEFAULT else "exchange"
+    if path == "small":
+
+        def whole_graph_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype="object"),
+                     "pagerank_fp": pd.Series(dtype="int64")}
+                )
+            src = df[src_col].to_numpy()
+            dst = df[dst_col].to_numpy()
+            nodes, codes = np.unique(
+                np.concatenate([src, dst]), return_inverse=True
+            )
+            s_idx, d_idx = codes[: len(src)], codes[len(src):]
+            n = len(nodes)
+            base = scale // n
+            outdeg = np.bincount(s_idx, minlength=n)
+            r = np.full(n, base, dtype=np.int64)
+            keep_term = ((100 - damp_pct) * base) // 100
+            for _ in range(iters):
+                per_edge = r[s_idx] // outdeg[s_idx]
+                s = np.zeros(n, dtype=np.int64)
+                np.add.at(s, d_idx, per_edge)
+                r = keep_term + (damp_pct * s) // 100
+            return pd.DataFrame({"node": nodes, "pagerank_fp": r})
+
+        return e.repartition(1).map_batches(
+            whole_graph_kernel, batch_format="pandas", batch_size=None
+        )
+    if path != "exchange":
+        raise ValueError(f"pagerank_fp: unknown path {path!r}")
 
     nodes = tree_dedup(
         e.map_batches(
@@ -92,7 +142,7 @@ def pagerank_fp(
         ),
         deg,
         on=["node"],
-        path="exchange",
+        path=path,
     ).map_batches(
         lambda b: b, batch_format="pandas", batch_size=None
     ).materialize()
@@ -106,7 +156,7 @@ def pagerank_fp(
     )
     keep = 100 - damp_pct
     for _ in range(iters):
-        j = partitioned_hash_join(e_deg, rank, on=["node"], path="exchange")
+        j = partitioned_hash_join(e_deg, rank, on=["node"], path=path)
         contrib = j.map_batches(
             lambda b: pd.DataFrame(
                 {"node": b["dst"],

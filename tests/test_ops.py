@@ -1331,5 +1331,13 @@ def test_pagerank_fp_hand_graph_and_determinism():
             .to_dict()
         )
         assert out == want, (parts, out, want)
+    # the distributed iterative plan computes the identical integers
+    ex = (
+        pagerank_fp(rd.from_pandas(edges).repartition(2), path="exchange")
+        .to_pandas()
+        .set_index("node")["pagerank_fp"]
+        .to_dict()
+    )
+    assert ex == want, (ex, want)
     # sink 'd' holds only base+incoming, sources decay toward base term
     assert want["d"] > want["a"]
