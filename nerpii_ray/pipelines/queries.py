@@ -3571,6 +3571,62 @@ def doc_tfidf_stats(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+
+
+@register(
+    "lineitem_bloom_semi_join",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_bloom_semi_join(sf_dir: str):
+    """EXACT semi-join through the bloom pre-filter path
+    (stages/joins.bloom_semi_join): the urgent-order keys fold into one
+    broadcastable OR-merged bitmap, the probe scan drops non-candidates
+    batch-locally, and the exact verify join removes bloom false
+    positives — so the plain ``WHERE IN`` is the oracle.  At 100 TB
+    this is the difference between shuffling the whole probe table and
+    shuffling only candidates."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"l_orderkey": b.loc[b["o_orderpriority"] == "1-URGENT",
+                                 "o_orderkey"].astype("int64")}
+        ),
+        batch_format="pandas",
+    )
+    semi = bloom_semi_join(li, urgent, on="l_orderkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "n_items": 1,
+                "sum_qty": b["l_quantity"].to_numpy().astype("int64"),
+            }
+        )
+        return (
+            df.groupby("l_returnflag", sort=False, observed=True)[
+                ["n_items", "sum_qty"]
+            ].sum().reset_index()
+        )
+
+    return grouped_sum(
+        semi, ["l_returnflag"], ["n_items", "sum_qty"], partial_fn=partial,
+        adaptive=False,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -3620,6 +3676,7 @@ _WINDOW_DEPRIORITIZED = [
     "distinct_segments", "promo_parts", "supplier_per_region", "top_orders",
     "orders_by_segment", "iban_detect", "it_person_locations",
     "lineitem_orders_hash_join", "doc_token_counts", "events_sessions",
+    "region_nations_concat", "doc_bpe_token_counts",
 ]
 
 

@@ -67,6 +67,9 @@ from collections import OrderedDict
 
 _BCAST_CACHE: "OrderedDict" = OrderedDict()
 
+#: per-worker bloom-bitmap cache (same LRU discipline)
+_BLOOM_CACHE: "OrderedDict" = OrderedDict()
+
 
 def _bcast_merge(batch: pd.DataFrame, *, small, on, how, suffix) -> pd.DataFrame:
     import ray
@@ -386,3 +389,121 @@ def interval_join(
     from nerpii_ray.stages.colocate import keyed_partition_apply
 
     return keyed_partition_apply(both, on_cols, merge_bucket, num_buckets, path)
+
+
+#: multipliers for the bloom filter's k independent hash lanes —
+#: fixed odd 64-bit constants (splitmix64-derived), so bit positions are
+#: deterministic across runs, workers and partitionings
+_BLOOM_MULTS = (
+    0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+    0xD6E8FEB86659FD93,
+)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions — vectorized multiply-shift hashing
+    over int64 keys (deterministic, no per-row Python)."""
+    x = keys.astype(np.uint64)
+    out = np.empty((len(x), k), dtype=np.int64)
+    for i in range(k):
+        h = x * np.uint64(_BLOOM_MULTS[i % len(_BLOOM_MULTS)])
+        h ^= h >> np.uint64(31)
+        if i >= len(_BLOOM_MULTS):  # extra lanes: re-fold with the lane id
+            h = h * np.uint64(_BLOOM_MULTS[0]) + np.uint64(i)
+        out[:, i] = (h % np.uint64(m_bits)).astype(np.int64)
+    return out
+
+
+def build_bloom(keys_ds, key: str, m_bits: int = 1 << 23, k: int = 4):
+    """Mergeable bloom filter over a key column: each batch sets its
+    bits in a local bitmap; bitmaps OR together through the merge tree
+    (OR is associative/commutative/idempotent — retry-safe by nature).
+    The result is ``m_bits/8`` bytes on the driver regardless of key
+    count — the classic broadcastable summary of a build side too large
+    to ship as a table."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    nbytes = m_bits // 8
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        ks = b[key].to_numpy().astype(np.int64)
+        if len(ks):
+            pos = _bloom_positions(ks, m_bits, k).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pd.DataFrame({"bm": [bm.tobytes()]})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"bm": [np.zeros(nbytes, dtype=np.uint8).tobytes()]})
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for raw in df["bm"]:
+            acc |= np.frombuffer(raw, dtype=np.uint8)
+        return pd.DataFrame({"bm": [acc.tobytes()]})
+
+    out = tree_aggregate(keys_ds, partial, merge).take_all()
+    return np.frombuffer(out[0]["bm"], dtype=np.uint8).copy()
+
+
+def bloom_semi_join(
+    big_ds,
+    keys_ds,
+    on: str,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """EXACT semi-join with a bloom pre-filter: keep the rows of
+    ``big_ds`` whose ``on`` key appears in ``keys_ds``.
+
+    The bloom bitmap (built by ``build_bloom``, broadcast once via
+    ``ray.put``) eliminates the vast majority of non-matching rows
+    INSIDE the probe-side scan — at 100 TB that is the difference
+    between shuffling the whole probe table into the join and shuffling
+    only candidate rows.  Bloom positives then verify through the exact
+    partitioned hash join against the distinct build keys, so false
+    positives are removed and the RESULT is exactly the semi-join —
+    which is why the SQL oracle for it is a plain ``WHERE key IN``.
+    """
+    import ray
+
+    from nerpii_ray.stages.agg import tree_dedup
+
+    distinct_keys = tree_dedup(
+        keys_ds.map_batches(
+            lambda b: pd.DataFrame({on: b[on].astype("int64")}).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        keys=[on],
+    ).map_batches(lambda b: b, batch_format="pandas", batch_size=None)
+    distinct_keys = distinct_keys.materialize()  # bloom build + verify join
+
+    bm_ref = ray.put(build_bloom(distinct_keys, on, m_bits, k))
+
+    def probe(b: pd.DataFrame, *, bm, mb, kk, col) -> pd.DataFrame:
+        arr = _BLOOM_CACHE.get(bm.hex()) if isinstance(bm, ray.ObjectRef) else bm
+        if arr is None:
+            if len(_BLOOM_CACHE) >= 8:
+                _BLOOM_CACHE.popitem(last=False)
+            arr = _BLOOM_CACHE.setdefault(bm.hex(), ray.get(bm))
+        ks = b[col].to_numpy().astype(np.int64)
+        if not len(ks):
+            return b
+        pos = _bloom_positions(ks, mb, kk)
+        hit = np.ones(len(ks), dtype=bool)
+        for i in range(kk):
+            p = pos[:, i]
+            hit &= (arr[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+        return b.loc[hit]
+
+    candidates = big_ds.map_batches(
+        probe,
+        fn_kwargs=dict(bm=bm_ref, mb=m_bits, kk=k, col=on),
+        batch_format="pandas",
+    )
+    # exact verify: inner join against the distinct keys removes bloom
+    # false positives; key-complete buckets make it the true semi-join
+    return partitioned_hash_join(
+        candidates, distinct_keys, on=[on], num_buckets=num_buckets, path=path
+    )
