@@ -1382,3 +1382,24 @@ def test_bloom_semi_join_exact_and_prefilter_effective():
         p = pos[:, i]
         hit &= (bm[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
     assert hit.mean() < 0.01, f"FP rate {hit.mean():.4f} too high"
+
+
+def test_bloom_semi_join_empty_sides():
+    """Edge contracts: an empty build side keeps nothing; an empty probe
+    side returns an empty frame without schema loss."""
+    from nerpii_ray.stages.joins import bloom_semi_join
+
+    big = pd.DataFrame({"k": np.arange(50, dtype="int64"),
+                        "v": np.arange(50, dtype="int64")})
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64")})
+    out = bloom_semi_join(
+        rd.from_pandas(big), rd.from_pandas(empty), on="k"
+    ).to_pandas()
+    assert len(out) == 0
+    out2 = bloom_semi_join(
+        rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64"),
+                                     "v": pd.Series(dtype="int64")})),
+        rd.from_pandas(pd.DataFrame({"k": np.arange(5, dtype="int64")})),
+        on="k",
+    ).to_pandas()
+    assert len(out2) == 0
