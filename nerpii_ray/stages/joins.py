@@ -442,6 +442,8 @@ def build_bloom(keys_ds, key: str, m_bits: int = 1 << 23, k: int = 4):
         return pd.DataFrame({"bm": [acc.tobytes()]})
 
     out = tree_aggregate(keys_ds, partial, merge).take_all()
+    if not out:  # an all-empty build side never ran a partial
+        return np.zeros(nbytes, dtype=np.uint8)
     return np.frombuffer(out[0]["bm"], dtype=np.uint8).copy()
 
 
@@ -478,6 +480,11 @@ def bloom_semi_join(
         keys=[on],
     ).map_batches(lambda b: b, batch_format="pandas", batch_size=None)
     distinct_keys = distinct_keys.materialize()  # bloom build + verify join
+    if distinct_keys.count() == 0:
+        # empty build side: the semi-join is empty, with the probe's
+        # schema (an all-empty tree yields a schema-less dataset that
+        # the verify join could not align)
+        return big_ds.limit(0)
 
     bm_ref = ray.put(build_bloom(distinct_keys, on, m_bits, k))
 
