@@ -509,6 +509,8 @@ def bloom_semi_join(
         fn_kwargs=dict(bm=bm_ref, mb=m_bits, kk=k, col=on),
         batch_format="pandas",
     )
+    if candidates.schema() is None:  # schema-less = zero-block probe side
+        return big_ds.limit(0)
     # exact verify: inner join against the distinct keys removes bloom
     # false positives; key-complete buckets make it the true semi-join
     return partitioned_hash_join(
