@@ -3627,6 +3627,95 @@ def lineitem_bloom_semi_join(sf_dir: str):
     )
 
 
+
+
+@register(
+    "events_ipc_roundtrip",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def events_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC source/sink roundtrip (sources/readers.write_ipc_table
+    / read_ipc_table): events → per-block .arrow files (written inside
+    the map tasks, atomic rename) → decoded back inside tasks → grouped
+    aggregate.  The roundtrip is an identity, so the SQL twin aggregates
+    the original view — any IPC corruption or row loss breaks the
+    hash."""
+    import hashlib
+    import shutil
+
+    from nerpii_ray.sources.readers import read_ipc_table, write_ipc_table
+    from nerpii_ray.stages.agg import grouped_sum
+
+    # md5, not hash(): Python's hash is salted per process and would
+    # scatter scratch dirs across runs
+    out = "/tmp/nerpii_ray_ipc/events-" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    write_ipc_table(ds, out)
+    back = read_ipc_table(out)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "n": 1,
+                "cents": np.round(b["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+        return (
+            df.groupby("event_type", sort=False, observed=True)[["n", "cents"]]
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_sum(
+        back, ["event_type"], ["n", "cents"], partial_fn=partial,
+        adaptive=False,
+    )
+
+
+@register(
+    "orders_weighted_sample",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 16))
+               AS UBIGINT) % 1000000
+          < CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100
+    """,
+)
+def orders_weighted_sample(sf_dir: str):
+    """Weighted deterministic sampler: keep a row with probability
+    proportional to its price (p = dollars / 10^6) by comparing the
+    md5-derived uniform draw AGAINST AN INTEGER weight — content-keyed
+    like ``orders_sample`` (retry/re-batch/resume stable) and exactly
+    replayable in SQL because both the draw (first 16 md5 hex chars)
+    and the weight (cents // 100) are integers on both sides."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def weighted_filter(b: pd.DataFrame) -> pd.DataFrame:
+        hx = md5_of_strings(b["o_orderkey"].astype(str)).str[:16]
+        u = np.fromiter(
+            (int(h, 16) % 1_000_000 for h in hx), dtype=np.int64,
+            count=len(hx),
+        )
+        dollars = (
+            np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+            // 100
+        )
+        return b.loc[u < dollars]
+
+    return ds.map_batches(weighted_filter, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -3676,7 +3765,8 @@ _WINDOW_DEPRIORITIZED = [
     "distinct_segments", "promo_parts", "supplier_per_region", "top_orders",
     "orders_by_segment", "iban_detect", "it_person_locations",
     "lineitem_orders_hash_join", "doc_token_counts", "events_sessions",
-    "region_nations_concat", "doc_bpe_token_counts",
+    "region_nations_concat", "doc_bpe_token_counts", "doc_langid",
+    "doc_quality",
 ]
 
 

@@ -47,3 +47,48 @@ def read_jsonl_table(path: str):
 def write_jsonl_table(ds, path: str):
     """JSONL export twin of ``read_jsonl_table`` (one file per block)."""
     ds.write_json(path)
+
+
+def write_ipc_table(ds, path: str) -> int:
+    """Arrow IPC (Feather V2) sink: one ``.arrow`` file per block,
+    written inside the map tasks (never via the driver).  The companion
+    of ``read_ipc_table`` for zero-copy interchange with Arrow-native
+    tools; returns the number of files written."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(tbl: "pa.Table") -> "pa.Table":
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        tmp = fname + ".inprogress"
+        with ipc.new_file(tmp, tbl.schema) as w:
+            w.write_table(tbl)
+        os.rename(tmp, fname)  # atomic publish, resumable-sink style
+        return pa.table({"path": [fname], "rows": [tbl.num_rows]})
+
+    return ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).count()
+
+
+def read_ipc_table(path: str):
+    """Arrow IPC (Feather V2) source: list the directory's ``.arrow``
+    files and decode each INSIDE a task (``read_binary_files`` streams
+    the bytes through the object store; decode is zero-copy from the
+    mmap-able IPC layout) — the driver never holds file contents."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    def decode(b: dict) -> "pa.Table":
+        tables = [
+            ipc.open_file(pa.BufferReader(raw)).read_all() for raw in b["bytes"]
+        ]
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return rd.read_binary_files(path, file_extensions=["arrow"]).map_batches(
+        decode, batch_format="numpy", batch_size=1
+    )
