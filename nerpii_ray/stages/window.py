@@ -153,6 +153,7 @@ def rolling_time_count(
     out_col: str = "n_window",
     num_buckets: int | None = None,
     path: str = "auto",
+    _bias_cap: int = 1 << 62,
 ):
     """Sliding time window: for every event, the count of same-key events
     with ``ts`` in ``[ts - window, ts]`` — SQL's ``COUNT(*) OVER
@@ -197,7 +198,10 @@ def rolling_time_count(
         if len(starts) > 1:
             base[1:] = np.cumsum(gap[:-1])
         n = np.empty(len(user), dtype=np.int64)
-        CAP = np.int64(1) << 62  # int64 headroom guard for the bias sum
+        # int64 headroom guard for the cumulative bias (parameter so
+        # tests can force the multi-slice path — real ns-bounded
+        # timestamps cannot reach it with one slice's worth of users)
+        CAP = np.int64(_bias_cap)
         s0 = 0
         while s0 < len(starts):  # almost always ONE slice; the loop is
             # only entered again when the cumulative bias nears 2^62

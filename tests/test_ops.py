@@ -1403,3 +1403,29 @@ def test_bloom_semi_join_empty_sides():
         on="k",
     ).to_pandas()
     assert len(out2) == 0
+
+
+def test_rolling_time_count_bias_slice_guard():
+    """The offset-bias kernel slices user segments when the cumulative
+    bias would pass the int64 headroom cap; forcing a tiny cap makes
+    every user its own slice — counts must match the unsliced run."""
+    from nerpii_ray.stages.window import rolling_time_count
+
+    rng = np.random.default_rng(23)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(600, dtype="int64"),
+            "user_id": rng.integers(0, 25, 600),
+            "ts": pd.to_datetime("2021-06-01")
+            + pd.to_timedelta(rng.integers(0, 10**7, 600), unit="s"),
+        }
+    )
+    ds = rd.from_pandas(ev)
+    normal = rolling_time_count(ds, window_sec=3600).to_pandas()
+    sliced = rolling_time_count(
+        ds, window_sec=3600, _bias_cap=10**12
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        normal.sort_values("event_id").reset_index(drop=True),
+        sliced.sort_values("event_id").reset_index(drop=True),
+    )
