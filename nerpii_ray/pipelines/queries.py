@@ -2855,6 +2855,22 @@ def orders_priority_pivot(sf_dir: str):
 
 
 
+#: vectorized letter pick: _LETTERS[idx] via numpy fancy indexing — no
+#: per-row chr() lambda in the candidate generators
+_UPPER = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+_DIGITS = np.array(list("0123456789"))
+
+
+def _upper_at(idx) -> pd.Series:
+    a = np.asarray(idx, dtype=np.int64)
+    return pd.Series(_UPPER[a], index=getattr(idx, "index", None))
+
+
+def _digit_at(idx) -> pd.Series:
+    a = np.asarray(idx, dtype=np.int64)
+    return pd.Series(_DIGITS[a], index=getattr(idx, "index", None))
+
+
 class _NatIdScanner:
     """Scanner for natid_detect: the registry (full default catalog,
     incl. the UK/SG/AU pack) compiles once per worker; __call__ runs the
@@ -2976,7 +2992,7 @@ def natid_detect(sf_dir: str):
         nric = (
             pd.Series(np.array(list("STFG"))[(k % 4).to_numpy()], index=k.index)
             + ((k * 7919) % 10**7).map("{:07d}".format)
-            + (65 + (k * 31) % 26).map(lambda c: chr(int(c)))
+            + _upper_at((k * 31) % 26)
         )
         return pd.DataFrame(
             {
@@ -3454,33 +3470,36 @@ def natid_detect_eu(sf_dir: str):
     def mk_text(b: pd.DataFrame) -> pd.DataFrame:
         k = b["c_custkey"].astype("int64")
         mc = (
-            (50 + k % 5).map(lambda c: chr(int(c)))
+            _digit_at(2 + k % 5)
             + ((k * 48271) % 10**9).map("{:09d}".format)
         )
         mc = mc.str.slice(0, 4) + " " + mc.str.slice(4, 9) + " " + mc.str.slice(9, 10)
         nine = ((k * 69621) % 10**9).map("{:09d}".format)
         eleven = ((k * 16785407) % 10**11).map("{:011d}".format)
-        nif = ((k * 99991) % 10**8).map("{:08d}".format) + (
-            65 + (k * 7) % 26
-        ).map(lambda c: chr(int(c)))
+        nif = ((k * 99991) % 10**8).map("{:08d}".format) + _upper_at(
+            (k * 7) % 26
+        )
         hetu = (
             ((k * 37) % 10**6).map("{:06d}".format)
             + "-"
             + ((k * 11) % 1000).map("{:03d}".format)
-            + ((k * 13) % 31).map(
-                lambda i: "0123456789ABCDEFHJKLMNPRSTUVWXY"[int(i)]
+            + pd.Series(
+                np.array(list("0123456789ABCDEFHJKLMNPRSTUVWXY"))[
+                    ((k * 13) % 31).to_numpy()
+                ],
+                index=k.index,
             )
         )
         pan = (
             sum(
-                ((65 + (k * m) % 26).map(lambda c: chr(int(c))) for m in (3, 5, 7, 11)),
-                start=(65 + (k * 1) % 26).map(lambda c: chr(int(c))),
+                (_upper_at((k * m) % 26) for m in (3, 5, 7, 11)),
+                start=_upper_at((k * 1) % 26),
             )
             + ((k * 97) % 10**4).map("{:04d}".format)
-            + (65 + (k * 17) % 26).map(lambda c: chr(int(c)))
+            + _upper_at((k * 17) % 26)
         )
         aadhaar = (
-            (50 + k % 8).map(lambda c: chr(int(c)))
+            _digit_at(2 + k % 8)
             + ((k * 16807) % 10**11).map("{:011d}".format)
         )
         return pd.DataFrame(
