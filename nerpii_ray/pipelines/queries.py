@@ -3002,9 +3002,12 @@ def natid_detect(sf_dir: str):
             }
         )
 
-    return ds.map_batches(mk_text, batch_format="pandas").map_batches(
-        _scan_natid_batch, batch_format="pandas"
-    )
+    # small single-file read = ONE block; spread the regex scan (the
+    # expensive stage — digit-dense text backtracks the alternation)
+    # across the cluster instead of fusing it into one task
+    return ds.repartition(32).map_batches(
+        mk_text, batch_format="pandas"
+    ).map_batches(_scan_natid_batch, batch_format="pandas")
 
 
 
@@ -3511,9 +3514,10 @@ def natid_detect_eu(sf_dir: str):
             }
         )
 
-    return ds.map_batches(mk_text, batch_format="pandas").map_batches(
-        _scan_natid_eu_batch, batch_format="pandas"
-    )
+    # see natid_detect: spread the digit-dense scan across the cluster
+    return ds.repartition(32).map_batches(
+        mk_text, batch_format="pandas"
+    ).map_batches(_scan_natid_eu_batch, batch_format="pandas")
 
 
 
