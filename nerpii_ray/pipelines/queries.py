@@ -3005,7 +3005,10 @@ def natid_detect(sf_dir: str):
     # small single-file read = ONE block; spread the regex scan (the
     # expensive stage — digit-dense text backtracks the alternation)
     # across the cluster instead of fusing it into one task
-    return ds.repartition(32).map_batches(
+    import ray
+
+    width = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return ds.repartition(width).map_batches(
         mk_text, batch_format="pandas"
     ).map_batches(_scan_natid_batch, batch_format="pandas")
 
@@ -3515,7 +3518,10 @@ def natid_detect_eu(sf_dir: str):
         )
 
     # see natid_detect: spread the digit-dense scan across the cluster
-    return ds.repartition(32).map_batches(
+    import ray
+
+    width = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return ds.repartition(width).map_batches(
         mk_text, batch_format="pandas"
     ).map_batches(_scan_natid_eu_batch, batch_format="pandas")
 
