@@ -53,17 +53,27 @@ def write_ipc_table(ds, path: str) -> int:
     """Arrow IPC (Feather V2) sink: one ``.arrow`` file per block,
     written inside the map tasks (never via the driver).  The companion
     of ``read_ipc_table`` for zero-copy interchange with Arrow-native
-    tools; returns the number of files written."""
+    tools; returns the number of files written.
+
+    Retry/lineage safety (ADVICE r4): the filename derives from the
+    writing task's identity + per-attempt block ordinal (the exchange's
+    fingerprint discipline, stages/exchange.py), NOT a fresh uuid — a
+    task re-executed after publishing (worker death post-rename, object
+    reconstruction) atomically overwrites the SAME part file instead of
+    adding a duplicate, so ``read_ipc_table`` round-trips exactly once.
+    """
     import os
-    import uuid
 
     import pyarrow as pa
     import pyarrow.ipc as ipc
 
+    from nerpii_ray.stages.exchange import _batch_fingerprint
+
     os.makedirs(path, exist_ok=True)
 
     def write_block(tbl: "pa.Table") -> "pa.Table":
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.arrow")
+        fp = _batch_fingerprint().replace(":", "-")
+        fname = os.path.join(path, f"part-{fp}.arrow")
         tmp = fname + ".inprogress"
         with ipc.new_file(tmp, tbl.schema) as w:
             w.write_table(tbl)

@@ -607,9 +607,14 @@ def grouped_corr(
             float(c * xy - a * b) / float(c * c)
             for a, b, xy, c in zip(sx, sy, sxy, n)
         ]
+        # zero variance in either column (incl. every single-row group:
+        # n*sxx - sx² == 0) → NULL, matching the SQL twin's corr()
+        # semantics instead of raising ZeroDivisionError (ADVICE r4)
         out["corr"] = [
             float(c * xy - a * b)
             / (math.sqrt(float(c * xx - a * a)) * math.sqrt(float(c * yy - b * b)))
+            if (c * xx - a * a) > 0 and (c * yy - b * b) > 0
+            else float("nan")
             for a, b, xy, xx, yy, c in zip(sx, sy, sxy, sxx, syy, n)
         ]
         return out.reset_index(drop=True)

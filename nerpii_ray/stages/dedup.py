@@ -924,6 +924,18 @@ def connected_components(
         keep = u != v
         return pd.DataFrame({"u": u[keep], "v": v[keep]})
 
+    def selfloop_labels(b: pd.DataFrame) -> pd.DataFrame:
+        # nodes whose edge is a self-loop get the candidate label
+        # (node, node); min-merged with the star labels below this is a
+        # no-op for nodes that also have real edges (their component min
+        # ≤ node) and emits the singleton the small union-find path
+        # emits (ADVICE r4: the two paths diverged on self-loop-only
+        # nodes).
+        a = b[a_col].to_numpy().astype("int64")
+        c = b[b_col].to_numpy().astype("int64")
+        loops = np.unique(a[a == c])
+        return pd.DataFrame({"u": loops, "v": loops})
+
     def large_star_kernel(df: pd.DataFrame) -> pd.DataFrame:
         """Per co-located node group (columns node, nbr — BOTH edge
         directions present): attach every larger neighbor directly to
@@ -1014,6 +1026,9 @@ def connected_components(
             .reset_index()
         )
 
+    labeled = edges.union(
+        edges_ds.map_batches(selfloop_labels, batch_format="pandas")
+    )
     return tree_aggregate(
-        edges, star_labels, min_merge, keys=["node"]
+        labeled, star_labels, min_merge, keys=["node"]
     ).map_batches(lambda b: b, batch_format="pandas", batch_size=None)

@@ -494,6 +494,10 @@ def bloom_semi_join(
             if len(_BLOOM_CACHE) >= 8:
                 _BLOOM_CACHE.popitem(last=False)
             arr = _BLOOM_CACHE.setdefault(bm.hex(), ray.get(bm))
+        elif isinstance(bm, ray.ObjectRef):
+            # true LRU: hits refresh recency (ADVICE r4 — without this a
+            # hot bitmap is evicted FIFO by a burst of one-off joins)
+            _BLOOM_CACHE.move_to_end(bm.hex())
         ks = b[col].to_numpy().astype(np.int64)
         if not len(ks):
             return b

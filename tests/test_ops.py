@@ -1429,3 +1429,72 @@ def test_rolling_time_count_bias_slice_guard():
         normal.sort_values("event_id").reset_index(drop=True),
         sliced.sort_values("event_id").reset_index(drop=True),
     )
+
+
+def test_grouped_corr_zero_variance_yields_null():
+    """Degenerate groups (single row, or zero variance in x or y) must
+    yield corr = NULL/NaN like DuckDB's corr(), not ZeroDivisionError
+    (ADVICE r4)."""
+    from nerpii_ray.stages.agg import grouped_corr
+
+    df = pd.DataFrame(
+        {
+            "g": ["solo", "constx", "constx", "ok", "ok", "ok"],
+            "x": [5, 7, 7, 1, 2, 3],
+            "y": [9, 1, 4, 2, 4, 7],
+        }
+    )
+    out = (
+        grouped_corr(rd.from_pandas(df), ["g"], "x", "y")
+        .to_pandas()
+        .set_index("g")
+    )
+    assert np.isnan(out.loc["solo", "corr"])
+    assert np.isnan(out.loc["constx", "corr"])
+    assert abs(out.loc["ok", "corr"] - np.corrcoef([1, 2, 3], [2, 4, 7])[0, 1]) < 1e-12
+    # covar_pop of the degenerate groups is still well-defined
+    assert out.loc["solo", "covar_pop"] == 0.0
+
+
+def test_connected_components_self_loop_nodes():
+    """A node whose ONLY edge is a self-loop must come out as a
+    singleton component on BOTH physical paths (ADVICE r4: the exchange
+    path's canon() dropped it entirely)."""
+    import nerpii_ray.stages.agg as agg
+    from nerpii_ray.stages.dedup import connected_components
+
+    edges = pd.DataFrame(
+        {"id_a": [1, 2, 9, 3], "id_b": [2, 3, 9, 3]}  # 9 and 3 self-loop
+    )
+    want = {1: 1, 2: 1, 3: 1, 9: 9}
+
+    def run():
+        df = connected_components(rd.from_pandas(edges)).to_pandas()
+        return dict(zip(df["node"].astype(int), df["component"].astype(int)))
+
+    assert run() == want
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1  # force the star-contraction path
+    try:
+        assert run() == want
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+
+
+def test_write_ipc_table_retry_overwrites_not_duplicates(tmp_path, monkeypatch):
+    """The IPC sink's part filename derives from task identity, so a
+    re-executed task attempt OVERWRITES its file instead of publishing a
+    duplicate (ADVICE r4).  Simulated by pinning the fingerprint."""
+    import nerpii_ray.stages.exchange as ex
+    from nerpii_ray.sources.readers import read_ipc_table, write_ipc_table
+
+    monkeypatch.setattr(ex, "_batch_fingerprint", lambda: "taskA:0")
+    out = str(tmp_path / "ipc")
+    df = pd.DataFrame({"a": np.arange(10, dtype="int64")})
+    write_ipc_table(rd.from_pandas(df), out)
+    write_ipc_table(rd.from_pandas(df), out)  # the "retry"
+    import os
+
+    assert sorted(os.listdir(out)) == ["part-taskA-0.arrow"]
+    back = read_ipc_table(out).to_pandas().sort_values("a").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
