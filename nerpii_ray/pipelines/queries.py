@@ -2239,36 +2239,22 @@ def lineitem_shipdate_repartitioned(sf_dir: str):
     """,
 )
 def customers_without_orders(sf_dir: str):
-    """Distributed anti join: the fact side's distinct keys reduce
-    through the tree (per-batch distinct combiner — the shuffle carries
-    one row per distinct key per batch, never the fact table), the
-    reduced key set broadcasts into the filter tasks, and the result
-    stays a streaming Dataset.  At a key cardinality past driver memory,
-    swap the exact set for a Bloom filter + keyed-exchange verification
-    of the 'maybe' rows."""
-    from nerpii_ray.stages.agg import tree_dedup
+    """Distributed anti join through ``bloom_anti_join`` (VERDICT r4 #4:
+    the exact-key-set broadcast became the bloom path): bloom negatives
+    are definite non-members and stream straight through; positives
+    anti-verify on one keyed exchange against the distinct fact keys.
+    The driver holds m/8 bitmap bytes regardless of key cardinality."""
+    from nerpii_ray.stages.joins import bloom_anti_join
 
     orders = _read(sf_dir, "orders", ["o_custkey"])
-
-    def local_distinct(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates("o_custkey")
-
-    key_arr = pa.array(
-        tree_dedup(orders, keys=["o_custkey"], partial_fn=local_distinct)
-        .to_pandas()["o_custkey"].to_numpy()
-    )
     ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-
-    def anti(t: pa.Table, ks=key_arr) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t["c_custkey"], value_set=ks)))
-
-    out = ds.map_batches(anti, batch_format="pyarrow")
+    out = bloom_anti_join(ds, orders, on="c_custkey", right_on="o_custkey")
     # anti-join output is result-sized; collect it, repairing the schema
     # Ray drops when every block is empty (Dataset.to_pandas() returns a
     # column-less frame even though out.schema() is intact)
     df = out.to_pandas()
     if df.empty:
-        df = out.schema().base_schema.empty_table().to_pandas()
+        df = ds.schema().base_schema.empty_table().to_pandas()
     return df
 
 
@@ -3726,16 +3712,18 @@ def orders_weighted_sample(sf_dir: str):
     like ``orders_sample`` (retry/re-batch/resume stable) and exactly
     replayable in SQL because both the draw (first 16 md5 hex chars)
     and the weight (cents // 100) are integers on both sides."""
-    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.functions.textfns import stable_hash64_np
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def weighted_filter(b: pd.DataFrame) -> pd.DataFrame:
-        hx = md5_of_strings(b["o_orderkey"].astype(str)).str[:16]
-        u = np.fromiter(
-            (int(h, 16) % 1_000_000 for h in hx), dtype=np.int64,
-            count=len(hx),
-        )
+        # first-8-digest-bytes big-endian == int(md5hex[:16], 16): the
+        # SQL twin's arithmetic, without the per-row hex parse
+        # (VERDICT r4 #6)
+        u = (
+            stable_hash64_np(b["o_orderkey"].astype(str))
+            % np.uint64(1_000_000)
+        ).astype(np.int64)
         dollars = (
             np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
             // 100

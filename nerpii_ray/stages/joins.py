@@ -520,3 +520,135 @@ def bloom_semi_join(
     return partitioned_hash_join(
         candidates, distinct_keys, on=[on], num_buckets=num_buckets, path=path
     )
+
+
+def _distinct_int_keys(keys_ds, on: str):
+    """Distinct int64 build keys as a pinned Dataset (shared by the
+    bloom semi/anti joins: bloom build + exact verify both consume it)."""
+    from nerpii_ray.stages.agg import tree_dedup
+
+    distinct = tree_dedup(
+        keys_ds.map_batches(
+            lambda b: pd.DataFrame({on: b[on].astype("int64")}).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        keys=[on],
+    ).map_batches(lambda b: b, batch_format="pandas", batch_size=None)
+    return distinct.materialize()
+
+
+def bloom_anti_join(
+    big_ds,
+    keys_ds,
+    on: str,
+    right_on: str | None = None,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """EXACT anti-join with a bloom pre-filter: keep the rows of
+    ``big_ds`` whose ``on`` key does NOT appear in ``keys_ds[right_on]``.
+
+    Bloom NEGATIVES are definite non-members (a bloom filter has no
+    false negatives) and stream straight into the output without
+    touching any shuffle; bloom POSITIVES are the only rows that need
+    exact verification, and they anti-verify through one keyed exchange
+    against the distinct build keys (key-complete buckets drop the true
+    members, false positives survive).  SQL twin: ``WHERE key NOT IN
+    (SELECT ...)`` for non-null build keys.
+
+    Never broadcasts an exact key set (VERDICT r4 #4: the scale escape
+    ``customers_without_orders``'s docstring promised): the driver holds
+    ``m_bits/8`` bytes regardless of build cardinality.  The probe side
+    is scanned twice (once per split) — both scans are column-pruned
+    streaming reads, a bounded trade against pinning the probed table or
+    shuffling non-candidate rows.
+    """
+    import ray
+
+    right_on = right_on or on
+    distinct_keys = _distinct_int_keys(keys_ds, right_on)
+    if distinct_keys.count() == 0:
+        return big_ds  # empty build side: every probe row survives
+
+    bm_ref = ray.put(build_bloom(distinct_keys, right_on, m_bits, k))
+
+    def probe_split(b: pd.DataFrame, *, bm, mb, kk, col, want_hits) -> pd.DataFrame:
+        arr = _BLOOM_CACHE.get(bm.hex()) if isinstance(bm, ray.ObjectRef) else bm
+        if arr is None:
+            if len(_BLOOM_CACHE) >= 8:
+                _BLOOM_CACHE.popitem(last=False)
+            arr = _BLOOM_CACHE.setdefault(bm.hex(), ray.get(bm))
+        elif isinstance(bm, ray.ObjectRef):
+            _BLOOM_CACHE.move_to_end(bm.hex())
+        ks = b[col].to_numpy().astype(np.int64)
+        if not len(ks):
+            return b
+        pos = _bloom_positions(ks, mb, kk)
+        hit = np.ones(len(ks), dtype=bool)
+        for i in range(kk):
+            p = pos[:, i]
+            hit &= (arr[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+        return b.loc[hit if want_hits else ~hit]
+
+    def split(want_hits: bool):
+        return big_ds.map_batches(
+            probe_split,
+            fn_kwargs=dict(bm=bm_ref, mb=m_bits, kk=k, col=on, want_hits=want_hits),
+            batch_format="pandas",
+        )
+
+    definite = split(False)
+    maybe = split(True)
+    if maybe.schema() is None:  # schema-less = zero-block probe side
+        return big_ds.limit(0)
+
+    # verify: tagged union of the candidates and the distinct keys,
+    # co-located by key; the kernel keeps candidate rows whose key has
+    # no build-side row in the (key-complete) bucket.  The build side
+    # rides with all-null payload columns in null-capable dtypes — cast
+    # ON BOTH SIDES so blocks stay schema-stable through the exchange
+    # (same contract as asof_join) — and the kernel restores the probe's
+    # original dtypes on the all-L output rows.
+    big_cols = [str(c) for c in big_ds.schema().names]
+    orig = dict(zip(big_cols, (_pd_dtype(t) for t in big_ds.schema().types)))
+    ride = {c: _null_capable(orig[c]) for c in big_cols}
+
+    def tag_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy(deep=False)
+        for c in big_cols:
+            if b[c].dtype != ride[c]:
+                b[c] = b[c].astype(ride[c])
+        b["__k"] = b[on].to_numpy().astype("int64")
+        b["__side"] = "L"
+        return b
+
+    def tag_right(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=pd.RangeIndex(len(b)))
+        for c in big_cols:
+            out[c] = _null_series(ride[c], out.index)
+        out["__k"] = b[right_on].astype("int64").to_numpy()
+        out["__side"] = "R"
+        return out
+
+    both = maybe.map_batches(tag_left, batch_format="pandas").union(
+        distinct_keys.map_batches(tag_right, batch_format="pandas")
+    )
+
+    def anti_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g.loc[g["__side"] == "L"]
+        present = g.loc[g["__side"] == "R", "__k"].unique()
+        keep = ~lg["__k"].isin(present)
+        out = lg.loc[keep.to_numpy(), big_cols].reset_index(drop=True)
+        for c in big_cols:  # all-L rows: the original dtype fits again
+            if out[c].dtype != orig[c]:
+                out[c] = out[c].astype(orig[c])
+        return out
+
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    survivors = keyed_partition_apply(
+        both, ["__k"], anti_kernel, num_buckets, path
+    )
+    return definite.union(survivors)

@@ -1498,3 +1498,35 @@ def test_write_ipc_table_retry_overwrites_not_duplicates(tmp_path, monkeypatch):
     assert sorted(os.listdir(out)) == ["part-taskA-0.arrow"]
     back = read_ipc_table(out).to_pandas().sort_values("a").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df)
+
+
+def test_bloom_anti_join_exact_even_with_forced_false_positives():
+    """bloom_anti_join == exact NOT IN on every path: the default bitmap,
+    a deliberately tiny bitmap (m_bits=64 → most probes are false
+    positives, exercising the verify exchange), and an empty build side."""
+    from nerpii_ray.stages.joins import bloom_anti_join
+
+    rng = np.random.default_rng(7)
+    big = pd.DataFrame(
+        {"k": rng.integers(0, 300, 500).astype("int64"),
+         "payload": [f"p{i}" for i in range(500)]}
+    )
+    keys = pd.DataFrame({"k": rng.integers(0, 300, 150).astype("int64")})
+    want = big.loc[~big["k"].isin(set(keys["k"]))].sort_values(
+        ["k", "payload"]
+    ).reset_index(drop=True)
+
+    for mb in (1 << 23, 64):
+        got = (
+            bloom_anti_join(rd.from_pandas(big), rd.from_pandas(keys), "k",
+                            m_bits=mb)
+            .to_pandas()
+            .sort_values(["k", "payload"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert got["k"].dtype == np.dtype("int64")  # dtypes restored
+
+    empty = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64")}))
+    got = bloom_anti_join(rd.from_pandas(big), empty, "k").to_pandas()
+    assert len(got) == len(big)
