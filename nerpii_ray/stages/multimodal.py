@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/feature libraries are not in this container, so the codec step
-is STUBBED behind a deterministic fake (``DecodeStub``) with the real
-seam clearly marked (``mode="real"`` → NotImplementedError).  Everything
-Ray-side is real and tested: the binary schema, small-batch actor-pool
-sizing, the decode→feature actor signature, and the frame-explode output
-layout.
+Two codec paths:
+
+* ``mode="stub"`` — deterministic fake features (sha256 bytes), the
+  plumbing-only path for payload formats this container cannot decode
+  (JPEG/MP3/H.264 need PIL/ffmpeg);
+* ``mode="real"`` — from-scratch decoders for two real container
+  formats implemented here with struct/numpy only: 24-bit uncompressed
+  **BMP** (BITMAPINFOHEADER, bottom-up rows, BGR byte order, 4-byte row
+  padding) and 16-bit PCM **WAV** (RIFF chunks).  ``encode_bmp`` /
+  ``encode_wav`` are the test-fixture twins; ``decode_real_stats``
+  emits exact integer channel/sample sums, so the decode is
+  hash-oracle-able in SQL (queries.multimodal_decode_stats).
 
 Scale notes: binary payloads make rows wide — these stages default to
 small ``batch_size`` so batch × concurrency fits the worker heap, and
@@ -17,6 +23,7 @@ poorly through pandas).
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -53,6 +60,199 @@ def docs_to_blobs(batch: pa.Table, id_col: str = "doc_id",
     )
 
 
+# ---------------------------------------------------------------------------
+# Real codecs, from scratch (no image/audio libraries in this container).
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, BI_RGB): rows bottom-up, pixels BGR, each row
+    padded to a 4-byte boundary — the layout every real BMP reader must
+    handle, so the decoder below is honestly exercised."""
+    h, w, _ = rgb.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    stride = row_bytes + pad
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    # BGR, bottom-up, padded: one vectorized copy into the padded buffer
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, :row_bytes] = rgb[::-1, :, ::-1].reshape(h, row_bytes)
+    return header + info + body.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an (h, w, 3) uint8 RGB
+    array.  Handles bottom-up AND top-down (negative height) rows, BGR
+    order and 4-byte row padding; rejects compressed or non-24-bit
+    files loudly rather than mis-decoding."""
+    if data[:2] != b"BM":
+        raise ValueError("decode_bmp: not a BMP (missing 'BM' magic)")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"decode_bmp: unsupported header size {hdr_size}")
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"decode_bmp: only 24-bit BI_RGB supported (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = (w * 3 + 3) & ~3
+    body = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    bgr = rows if top_down else rows[::-1]
+    return bgr[:, :, ::-1].copy()
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM samples as a mono RIFF/WAVE file."""
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes) -> tuple:
+    """Decode a 16-bit PCM mono/stereo WAV: walks the RIFF chunk list
+    (tolerating extra chunks like LIST before data, and fmt extensions),
+    returns ``(sample_rate, samples int16 ndarray)``."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("decode_wav: not a RIFF/WAVE file")
+    pos, rate, n_ch, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"decode_wav: only 16-bit PCM supported (fmt={audio_fmt}, "
+                    f"bits={bits})"
+                )
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("decode_wav: missing fmt or data chunk")
+    return rate, np.frombuffer(pcm, dtype="<i2").copy()
+
+
+class DecodeReal:
+    """Actor-pool REAL decode stage: parses each payload with the
+    from-scratch BMP/WAV codecs above and emits exact integer stats —
+    (width, height, per-channel pixel sums) for images, (sample_rate,
+    n_samples, sum of absolute amplitudes) for audio.  Integer sums make
+    the decode bit-exact-checkable against a SQL replay of the fixture
+    formula (queries.multimodal_decode_stats).  Setup-free today, but an
+    actor pool by contract: a real deployment hangs model/codec state
+    off ``__init__`` exactly here."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {
+            "media_id": [], "media_type": [], "width": [], "height": [],
+            "sum_r": [], "sum_g": [], "sum_b": [], "sample_rate": [],
+            "n_samples": [], "sum_abs": [],
+        }
+        for mid, mtype, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("media_type").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            out["media_id"].append(mid)
+            out["media_type"].append(mtype)
+            if mtype == "image":
+                rgb = decode_bmp(payload)
+                s = rgb.astype(np.int64).sum(axis=(0, 1))
+                out["width"].append(rgb.shape[1])
+                out["height"].append(rgb.shape[0])
+                out["sum_r"].append(int(s[0]))
+                out["sum_g"].append(int(s[1]))
+                out["sum_b"].append(int(s[2]))
+                out["sample_rate"].append(None)
+                out["n_samples"].append(None)
+                out["sum_abs"].append(None)
+            elif mtype == "audio":
+                rate, pcm = decode_wav(payload)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["sum_r"].append(None)
+                out["sum_g"].append(None)
+                out["sum_b"].append(None)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(pcm))
+                out["sum_abs"].append(int(np.abs(pcm.astype(np.int64)).sum()))
+            else:
+                raise ValueError(f"DecodeReal: unknown media_type {mtype!r}")
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "media_type": pa.array(out["media_type"], pa.string()),
+                "width": pa.array(out["width"], pa.int64()),
+                "height": pa.array(out["height"], pa.int64()),
+                "sum_r": pa.array(out["sum_r"], pa.int64()),
+                "sum_g": pa.array(out["sum_g"], pa.int64()),
+                "sum_b": pa.array(out["sum_b"], pa.int64()),
+                "sample_rate": pa.array(out["sample_rate"], pa.int64()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "sum_abs": pa.array(out["sum_abs"], pa.int64()),
+            }
+        )
+
+
+def docs_to_real_blobs(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic REAL media fixture: each document id becomes an
+    actual BMP image (even ids) or WAV clip (odd ids) whose pixel /
+    sample values are closed-form functions of ``doc_id`` — so a SQL
+    twin can replay the expected decode stats with pure arithmetic while
+    the engine goes the long way through encode → container bytes →
+    from-scratch decode.  Any header, stride, sign or byte-order bug in
+    the codec breaks the hash."""
+    ids, mtypes, payloads, metas = [], [], [], []
+    for raw in batch.column(id_col).to_pylist():
+        d = int(raw)
+        ids.append(d)
+        if d % 2 == 0:
+            w, h = 4 + d % 5, 3 + d % 4
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            coef = np.array([[7, 13, 31], [11, 17, 37], [13, 19, 41]],
+                            dtype=np.int64)
+            rgb = (
+                (d * coef[:, 0] + x * coef[:, 1] + y * coef[:, 2]) % 256
+            ).astype(np.uint8)
+            mtypes.append("image")
+            payloads.append(encode_bmp(rgb))
+            metas.append(f'{{"codec":"bmp","w":{w},"h":{h}}}')
+        else:
+            n = 64 + d % 32
+            i = np.arange(n, dtype=np.int64)
+            pcm = ((d * 17 + i * 29) % 4096 - 2048).astype(np.int16)
+            mtypes.append("audio")
+            payloads.append(encode_wav(pcm, 8000))
+            metas.append(f'{{"codec":"wav","n":{n},"rate":8000}}')
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(mtypes, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(metas, pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class DecodeStub:
     """Actor-pool decode/feature-extract stage.
 
@@ -63,14 +263,19 @@ class DecodeStub:
     """
 
     def __init__(self, mode: str = "stub", dim: int = 8):
-        if mode != "stub":
-            raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg/torch, not present "
-                "in this environment — plug the codec in here"
-            )
+        if mode == "real":
+            # the formerly-stubbed seam: route to the from-scratch
+            # BMP/WAV codec stage (same actor-pool contract)
+            self._real = DecodeReal()
+        elif mode == "stub":
+            self._real = None
+        else:
+            raise ValueError(f"DecodeStub: unknown mode {mode!r}")
         self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._real is not None:
+            return self._real(batch)
         payloads = batch.column("payload").to_pylist()
         n_bytes = pa.array([len(p or b"") for p in payloads], pa.int64())
         feats = []

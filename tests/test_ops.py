@@ -1530,3 +1530,85 @@ def test_bloom_anti_join_exact_even_with_forced_false_positives():
     empty = rd.from_pandas(pd.DataFrame({"k": pd.Series(dtype="int64")}))
     got = bloom_anti_join(rd.from_pandas(big), empty, "k").to_pandas()
     assert len(got) == len(big)
+
+
+def test_bmp_wav_codecs_roundtrip_and_reject():
+    """From-scratch codecs (VERDICT r4 #2): BMP round-trips every stride
+    class (w%4 = 0..3) and top-down files; WAV round-trips and walks
+    extra RIFF chunks; malformed inputs fail loudly."""
+    import struct
+
+    from nerpii_ray.stages.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    for w in (1, 2, 3, 4, 7):
+        img = rng.integers(0, 256, (5, w, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+
+    # top-down: negative height means rows are stored top-first
+    img = rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    data = bytearray(encode_bmp(img[::-1]))
+    struct.pack_into("<i", data, 22, -4)
+    # bottom-up encode of img[::-1] stores rows physically in img order;
+    # the top-down flag reads them as-is
+    assert (decode_bmp(bytes(data)) == img).all()
+
+    pcm = rng.integers(-2048, 2048, 95).astype(np.int16)
+    rate, back = decode_wav(encode_wav(pcm, 44100))
+    assert rate == 44100 and (back == pcm).all()
+
+    # extra LIST chunk (word-aligned) before data must be skipped
+    raw = encode_wav(np.arange(10, dtype=np.int16), 8000)
+    fmt_chunk, data_chunk = raw[12:36], raw[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    rebuilt = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt_chunk) + len(extra) + len(data_chunk))
+        + b"WAVE" + fmt_chunk + extra + data_chunk
+    )
+    rate, back = decode_wav(rebuilt)
+    assert rate == 8000 and (back == np.arange(10, dtype=np.int16)).all()
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"NOPE")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_real_decode_stage_matches_direct_computation():
+    """documents → real BMP/WAV blobs → DecodeReal actor stage == the
+    closed-form fixture stats computed directly."""
+    from nerpii_ray.stages.multimodal import DecodeStub, docs_to_real_blobs
+
+    import pyarrow as pa
+
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(20))}))
+    out = (
+        docs.map_batches(docs_to_real_blobs, batch_format="pyarrow")
+        .map_batches(
+            DecodeStub,
+            fn_constructor_kwargs=dict(mode="real"),
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    for d in range(20):
+        if d % 2 == 0:
+            w, h = 4 + d % 5, 3 + d % 4
+            xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+            assert out.loc[d, "width"] == w and out.loc[d, "height"] == h
+            assert out.loc[d, "sum_r"] == ((d * 7 + xs * 13 + ys * 31) % 256).sum()
+            assert out.loc[d, "sum_b"] == ((d * 13 + xs * 19 + ys * 41) % 256).sum()
+        else:
+            n = 64 + d % 32
+            i = np.arange(n)
+            assert out.loc[d, "n_samples"] == n
+            assert out.loc[d, "sum_abs"] == np.abs((d * 17 + i * 29) % 4096 - 2048).sum()
