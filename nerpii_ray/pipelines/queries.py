@@ -3827,49 +3827,54 @@ def orders_weighted_sample(sf_dir: str):
     """,
 )
 def events_funnel(sf_dir: str):
-    """Ordered conversion funnel (signup → view → purchase): the deepest
+    """Ordered conversion funnel (signup → view → purchase) through the
+    general ``sequential_funnel`` operator (stages/window.py): deepest
     stage each user reached with STRICTLY increasing timestamps between
-    stages.  One metadata-count co-location by user; the in-bucket
-    kernel is three chained conditional groupby-mins — no per-user
-    Python loop, no global sort.  The sequential-pattern shape every
-    product-analytics pipeline needs and plain aggregation cannot
-    express."""
-    from nerpii_ray.stages.colocate import keyed_partition_apply
+    stages, one co-location, chained conditional groupby-mins."""
+    from nerpii_ray.stages.window import sequential_funnel
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return sequential_funnel(ds, ["signup", "view", "purchase"])
 
-    def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return pd.DataFrame(
-                {"user_id": pd.Series(dtype="int64"),
-                 "funnel_stage": pd.Series(dtype="int64")}
-            )
-        users = pd.unique(g["user_id"])
-        t1 = (
-            g.loc[g["event_type"] == "signup"]
-            .groupby("user_id", sort=False, observed=True)["ts"].min()
-        )
-        v = g.loc[g["event_type"] == "view"].copy()
-        v["t1"] = v["user_id"].map(t1)
-        t2 = (
-            v.loc[v["ts"] > v["t1"]]
-            .groupby("user_id", sort=False, observed=True)["ts"].min()
-        )
-        pch = g.loc[g["event_type"] == "purchase"].copy()
-        pch["t2"] = pch["user_id"].map(t2)
-        t3 = (
-            pch.loc[pch["ts"] > pch["t2"]]
-            .groupby("user_id", sort=False, observed=True)["ts"].min()
-        )
-        out = pd.DataFrame({"user_id": pd.Series(users).astype("int64")})
-        stage = np.zeros(len(out), dtype=np.int64)
-        stage[out["user_id"].isin(t1.index).to_numpy()] = 1
-        stage[out["user_id"].isin(t2.index).to_numpy()] = 2
-        stage[out["user_id"].isin(t3.index).to_numpy()] = 3
-        out["funnel_stage"] = stage
-        return out
 
-    return keyed_partition_apply(ds, ["user_id"], kernel)
+@register(
+    "events_funnel4",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, MIN(e.ts) AS t4
+      FROM events e JOIN s3 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN s4.t4 IS NOT NULL THEN 4
+                     WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS funnel_stage
+    FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+           LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    """,
+)
+def events_funnel4(sf_dir: str):
+    """4-step funnel (signup → view → click → purchase) — the
+    parameterized ``sequential_funnel`` at a different step list, with
+    its own 4-CTE SQL twin (VERDICT r4 #8 done-check)."""
+    from nerpii_ray.stages.window import sequential_funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return sequential_funnel(ds, ["signup", "view", "click", "purchase"])
 
 
 # ---------------------------------------------------------------------------

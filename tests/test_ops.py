@@ -1612,3 +1612,46 @@ def test_real_decode_stage_matches_direct_computation():
             i = np.arange(n)
             assert out.loc[d, "n_samples"] == n
             assert out.loc[d, "sum_abs"] == np.abs((d * 17 + i * 29) % 4096 - 2048).sum()
+
+
+def test_sequential_funnel_step_permutations():
+    """sequential_funnel: strictly-increasing-ts semantics across step
+    permutations, checked against a per-user Python reference."""
+    from nerpii_ray.stages.window import sequential_funnel
+
+    rng = np.random.default_rng(13)
+    n = 800
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, n).astype("int64"),
+            "ts": pd.to_datetime("2021-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "event_type": rng.choice(
+                ["signup", "view", "click", "purchase", "error"], n
+            ),
+        }
+    )
+
+    def reference(steps):
+        out = {}
+        for u, g in ev.groupby("user_id"):
+            stage, prev = 0, None
+            for st in steps:
+                cand = g.loc[g["event_type"] == st, "ts"]
+                if prev is not None:
+                    cand = cand[cand > prev]
+                if cand.empty:
+                    break
+                stage, prev = stage + 1, cand.min()
+            out[int(u)] = stage
+        return out
+
+    for steps in (
+        ["signup", "view", "purchase"],
+        ["purchase", "view", "signup"],
+        ["view", "click", "signup", "purchase"],
+        ["error"],
+    ):
+        got = sequential_funnel(rd.from_pandas(ev), steps).to_pandas()
+        gmap = dict(zip(got["user_id"].astype(int), got["funnel_stage"].astype(int)))
+        assert gmap == reference(steps), steps
