@@ -1655,3 +1655,82 @@ def test_sequential_funnel_step_permutations():
         got = sequential_funnel(rd.from_pandas(ev), steps).to_pandas()
         gmap = dict(zip(got["user_id"].astype(int), got["funnel_stage"].astype(int)))
         assert gmap == reference(steps), steps
+
+
+def test_hot_key_guard_raises_and_salted_merge_equal():
+    """Opt-in hot-key guard (VERDICT r4 #5): a crafted pathological key
+    over the bucket budget fails LOUDLY before the exchange; and for a
+    mergeable kernel (per-key count), salting the hot key + a cross-shard
+    merge is pinned equal to the unsalted result."""
+    from nerpii_ray.stages.agg import salt_hot_keys
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "k": np.concatenate(
+                [np.zeros(5000, dtype="int64"),  # the hot key
+                 rng.integers(1, 50, 500).astype("int64")]
+            ),
+            "v": np.arange(5500, dtype="int64"),
+        }
+    )
+    ds = rd.from_pandas(df)
+
+    def count_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"k": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return (
+            g.groupby("k", sort=False, observed=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    with pytest.raises(RuntimeError, match="hot key"):
+        keyed_partition_apply(
+            ds, ["k"], count_kernel, path="exchange", hot_key_budget=1000
+        )
+
+    # under budget: passes through untouched
+    ok = keyed_partition_apply(
+        ds, ["k"], count_kernel, path="exchange", hot_key_budget=10_000
+    ).to_pandas()
+    want = df.groupby("k").size().rename("n").reset_index()
+    got = ok.copy()
+    got["k"] = got["k"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.sort_values("k").reset_index(drop=True),
+        want.sort_values("k").reset_index(drop=True),
+        check_dtype=False,
+    )
+
+    # mergeable kernel recovery: salt the hot key, count per salted
+    # shard, merge shards — equal to the direct count
+    salted = salt_hot_keys(ds, "k", hot_keys={0}, salt=8)
+
+    def shard_count(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"k": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        out = (
+            g.groupby("__salted_key", sort=False, observed=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["k"] = out["__salted_key"].str.rsplit("#", n=1).str[0]
+        return out[["k", "n"]]
+
+    sh = keyed_partition_apply(
+        salted, ["__salted_key"], shard_count, path="exchange",
+        hot_key_budget=1000,  # each shard is now under budget
+    ).to_pandas()
+    merged = sh.groupby("k")["n"].sum().reset_index()
+    merged["k"] = merged["k"].astype("int64")
+    pd.testing.assert_frame_equal(
+        merged.sort_values("k").reset_index(drop=True),
+        want.sort_values("k").reset_index(drop=True),
+        check_dtype=False,
+    )
