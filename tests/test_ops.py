@@ -377,9 +377,11 @@ def test_multimodal(docs):
         feats.sort_values("media_id").reset_index(drop=True),
         feats2.sort_values("media_id").reset_index(drop=True),
     )
-    # real decode is an explicit seam
-    with pytest.raises(NotImplementedError):
-        DecodeStub(mode="real")
+    # real decode routes to the from-scratch BMP/WAV codecs (r5);
+    # unknown modes still fail loudly
+    assert DecodeStub(mode="real")._real is not None
+    with pytest.raises(ValueError):
+        DecodeStub(mode="jpeg")
     # frame explode layout
     import pyarrow as pa
 

@@ -13,6 +13,7 @@ from nerpii_ray.pipelines.queries import (
     kg_assignments_sql_for,
     kg_edges_sql_for,
     kg_nodes_core_sql_for,
+    kg_nodes_sql_for,
     transcript_gender_sql_for,
 )
 
@@ -24,6 +25,7 @@ SQL_OVERRIDES = {
     "kg_assignments": kg_assignments_sql_for(0.001),
     "kg_edges": kg_edges_sql_for(0.001),
     "kg_nodes_core": kg_nodes_core_sql_for(0.001),
+    "kg_nodes": kg_nodes_sql_for(0.001),
     "transcript_gender_enrich": transcript_gender_sql_for(0.001),
 }
 TABLES = [
