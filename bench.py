@@ -195,10 +195,18 @@ def run_bench() -> dict:
     # every attempt was noisy, in which case the best one does, and the
     # recorded canaries say so).  Keeps the official artifact from
     # landing on a co-tenant spike.
-    max_tries = int(os.environ.get("RAY_GRAFT_QUIET_TRIES", "3"))
+    # 8 tries with sleep backoff (VERDICT r4 #1: 3 tries let the official
+    # r4 artifact certify a noisy window while the same code measured
+    # 5.73 s quiet the same day) — a noisy attempt now sleeps past the
+    # co-tenant burst before re-measuring instead of immediately retrying
+    # into the same window
+    max_tries = int(os.environ.get("RAY_GRAFT_QUIET_TRIES", "8"))
+    backoff = float(os.environ.get("RAY_GRAFT_QUIET_BACKOFF", "15"))
     canary_history: list = []
     best = None  # (headline, qtimes, canary_pair, steal, quiet)
-    for _ in range(max_tries):
+    for attempt in range(max_tries):
+        if attempt:
+            time.sleep(min(backoff * attempt, 90.0))
         pre = _wait_for_quiet()
         canary_history.extend(pre)
         stat0 = _cpu_times()

@@ -4010,18 +4010,21 @@ def events_funnel4(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# Driver correctness-window ordering.
+# Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #
-# The driver's per-round sweep records the FIRST 50 registry entries
-# (CORRECTNESS_r03 stopped at 50, leaving the 15 newest SQL-oracled
-# queries certified only by judge-side reruns).  Reorder the registry so
-# the window certifies the queries that most need a fresh artifact:
-#   1. SQL-oracled queries with no driver artifact yet (the r3-late
-#      ordered/window/sketch family plus anything registered after) —
-#      kept in registration order;
-#   2. the SQL-oracled queries already green in CORRECTNESS_r01–r03;
-#   3. rows-only queries LAST — their driver check is the weaker
-#      rows-only form regardless of position.
+# The driver's per-round sweep records the FIRST 50 registry entries.
+# Round 4 certified the 50 then-freshest; the 27 queries it pushed out
+# (certified r01–r03) now rotate BACK IN so every SQL-oracled query
+# regains a driver artifact at least every other round.  Order:
+#   1. queries that are new or materially CHANGED this round (new SQL
+#      oracle, new physical plan) — they have no artifact for the code
+#      that now runs;
+#   2. the r4-deprioritized set (last driver artifact: r03);
+#   3. pinned flagships (KG family, dedup family, detect scans) — in the
+#      window EVERY round;
+#   4. everything else certified in r04, in registration order;
+#   5. rows-only queries LAST — their driver check is the weaker form
+#      regardless of position.
 # Every query stays registered and runnable by name; only dict order
 # changes.
 # ---------------------------------------------------------------------------
@@ -4063,20 +4066,46 @@ _WINDOW_DEPRIORITIZED = [
 ]
 
 
+#: new or materially-changed this round (round 5): new SQL oracles
+#: (kg_nodes pseudonyms, real-codec stats, 4-step funnel) and queries
+#: whose physical plan changed (bloom anti-join, digest-bytes draw,
+#: sequential_funnel routing, corr NULL guard)
+_R5_FRESH = [
+    "kg_nodes", "multimodal_decode_stats", "events_funnel4",
+    "customers_without_orders", "orders_weighted_sample", "events_funnel",
+    "lineitem_price_qty_corr", "events_ipc_roundtrip",
+]
+
+#: flagships pinned inside the window every round
+_R5_PINNED = [
+    "kg_edges", "kg_nodes_core", "kg_assignments", "doc_mentions",
+    "doc_assignments", "doc_exact_dedup", "doc_minhash_pairs_small",
+    "doc_winnow_fingerprints", "doc_simhash_dup_clusters",
+    "multimodal_features", "doc_redact_tags", "natid_detect_eu",
+    "doc_pagerank", "lineitem_bloom_semi_join", "ann_ivf_topk_small",
+    "events_session_table",
+]
+
+
 def _reorder_for_driver_window() -> None:
-    certified = set(_DRIVER_CERTIFIED)
-    depri = set(_WINDOW_DEPRIORITIZED)
-    fresh = [
-        n for n in QUERIES
-        if n in ORACLE_SQL and n not in certified
+    fresh = [n for n in _R5_FRESH if n in QUERIES and n in ORACLE_SQL]
+    taken = set(fresh)
+    rotate_in = [
+        n for n in _WINDOW_DEPRIORITIZED
+        if n in QUERIES and n in ORACLE_SQL and n not in taken
     ]
-    prior = [
-        n for n in QUERIES
-        if n in ORACLE_SQL and n in certified and n not in depri
+    taken |= set(rotate_in)
+    pinned = [
+        n for n in _R5_PINNED
+        if n in QUERIES and n in ORACLE_SQL and n not in taken
     ]
-    tail = [n for n in _WINDOW_DEPRIORITIZED if n in QUERIES]
+    taken |= set(pinned)
+    rest = [
+        n for n in QUERIES
+        if n in ORACLE_SQL and n not in taken
+    ]
     rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
-    ordered = fresh + prior + tail + rows_only
+    ordered = fresh + rotate_in + pinned + rest + rows_only
     assert sorted(ordered) == sorted(QUERIES)
     reord = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
