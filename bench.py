@@ -292,7 +292,14 @@ def run_scaling() -> dict:
     per_round = [
         (r[lo * 4]["turns_per_sec"] / r[lo]["turns_per_sec"]) / 4 for r in round_recs
     ]
-    headline = min(1.0, max(per_round))
+    # efficiency meaningfully above 1.0 on 4x the CPUs is physically
+    # implausible — it means the LO level of that round was
+    # noise-depressed, so the pairing is invalid evidence (r5: a 16%-steal
+    # window produced 1.26).  Headline = best PLAUSIBLE same-round
+    # pairing; only if every round is implausible does the clamped best
+    # stand (and the per-round list says so).
+    plausible = [e for e in per_round if e <= 1.05]
+    headline = min(1.0, max(plausible) if plausible else max(per_round))
     # secondary: best-of-all-windows per level (noise is one-sided, so
     # this bounds the noise-free ratio from above) — clearly labeled
     best_lo = max(r[lo]["turns_per_sec"] for r in round_recs)
