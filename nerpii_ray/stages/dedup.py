@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 
 from nerpii_ray.functions.textfns import md5_of_strings, stable_hash64_np
+from nerpii_ray.stages.colocate import keyed_partition_apply
 
 _MERSENNE = (1 << 61) - 1
 _TOKEN_RE = re.compile(r"\w+")
@@ -602,6 +603,30 @@ def add_simhash(batch: pd.DataFrame, text_col: str = "text",
 
 
 # ------------------------------------------------- n-gram Jaccard pairs
+def _per_bucket_kernel(pairs, bucket_col: str, out_dtypes: dict):
+    """Lift a single-bucket pair kernel to the multi-key frames that
+    ``keyed_partition_apply`` delivers (several complete buckets per
+    partition, possibly empty).  ``observed=True``: a dict-encoded
+    bucket column must not explode into the cartesian category set."""
+
+    def kernel(frame: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in out_dtypes.items()}
+        )
+        if not len(frame):
+            return empty
+        parts = [
+            p
+            for _, g in frame.groupby(bucket_col, observed=True, sort=False)
+            if len(p := pairs(g))
+        ]
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True).astype(out_dtypes)
+
+    return kernel
+
+
 def ngram_jaccard_pairs(
     ds,
     bucket_col: str,
@@ -616,6 +641,11 @@ def ngram_jaccard_pairs(
     Partitioning assumption: near-duplicates share ``bucket_col`` (e.g.
     source/lang); cross-bucket duplicates are invisible by design — use
     minhash_lsh_pairs for unbucketed discovery.
+
+    Physical plan: ``keyed_partition_apply`` on ``bucket_col`` — one
+    task under the root threshold, keyed actor exchange past it (the
+    sort-based ``Dataset.groupby`` this replaced spent 4–8 s of fixed
+    shuffle latency at ANY size; colocate.py:15).
     """
 
     def shingles(x) -> frozenset:
@@ -647,7 +677,13 @@ def ngram_jaccard_pairs(
                     js.append(math.floor(jac * 1e6 + 0.5) / 1e6)
         return pd.DataFrame({"id_a": ia, "id_b": ib, "jaccard": js})
 
-    return ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")
+    return keyed_partition_apply(
+        ds,
+        [bucket_col],
+        _per_bucket_kernel(
+            pairs, bucket_col, {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        ),
+    )
 
 
 # --------------------------------------------- embedding-cosine near-dup
@@ -664,6 +700,11 @@ def embedding_dup_pairs(
     Partitioning assumption: duplicates share ``bucket_col`` (cluster id /
     LSH bucket produced upstream).  One matmul per bucket, float64.
     Returns (id_a, id_b, cos_sim) with id_a < id_b.
+
+    Physical plan: ``keyed_partition_apply`` on ``bucket_col`` (one task
+    small / keyed exchange large) — not the sort-based
+    ``Dataset.groupby``, whose fixed shuffle latency is seconds at any
+    size (colocate.py:15).
     """
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -682,7 +723,13 @@ def embedding_dup_pairs(
             }
         )
 
-    return ds.groupby(bucket_col).map_groups(pairs, batch_format="pandas")
+    return keyed_partition_apply(
+        ds,
+        [bucket_col],
+        _per_bucket_kernel(
+            pairs, bucket_col, {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+        ),
+    )
 
 
 def simhash_dup_pairs(

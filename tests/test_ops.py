@@ -237,6 +237,40 @@ def test_ngram_jaccard_pairs(docs_df):
     assert {(d - 500, d) for d in near["doc_id"]} <= found
 
 
+def test_bucket_pair_kernels_exchange_path(docs_df):
+    """ngram_jaccard_pairs / embedding_dup_pairs ride
+    keyed_partition_apply: pin the forced-exchange scale path equal to
+    the one-task small path (values included)."""
+    import nerpii_ray.stages.agg as agg
+
+    base = docs_df.head(20).copy()
+    near = base.head(3).copy()
+    near["doc_id"] += 500
+    ds = rd.from_pandas(pd.concat([base, near], ignore_index=True)).repartition(3)
+    vdf = rd.read_parquet(f"{SF}/embeddings.parquet").to_pandas()
+    dup = vdf.iloc[[0]].assign(vec_id=99999)
+    vds = rd.from_pandas(pd.concat([vdf, dup], ignore_index=True))
+
+    want_n = ngram_jaccard_pairs(ds, bucket_col="source", threshold=0.9).to_pandas()
+    want_e = embedding_dup_pairs(vds, threshold=0.999).to_pandas()
+    assert len(want_n) and len(want_e)
+
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1  # read at call time → forces exchange
+    try:
+        got_n = ngram_jaccard_pairs(ds, bucket_col="source", threshold=0.9).to_pandas()
+        got_e = embedding_dup_pairs(vds, threshold=0.999).to_pandas()
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+
+    key = ["id_a", "id_b"]
+    for want, got in ((want_n, got_n), (want_e, got_e)):
+        pd.testing.assert_frame_equal(
+            want.sort_values(key).reset_index(drop=True),
+            got[want.columns].sort_values(key).reset_index(drop=True),
+        )
+
+
 def test_embedding_dup_and_ann():
     vecs = rd.read_parquet(f"{SF}/embeddings.parquet")
     vdf = vecs.to_pandas()
