@@ -4009,6 +4009,59 @@ def events_funnel4(sf_dir: str):
     return sequential_funnel(ds, ["signup", "view", "click", "purchase"])
 
 
+@register(
+    "events_value_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+    ), b AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c
+    )
+    SELECT ((c.cents - b.lo) * 32) // (b.hi - b.lo + 1) AS bucket,
+           b.lo + (((c.cents - b.lo) * 32) // (b.hi - b.lo + 1))
+                  * (b.hi - b.lo + 1) // 32 AS bucket_lo_cents,
+           COUNT(*) AS n
+    FROM c, b
+    GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(sf_dir: str):
+    """Exact 32-bucket equi-width histogram of event value cents: the
+    classic two-pass scan shape (tree min/max → two driver scalars →
+    closure-shipped bucketing → bounded-key count tree).  Pure int64
+    arithmetic on both sides, so the bucket edges hash-match."""
+    from nerpii_ray.stages.agg import equi_width_histogram
+
+    return equi_width_histogram(
+        _read(sf_dir, "events", ["value"]), num_buckets=32
+    )
+
+
+@register(
+    "events_type_mode",
+    """
+    SELECT user_id, mode_event_type, n FROM (
+      SELECT user_id, event_type AS mode_event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def events_type_mode(sf_dir: str):
+    """Exact per-user modal event type (ties → smallest type):
+    cardinality-aware (user, type) count tree, then an argmax finish
+    co-located per user — the counts table is (users × types)-sized,
+    never event-sized."""
+    from nerpii_ray.stages.agg import grouped_mode
+
+    return grouped_mode(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"],
+        "event_type",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #

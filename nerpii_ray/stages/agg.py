@@ -684,3 +684,149 @@ def misra_gries_topk(
     return tree_aggregate(
         ds, partial_fn or default_partial, mg_merge, final_fn=finish
     )
+
+
+def equi_width_histogram(
+    ds,
+    value_col: str = "value",
+    num_buckets: int = 32,
+    levels: Tuple[int, ...] = (16, 1),
+    batch_size: int = 65536,
+):
+    """Exact equi-width histogram over an integer-cents measure.
+
+    Classic two-pass shape for a 100-TB scan (the reference has no
+    histogram at all — ``named_entity_recognizer.py`` profiles one
+    in-memory frame):
+
+    1. global (lo, hi) cents via the combiner tree — the driver reads
+       TWO scalars, never data;
+    2. the scalars ship in the task closure (bytes, not a shuffle) and
+       every batch buckets locally: ``(cents - lo) * B // (hi - lo + 1)``
+       — pure int64, so the result hash-matches the SQL replay exactly;
+       counts finish on the bounded-key grouped sum (``num_buckets``
+       keys ⇒ ``adaptive=False``: the cardinality check would pay a
+       barrier to learn a bound known by construction).
+
+    Output: (bucket, bucket_lo_cents, n) — only non-empty buckets, like
+    the SQL GROUP BY.
+    """
+
+    def cents_of(b: pd.DataFrame) -> np.ndarray:
+        # np.round(value*100) ↔ SQL ROUND(value*100): the established
+        # cents discipline of every money query (events_hourly et al.)
+        return np.round(b[value_col].to_numpy() * 100).astype(np.int64)
+
+    def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"), "hi": pd.Series(dtype="int64")}
+            )
+        c = cents_of(b)
+        return pd.DataFrame({"lo": [int(c.min())], "hi": [int(c.max())]})
+
+    def bounds_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"), "hi": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {"lo": [int(df["lo"].min())], "hi": [int(df["hi"].max())]}
+        )
+
+    bounds = tree_aggregate(
+        ds, bounds_partial, bounds_merge, levels=levels, batch_size=batch_size
+    ).take_all()
+    if not bounds:
+        raise ValueError("equi_width_histogram: empty input")
+    lo, hi = int(bounds[0]["lo"]), int(bounds[0]["hi"])
+    span = hi - lo + 1
+
+    def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"bucket": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        bucket = (cents_of(b) - lo) * num_buckets // span
+        return (
+            pd.DataFrame({"bucket": bucket, "n": np.int64(1)})
+            .groupby("bucket", sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    counts = grouped_sum(
+        ds, ["bucket"], ["n"], partial_fn=bucket_partial,
+        levels=levels, batch_size=batch_size, adaptive=False,
+    )
+
+    def annotate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_lo_cents"] = (
+            lo + df["bucket"].to_numpy(dtype=np.int64) * span // num_buckets
+        )
+        return df[["bucket", "bucket_lo_cents", "n"]]
+
+    return counts.map_batches(annotate, batch_format="pandas", batch_size=None)
+
+
+def grouped_mode(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    levels: Tuple[int, ...] = (16, 1),
+    batch_size: int = 65536,
+):
+    """Exact per-key mode (most frequent value), deterministic ties:
+    highest count wins, then the SMALLEST value — the same cut rule the
+    SQL twin's ``ORDER BY COUNT(*) DESC, value`` expresses.
+
+    Plan: counts via the cardinality-aware grouped sum on
+    ``keys + [value_col]`` (the only data-sized pass), then the argmax
+    finish rides ``keyed_partition_apply`` on ``keys`` alone — the
+    counts table is (key × distinct-values)-sized, never raw-data-sized,
+    and no node holds more of it than its key range.
+
+    Output: (*keys, mode_<value_col>, n).
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    keys = list(keys)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            out = b.loc[:, keys + [value_col]].copy()
+            out["n"] = pd.Series(dtype="int64")
+            return out
+        out = b.loc[:, keys + [value_col]].copy()
+        out["n"] = np.int64(1)
+        return (
+            out.groupby(keys + [value_col], sort=False, observed=True)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    counts = grouped_sum(
+        ds, keys + [value_col], ["n"], partial_fn=count_partial,
+        levels=levels, batch_size=batch_size,
+    )
+
+    out_col = f"mode_{value_col}"
+
+    def argmax(frame: pd.DataFrame) -> pd.DataFrame:
+        frame = frame.rename(columns={value_col: out_col})
+        if not len(frame):
+            return frame.loc[:, keys + [out_col, "n"]]
+        s = frame.sort_values(
+            [*keys, "n", out_col],
+            ascending=[True] * len(keys) + [False, True],
+            kind="mergesort",
+        )
+        return (
+            s.groupby(keys, sort=False, observed=True)
+            .head(1)
+            .loc[:, keys + [out_col, "n"]]
+            .reset_index(drop=True)
+        )
+
+    return keyed_partition_apply(counts, keys, argmax)

@@ -1770,3 +1770,43 @@ def test_hot_key_guard_raises_and_salted_merge_equal():
         want.sort_values("k").reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_equi_width_histogram_and_grouped_mode():
+    from nerpii_ray.stages.agg import equi_width_histogram, grouped_mode
+
+    ev = rd.read_parquet(f"{SF}/events.parquet")
+    edf = ev.to_pandas()
+
+    hist = equi_width_histogram(ev, num_buckets=8).to_pandas()
+    assert hist["n"].sum() == len(edf)
+    assert hist["bucket"].between(0, 7).all()
+    # pandas reference with the identical integer arithmetic
+    cents = np.round(edf["value"].to_numpy() * 100).astype(np.int64)
+    lo, hi = cents.min(), cents.max()
+    want = pd.Series((cents - lo) * 8 // (hi - lo + 1)).value_counts()
+    got = hist.set_index("bucket")["n"]
+    assert got.sort_index().equals(want.sort_index().astype("int64"))
+    # bucket lower edges are the exact integer formula
+    assert (
+        hist["bucket_lo_cents"]
+        == lo + hist["bucket"].to_numpy(dtype=np.int64) * (hi - lo + 1) // 8
+    ).all()
+
+    mode = grouped_mode(ev, ["user_id"], "event_type").to_pandas()
+    ref = (
+        edf.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+        .sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+        .groupby("user_id").head(1).reset_index(drop=True)
+    )
+    assert len(mode) == edf["user_id"].nunique()
+    m = mode.sort_values("user_id").reset_index(drop=True)
+    assert (m["mode_event_type"].to_numpy() == ref["event_type"].to_numpy()).all()
+    assert (m["n"].to_numpy() == ref["n"].to_numpy()).all()
+
+    # deterministic tie: equal counts → lexicographically smallest value
+    tie = pd.DataFrame(
+        {"user_id": [1, 1, 1, 1], "event_type": ["view", "click", "click", "view"]}
+    )
+    out = grouped_mode(rd.from_pandas(tie), ["user_id"], "event_type").to_pandas()
+    assert out.iloc[0]["mode_event_type"] == "click" and out.iloc[0]["n"] == 2
