@@ -4038,6 +4038,58 @@ def events_value_histogram(sf_dir: str):
 
 
 @register(
+    "embedding_srp_pairs",
+    """
+    WITH ei AS (
+      SELECT vec_id, i, CAST(FLOOR(embedding[i] * 1048576.0) AS BIGINT) AS x
+      FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    ), planes AS (
+      SELECT p, i,
+             CASE WHEN ('0x' || substr(md5('srp:' || CAST(p AS VARCHAR)
+                        || ':' || CAST(i AS VARCHAR)), 1, 1))::UBIGINT % 2 = 1
+                  THEN 1 ELSE -1 END AS h
+      FROM range(0, 32) t1(p), range(1, 65) t2(i)
+    ), dots AS (
+      SELECT ei.vec_id, pl.p, SUM(ei.x * pl.h) AS d
+      FROM ei JOIN planes pl USING (i) GROUP BY 1, 2
+    ), sigs AS (
+      SELECT vec_id, p // 8 AS band,
+             SUM(CASE WHEN d >= 0 THEN (1::BIGINT << (p % 8)) ELSE 0 END) AS val
+      FROM dots GROUP BY 1, 2
+    ), norms AS (
+      SELECT vec_id, SUM(x * x) AS nn FROM ei GROUP BY 1
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+    ), pairdot AS (
+      SELECT c.id_a, c.id_b, SUM(xa.x * xb.x) AS d
+      FROM cand c JOIN ei xa ON xa.vec_id = c.id_a
+                  JOIN ei xb ON xb.vec_id = c.id_b AND xb.i = xa.i
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(p.d AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))),
+                 6) AS cos_sim
+    FROM pairdot p JOIN norms na ON na.vec_id = p.id_a
+                   JOIN norms nb ON nb.vec_id = p.id_b
+    WHERE CAST(p.d AS DOUBLE)
+          / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.35
+    """,
+)
+def embedding_srp_pairs(sf_dir: str):
+    """UNBUCKETED embedding near-dup pairs via SRP-LSH (32 planes, 4
+    8-bit bands, cosine ≥ 0.35 verify).  The SQL twin replays the
+    SKETCH — planes closed-form from md5, fixed-point int64 dots, one
+    final double division — so the approximate op is checked exactly
+    (the doc_minhash_pairs_small trick on embeddings)."""
+    from nerpii_ray.stages.dedup import srp_dup_pairs
+
+    return srp_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
+@register(
     "events_type_mode",
     """
     SELECT user_id, mode_event_type, n FROM (

@@ -686,6 +686,155 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------- SRP-LSH embedding near-dup (unbucketed)
+_SRP_PLANES: dict = {}
+
+
+def _srp_planes(nbits: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplanes: sign of plane p at
+    1-based coordinate c is the parity of the first hex digit of
+    ``md5("srp:{p}:{c}")`` — closed-form, so the SQL twin derives the
+    SAME planes from DuckDB's own md5() with zero literals shipped.
+    Memoized per worker (nbits × dim md5 calls, ~2 ms)."""
+    key = (nbits, dim)
+    if key not in _SRP_PLANES:
+        h = np.empty((nbits, dim), dtype=np.int64)
+        for p in range(nbits):
+            for c in range(dim):
+                d = hashlib.md5(f"srp:{p}:{c + 1}".encode()).hexdigest()[0]
+                h[p, c] = 1 if int(d, 16) % 2 else -1
+        _SRP_PLANES[key] = h
+    return _SRP_PLANES[key]
+
+
+def srp_dup_pairs(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 32,
+    band_bits: int = 8,
+    threshold: float = 0.35,
+    max_bucket: int = 8192,
+):
+    """UNBUCKETED embedding near-duplicate pairs via signed-random-
+    projection LSH (Charikar, STOC'02): no upstream cluster/bucket
+    column required, unlike ``embedding_dup_pairs``.
+
+    Exactness discipline (what makes this hash-oracle-able): embeddings
+    are fixed-pointed as ``floor(v * 2^20)`` int64 (scaling by a power
+    of two is exact in doubles, and FLOOR has no rounding mode to
+    diverge on); every dot product and squared norm stays in exact
+    int64; the single double division ``d / (sqrt(nn_a) * sqrt(nn_b))``
+    is the last step — IEEE sqrt/multiply/divide are deterministic, so
+    the SQL twin reproduces the value bit-for-bit.  The twin replays
+    the SKETCH itself (planes from md5, identical banding), so the
+    check is exact even though LSH recall is approximate — the
+    ``doc_minhash_pairs_small`` trick.
+
+    Physical plan (one data pass + result-sized exchanges):
+      1. one embedding pass → ``nbits/band_bits`` band rows per vector
+         (band, 8-bit value, id, int64 vector + norm ride);
+      2. pair inside each (band, value) bucket on the co-location
+         primitive — integer Gram matmul per bucket, verify cosine ≥
+         threshold immediately so only RESULT pairs leave the bucket;
+      3. cross-band dedup of (id_a, id_b) on the cardinality-aware tree
+         (a pair can collide in up to ``nbits/band_bits`` bands; the
+         verified cos_sim is identical in each, so keep-first is safe).
+    Buckets past ``max_bucket`` keep their smallest ids and log the
+    drop (no silent caps).
+    """
+    from nerpii_ray.stages.agg import tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    if nbits % band_bits:
+        raise ValueError("nbits must be a multiple of band_bits")
+    num_bands = nbits // band_bits
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
+
+    def band_rows(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {
+                    "band": pd.Series(dtype="int64"),
+                    "val": pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype="int64"),
+                    "e_int": pd.Series(dtype="object"),
+                    "nn": pd.Series(dtype="int64"),
+                }
+            )
+        e = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+        )
+        e_int = np.floor(e * 1048576.0).astype(np.int64)
+        planes = _srp_planes(nbits, e_int.shape[1])
+        bits = (e_int @ planes.T >= 0).astype(np.int64)
+        nn = (e_int * e_int).sum(axis=1)
+        ids = b[id_col].to_numpy()
+        parts = []
+        for band in range(num_bands):
+            val = bits[:, band * band_bits : (band + 1) * band_bits] @ weights
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "band": np.int64(band),
+                        "val": val,
+                        id_col: ids,
+                        "e_int": list(e_int),
+                        "nn": nn,
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    def pair_buckets(frame: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if not len(frame):
+            return empty
+        out = []
+        for _, g in frame.groupby(["band", "val"], sort=False, observed=True):
+            if len(g) < 2:
+                continue
+            if len(g) > max_bucket:
+                _LOG.warning(
+                    "srp_dup_pairs: bucket %s has %d rows; keeping the "
+                    "%d smallest ids",
+                    g.iloc[0][["band", "val"]].tolist(), len(g), max_bucket,
+                )
+            g = g.sort_values(id_col).head(max_bucket)
+            m = np.stack(list(g["e_int"]))
+            dots = m @ m.T
+            rn = np.sqrt(g["nn"].to_numpy(dtype=np.float64))
+            iu, ju = np.triu_indices(len(g), k=1)
+            cos = dots[iu, ju] / (rn[iu] * rn[ju])
+            hit = cos >= threshold
+            if not hit.any():
+                continue
+            ids = g[id_col].to_numpy()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[iu[hit]].astype("int64"),
+                        "id_b": ids[ju[hit]].astype("int64"),
+                        # half-away ROUND(x, 6), matching the SQL twin
+                        "cos_sim": np.floor(cos[hit] * 1e6 + 0.5) / 1e6,
+                    }
+                )
+            )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    bands = ds.map_batches(band_rows, batch_format="pandas")
+    pairs = keyed_partition_apply(bands, ["band", "val"], pair_buckets)
+    return tree_dedup(pairs, ["id_a", "id_b"])
+
+
 # --------------------------------------------- embedding-cosine near-dup
 def embedding_dup_pairs(
     ds,

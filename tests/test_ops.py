@@ -1810,3 +1810,34 @@ def test_equi_width_histogram_and_grouped_mode():
     )
     out = grouped_mode(rd.from_pandas(tie), ["user_id"], "event_type").to_pandas()
     assert out.iloc[0]["mode_event_type"] == "click" and out.iloc[0]["n"] == 2
+
+
+def test_srp_dup_pairs():
+    from nerpii_ray.stages.dedup import srp_dup_pairs
+
+    vdf = rd.read_parquet(f"{SF}/embeddings.parquet").to_pandas()
+    # an exact duplicate vector shares EVERY band with its original →
+    # always a candidate, cosine exactly 1.0 → must surface
+    dup = vdf.iloc[[0]].assign(vec_id=99999)
+    vds = rd.from_pandas(pd.concat([vdf, dup], ignore_index=True))
+    got = srp_dup_pairs(vds).to_pandas()
+    hit = got[(got["id_a"] == vdf.iloc[0]["vec_id"]) & (got["id_b"] == 99999)]
+    assert len(hit) == 1 and hit.iloc[0]["cos_sim"] == 1.0
+    assert (got["id_a"] < got["id_b"]).all()
+    # no duplicated pairs despite multi-band collisions
+    assert not got.duplicated(["id_a", "id_b"]).any()
+
+    # forced-exchange scale path ≡ one-task small path
+    import nerpii_ray.stages.agg as agg
+
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1
+    try:
+        got2 = srp_dup_pairs(vds).to_pandas()
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        got2[got.columns].sort_values(key).reset_index(drop=True),
+    )
