@@ -4038,6 +4038,96 @@ def events_value_histogram(sf_dir: str):
 
 
 @register(
+    "orders_rank_ties",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def orders_rank_ties(sf_dir: str):
+    """Top-3 orders per priority with RANK() (competition-rank)
+    semantics — ties share a rank and ALL tied rows survive the cut,
+    unlike the ROW_NUMBER top-k (`top_orders_per_segment`).  Per-group
+    rank via one searchsorted over the desc-sorted prices inside the
+    co-location kernel; only copied values leave, so no float parity
+    risk."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    cols = ["o_orderpriority", "o_orderkey", "o_totalprice"]
+
+    def kernel(frame: pd.DataFrame) -> pd.DataFrame:
+        frame = frame.loc[:, cols]
+        if not len(frame):
+            out = frame.copy()
+            out["rnk"] = pd.Series(dtype="int64")
+            return out
+        s = frame.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        parts = []
+        for _, g in s.groupby("o_orderpriority", sort=False, observed=True):
+            price = g["o_totalprice"].to_numpy()
+            # competition rank in a desc-sorted array: index of the
+            # first element with the same value, +1
+            rnk = np.searchsorted(-price, -price, side="left") + 1
+            keep = rnk <= 3
+            out = g.loc[keep].copy()
+            out["rnk"] = rnk[keep].astype("int64")
+            parts.append(out)
+        return pd.concat(parts, ignore_index=True)
+
+    return keyed_partition_apply(
+        _read(sf_dir, "orders", cols), ["o_orderpriority"], kernel
+    )
+
+
+@register(
+    "events_viewers_purchasers",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def events_viewers_purchasers(sf_dir: str):
+    """INTERSECT of two derived key sets as ONE scan + grouped flags
+    (instead of two scans and a shuffle join): per-batch (user, saw
+    view, saw purchase) indicator sums combine through the
+    cardinality-aware tree; users with both flags survive."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "v": (b["event_type"] == "view").astype("int64"),
+                "p": (b["event_type"] == "purchase").astype("int64"),
+            }
+        )
+        return (
+            out.groupby("user_id", sort=False)[["v", "p"]].sum().reset_index()
+        )
+
+    flags = grouped_sum(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"],
+        ["v", "p"],
+        partial_fn=partial,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[(df["v"] > 0) & (df["p"] > 0), ["user_id"]]
+
+    return flags.map_batches(finish, batch_format="pandas")
+
+
+@register(
     "embedding_srp_pairs",
     """
     WITH ei AS (

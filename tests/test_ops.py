@@ -1841,3 +1841,42 @@ def test_srp_dup_pairs():
         got.sort_values(key).reset_index(drop=True),
         got2[got.columns].sort_values(key).reset_index(drop=True),
     )
+
+
+def test_rank_ties_competition_semantics(tmp_path):
+    import duckdb
+
+    from nerpii_ray.pipelines.queries import QUERIES, ORACLE_SQL
+
+    # crafted ties: two orders share the 3rd-highest price, so RANK()
+    # keeps 4 rows (ranks 1,2,3,3) where ROW_NUMBER would keep exactly 3;
+    # a second tie pair at the top (ranks 1,1,3) pins the skip-after-tie
+    df = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4, 5, 6, 7, 8],
+            "o_orderpriority": ["1-URGENT"] * 5 + ["2-HIGH"] * 3,
+            "o_totalprice": [900.0, 800.0, 500.0, 500.0, 100.0,
+                             7.0, 7.0, 3.0],
+        }
+    )
+    sf = str(tmp_path)
+    df.to_parquet(f"{sf}/orders.parquet")
+    got = (
+        QUERIES["orders_rank_ties"](sf)
+        .to_pandas()
+        .sort_values(["o_orderpriority", "rnk", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = (
+        con.execute(ORACLE_SQL["orders_rank_ties"])
+        .df()
+        .sort_values(["o_orderpriority", "rnk", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    urgent = got[got["o_orderpriority"] == "1-URGENT"]
+    assert urgent["rnk"].tolist() == [1, 2, 3, 3]  # tie survives the cut
+    high = got[got["o_orderpriority"] == "2-HIGH"]
+    assert high["rnk"].tolist() == [1, 1, 3]  # rank skips after a tie
