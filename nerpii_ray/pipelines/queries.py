@@ -4128,6 +4128,264 @@ def events_viewers_purchasers(sf_dir: str):
 
 
 @register(
+    "events_view_days_no_purchase",
+    """
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id, date_trunc('day', ts)
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def events_view_days_no_purchase(sf_dir: str):
+    """EXCEPT of two derived key sets — (user, day) pairs with a view
+    but no purchase that day — same one-scan grouped-flags plan as the
+    INTERSECT (`events_viewers_purchasers`): the set op is just a
+    different predicate over the (saw view, saw purchase) indicator
+    sums, so no second scan and no anti-join exchange."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"],
+                "day": b["ts"].dt.floor("D"),
+                "v": (b["event_type"] == "view").astype("int64"),
+                "p": (b["event_type"] == "purchase").astype("int64"),
+            }
+        )
+        return (
+            out.groupby(["user_id", "day"], sort=False)[["v", "p"]]
+            .sum()
+            .reset_index()
+        )
+
+    flags = grouped_sum(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["user_id", "day"],
+        ["v", "p"],
+        partial_fn=partial,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[(df["v"] > 0) & (df["p"] == 0), ["user_id", "day"]]
+
+    return flags.map_batches(finish, batch_format="pandas")
+
+
+@register(
+    "lineitem_price_median",
+    """
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice AS p,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN p END) AS median_lo,
+           MAX(CASE WHEN rn = (n + 2) // 2 THEN p END) AS median_hi
+    FROM ranked GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_median(sf_dir: str):
+    """EXACT distributed median as order statistics — the middle one
+    (odd n) / middle two (even n) values are COPIED out, never averaged,
+    so no float arithmetic leaves the engine and the SQL twin is
+    bit-exact by construction.
+
+    Plan: distinct-value counting tree keyed by the price's int64 BIT
+    PATTERN (lossless, and for positive IEEE doubles bit order == value
+    order, so the finish sorts int64s, never floats), then a per-flag
+    cumulative-count walk over the counts table picks the two middle
+    order statistics.  The shuffled relation is (flag, distinct price) —
+    its size is bounded by value cardinality, not row count, and the
+    per-key finish rides the keyed co-location, so no node ever holds
+    the raw rows of a group."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bits = b["l_extendedprice"].to_numpy(dtype=np.float64).view(np.int64)
+        return (
+            pd.DataFrame({"l_returnflag": b["l_returnflag"], "bits": bits})
+            .groupby(["l_returnflag", "bits"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+
+    counts = grouped_sum(
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
+        ["l_returnflag", "bits"],
+        ["n"],
+        partial_fn=partial,
+    )
+
+    def kernel(frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return pd.DataFrame(
+                {
+                    "l_returnflag": pd.Series(dtype="object"),
+                    "n": pd.Series(dtype="int64"),
+                    "median_lo": pd.Series(dtype="float64"),
+                    "median_hi": pd.Series(dtype="float64"),
+                }
+            )
+        s = frame.sort_values(["l_returnflag", "bits"], kind="mergesort")
+        rows = []
+        for flag, g in s.groupby("l_returnflag", sort=False, observed=True):
+            cnt = g["n"].to_numpy(dtype=np.int64)
+            cum = np.cumsum(cnt)
+            n = int(cum[-1])
+            vals = g["bits"].to_numpy(dtype=np.int64).view(np.float64)
+            # rank of the two middle order statistics (1-based)
+            lo_rank, hi_rank = (n + 1) // 2, (n + 2) // 2
+            lo = vals[np.searchsorted(cum, lo_rank, side="left")]
+            hi = vals[np.searchsorted(cum, hi_rank, side="left")]
+            rows.append((flag, n, lo, hi))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "n", "median_lo", "median_hi"]
+        )
+
+    return keyed_partition_apply(counts, ["l_returnflag"], kernel)
+
+
+@register(
+    "orders_ntile_quartiles",
+    """
+    SELECT o_orderpriority, q, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS q
+      FROM orders
+    )
+    GROUP BY o_orderpriority, q
+    """,
+)
+def orders_ntile_quartiles(sf_dir: str):
+    """NTILE(4) quartile summary per priority: SQL NTILE semantics
+    (first n%k tiles get one extra row) replayed as pure integer
+    arithmetic over the 0-based sorted position, then count/min/max per
+    tile — all order-independent, copied-value outputs, so the driver
+    hash cannot drift on float accumulation order."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    cols = ["o_orderpriority", "o_orderkey", "o_totalprice"]
+    K = 4
+
+    def kernel(frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": pd.Series(dtype="object"),
+                    "q": pd.Series(dtype="int64"),
+                    "n": pd.Series(dtype="int64"),
+                    "lo": pd.Series(dtype="float64"),
+                    "hi": pd.Series(dtype="float64"),
+                }
+            )
+        s = frame.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            kind="mergesort",
+        )
+        parts = []
+        for flag, g in s.groupby("o_orderpriority", sort=False, observed=True):
+            n = len(g)
+            i = np.arange(n, dtype=np.int64)
+            big, r = n // K + 1, n % K  # first r tiles take `big` rows
+            cut = r * big
+            # max(,1): when n < K every row sits before `cut`, but
+            # np.where still evaluates the dead branch — keep its
+            # divisor nonzero
+            small = max(n // K, 1)
+            q = np.where(i < cut, i // big, r + (i - cut) // small) + 1
+            price = g["o_totalprice"].to_numpy()
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "o_orderpriority": flag,
+                        "q": q,
+                        "price": price,
+                    }
+                )
+                .groupby(["o_orderpriority", "q"], sort=False)["price"]
+                .agg(n="size", lo="min", hi="max")
+                .reset_index()
+            )
+        out = pd.concat(parts, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return keyed_partition_apply(
+        _read(sf_dir, "orders", cols), ["o_orderpriority"], kernel
+    )
+
+
+@register(
+    "events_retention",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS d0
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT f.d0,
+             CAST(datediff('day', f.d0, date_trunc('day', e.ts)) AS BIGINT)
+               AS offset_days,
+             e.user_id
+      FROM events e JOIN f USING (user_id)
+    )
+    SELECT d0, offset_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a GROUP BY d0, offset_days
+    """,
+)
+def events_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by first-activity day,
+    distinct active users counted per (cohort day, day offset).  ONE
+    user co-location computes each user's cohort day and its distinct
+    (cohort, offset) pairs — no self-join of events against a first-day
+    table — then a bounded-key counting tree sums users per cell (cells
+    are bounded by the calendar span squared, not by row count)."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def per_user(frame: pd.DataFrame) -> pd.DataFrame:
+        if not len(frame):
+            return pd.DataFrame(
+                {
+                    "d0": pd.Series(dtype="datetime64[us]"),
+                    "offset_days": pd.Series(dtype="int64"),
+                    "n_users": pd.Series(dtype="int64"),
+                }
+            )
+        day = frame["ts"].dt.floor("D")
+        df = pd.DataFrame({"user_id": frame["user_id"], "day": day})
+        d0 = df.groupby("user_id", sort=False)["day"].transform("min")
+        off = ((df["day"] - d0).dt.days).astype("int64")
+        cells = pd.DataFrame(
+            {"user_id": df["user_id"], "d0": d0, "offset_days": off}
+        ).drop_duplicates()
+        # partial count per (cohort, offset) — the bucket owns complete
+        # users, so each user contributes at most once per cell here
+        return (
+            cells.groupby(["d0", "offset_days"], sort=False)
+            .size()
+            .rename("n_users")
+            .reset_index()
+        )
+
+    per_bucket = keyed_partition_apply(
+        _read(sf_dir, "events", ["user_id", "ts"]), ["user_id"], per_user
+    )
+    return grouped_sum(
+        per_bucket, ["d0", "offset_days"], ["n_users"], adaptive=False
+    )
+
+
+@register(
     "embedding_srp_pairs",
     """
     WITH ei AS (

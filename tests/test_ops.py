@@ -1880,3 +1880,50 @@ def test_rank_ties_competition_semantics(tmp_path):
     assert urgent["rnk"].tolist() == [1, 2, 3, 3]  # tie survives the cut
     high = got[got["o_orderpriority"] == "2-HIGH"]
     assert high["rnk"].tolist() == [1, 1, 3]  # rank skips after a tie
+
+
+def test_ntile_and_median_edge_groups(tmp_path):
+    import duckdb
+
+    from nerpii_ray.pipelines.queries import QUERIES, ORACLE_SQL
+
+    sf = str(tmp_path)
+    # groups of size 1, 3 (< K=4), 5 (remainder 1) and 8 (even split)
+    rows = []
+    k = 0
+    for prio, sz in [("A", 1), ("B", 3), ("C", 5), ("D", 8)]:
+        for j in range(sz):
+            k += 1
+            rows.append((k, prio, float(100 * sz + j)))
+    pd.DataFrame(
+        rows, columns=["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ).to_parquet(f"{sf}/orders.parquet")
+    # lineitem: odd group (median = one middle value) and even group
+    # (two DISTINCT middle values — lo != hi) plus a duplicated-value
+    # group where both middles are the same repeated price
+    li = pd.DataFrame(
+        {
+            "l_returnflag": ["O"] * 3 + ["E"] * 4 + ["R"] * 4,
+            "l_extendedprice": [5.0, 1.0, 3.0,
+                                10.0, 40.0, 20.0, 30.0,
+                                7.0, 7.0, 7.0, 9.0],
+        }
+    )
+    li.to_parquet(f"{sf}/lineitem.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+
+    for name in ["orders_ntile_quartiles", "lineitem_price_median"]:
+        got = QUERIES[name](sf).to_pandas()
+        want = con.execute(ORACLE_SQL[name]).df()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    med = QUERIES["lineitem_price_median"](sf).to_pandas().set_index("l_returnflag")
+    assert med.loc["O", "median_lo"] == med.loc["O", "median_hi"] == 3.0
+    assert (med.loc["E", "median_lo"], med.loc["E", "median_hi"]) == (20.0, 30.0)
+    assert med.loc["R", "median_lo"] == med.loc["R", "median_hi"] == 7.0
