@@ -2958,6 +2958,94 @@ def doc_simhash_dup_clusters(sf_dir: str):
 
 
 @register(
+    "doc_dedup_keep_best",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h, c
+      FROM tc
+    ), votes AS (
+      SELECT doc_id, r.b,
+             SUM(c * (2 * CAST((h >> CAST(r.b AS INT)) & 1 AS BIGINT) - 1)) AS vote
+      FROM th, range(64) r(b) GROUP BY doc_id, r.b
+    ), sims AS (
+      SELECT doc_id,
+             SUM(CASE WHEN vote > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INT)
+                      ELSE CAST(0 AS UBIGINT) END) AS sim
+      FROM votes GROUP BY doc_id
+    ), sigs AS (
+      SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+      FROM documents d LEFT JOIN sims s USING (doc_id)
+    ), dedges AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sigs a JOIN sigs b ON a.doc_id <> b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3
+    ), reach(n, r) AS (
+      SELECT a, a FROM dedges
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN dedges e ON e.a = r.n
+    ), lab AS (
+      SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n
+    ), j AS (
+      SELECT l.component, d.doc_id, d.n_chars
+      FROM lab l JOIN documents d USING (doc_id)
+    ), mx AS (
+      SELECT component, MAX(n_chars) AS max_chars,
+             COUNT(*) AS n_docs
+      FROM j GROUP BY component
+    )
+    SELECT CAST(m.component AS BIGINT) AS component,
+           CAST(MIN(j.doc_id) AS BIGINT) AS rep_doc,
+           CAST(m.n_docs AS BIGINT) AS n_docs,
+           CAST(m.max_chars AS BIGINT) AS max_chars
+    FROM mx m JOIN j ON j.component = m.component AND j.n_chars = m.max_chars
+    GROUP BY m.component, m.n_docs, m.max_chars
+    """,
+)
+def doc_dedup_keep_best(sf_dir: str):
+    """The dedup DECISION step a training pipeline actually ships:
+    per near-dup cluster pick the canonical representative — largest
+    ``n_chars``, ties to the smallest ``doc_id`` — plus the cluster
+    size.  Composition: simhash pairs → connected components (both
+    reused verbatim) → partitioned hash join back to doc metadata
+    (labels are dup-membership-sized, docs corpus-sized — the join
+    co-locates by doc_id, no broadcast of a data-sized side) →
+    ``stages/agg.grouped_argmax`` on component (mergeable (max, tie-min,
+    count) partials through the cardinality-aware tree).  The SQL twin
+    replays signatures, closure and the argmax cut exactly."""
+    from nerpii_ray.stages.agg import grouped_argmax
+    from nerpii_ray.stages.dedup import connected_components, simhash_dup_pairs
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    labels = connected_components(
+        simhash_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                          max_hamming=3)
+    ).map_batches(
+        lambda b: b.rename(columns={"node": "doc_id"}),
+        batch_format="pandas",
+    )
+    joined = partitioned_hash_join(labels, docs, on=["doc_id"], how="inner")
+    rep = grouped_argmax(joined, ["component"], "n_chars", "doc_id")
+    return rep.map_batches(
+        # the join's schema-align pads the union sides with NaN, so the
+        # surviving columns come back float64 — re-pin int64 (inner join
+        # guarantees no nulls)
+        lambda b: b.rename(
+            columns={"n_chars": "max_chars", "doc_id": "rep_doc",
+                     "n": "n_docs"}
+        ).loc[:, ["component", "rep_doc", "n_docs", "max_chars"]]
+        .astype("int64"),
+        batch_format="pandas",
+    )
+
+
+@register(
     "doc_distinct_token_estimate",
     r"""
     WITH toks AS (

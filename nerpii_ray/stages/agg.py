@@ -830,3 +830,59 @@ def grouped_mode(
         )
 
     return keyed_partition_apply(counts, keys, argmax)
+
+
+def grouped_argmax(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    tie_col: str,
+    levels: Tuple[int, ...] = (16, 1),
+    batch_size: int = 65536,
+    root_threshold: Optional[int] = None,
+):
+    """Per-key ARGMAX: for every key, the row with the largest
+    ``value_col`` (ties broken by the SMALLEST ``tie_col``) plus the
+    group's row count — the "pick the canonical representative" shape
+    (longest document per near-dup cluster, latest record per entity).
+
+    Fully mergeable: a partial carries (key, max value, tie-min at that
+    max, partial count); merging partials re-applies the identical
+    (value DESC, tie ASC) cut and sums counts, so the combiner tree
+    never ships more than one row per key per block and the root is
+    cardinality-aware (exchange past ``root_threshold``).
+
+    Output: (*keys, value_col, tie_col, n).
+    """
+    keys = list(keys)
+    cols = keys + [value_col, tie_col]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # empty-safe: run the full path so dtypes survive
+        df = df.loc[:, cols + ["n"]]
+        n = (
+            df.groupby(keys, sort=False, observed=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        s = df.sort_values(
+            [*keys, value_col, tie_col],
+            ascending=[True] * len(keys) + [False, True],
+            kind="mergesort",
+        )
+        best = (
+            s.groupby(keys, sort=False, observed=True)
+            .head(1)
+            .loc[:, cols]
+        )
+        return best.merge(n, on=keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[:, cols].copy()
+        b["n"] = np.int64(1) if len(b) else pd.Series(dtype="int64")
+        return merge(b)
+
+    return tree_aggregate(
+        ds, partial, merge, levels=levels, batch_size=batch_size,
+        keys=keys, root_threshold=root_threshold,
+    )

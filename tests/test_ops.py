@@ -1927,3 +1927,51 @@ def test_ntile_and_median_edge_groups(tmp_path):
     assert med.loc["O", "median_lo"] == med.loc["O", "median_hi"] == 3.0
     assert (med.loc["E", "median_lo"], med.loc["E", "median_hi"]) == (20.0, 30.0)
     assert med.loc["R", "median_lo"] == med.loc["R", "median_hi"] == 7.0
+
+
+def test_grouped_argmax():
+    """grouped_argmax: per-key row with the max value, ties to the
+    smallest tie-break, plus group count — small root and the forced
+    keyed-exchange root must agree exactly."""
+    from nerpii_ray.stages import agg
+
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "value", "event_id"])
+    edf = ev.to_pandas()
+
+    got = (
+        agg.grouped_argmax(ev, ["user_id"], "value", "event_id")
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    ref = (
+        edf.sort_values(["user_id", "value", "event_id"],
+                        ascending=[True, False, True], kind="mergesort")
+        .groupby("user_id").head(1)
+        .merge(edf.groupby("user_id").size().rename("n").reset_index(),
+               on="user_id")
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert len(got) == edf["user_id"].nunique()
+    assert (got["user_id"].to_numpy() == ref["user_id"].to_numpy()).all()
+    assert (got["value"].to_numpy() == ref["value"].to_numpy()).all()
+    assert (got["event_id"].to_numpy() == ref["event_id"].to_numpy()).all()
+    assert (got["n"].to_numpy() == ref["n"].to_numpy()).all()
+
+    # forced exchange root: identical rows
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1  # read at call time → forces exchange
+    try:
+        forced = (
+            agg.grouped_argmax(ev, ["user_id"], "value", "event_id")
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    pd.testing.assert_frame_equal(
+        got, forced[got.columns.tolist()], check_dtype=False
+    )
+
+    # deterministic tie: equal max values → smallest tie-break wins
+    tie = pd.DataFrame({"k": [1, 1, 1], "v": [5, 5, 3], "t": [9, 2, 1]})
+    out = agg.grouped_argmax(rd.from_pandas(tie), ["k"], "v", "t").to_pandas()
+    assert out.iloc[0]["v"] == 5 and out.iloc[0]["t"] == 2 and out.iloc[0]["n"] == 3
