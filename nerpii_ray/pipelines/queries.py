@@ -3046,6 +3046,60 @@ def doc_dedup_keep_best(sf_dir: str):
 
 
 @register(
+    "doc_decontaminate",
+    r"""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 7), chr(31))) AS g
+      FROM docs, UNNEST(generate_series(1, len(toks) - 7)) AS s(i)
+      WHERE len(toks) >= 8
+    ), bench AS (
+      SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0
+    ), train AS (
+      SELECT doc_id, g FROM grams WHERE doc_id % 7 <> 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_distinct_hits
+    FROM train t JOIN bench b USING (g)
+    GROUP BY t.doc_id
+    """,
+)
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (stages/dedup.ngram_decontaminate):
+    documents whose ``doc_id % 7 == 0`` stand in for the held-out eval
+    set; every other document sharing a word-8-gram with it is flagged
+    with its total and distinct contaminated gram-position counts.  One
+    benchmark pass builds the broadcast gram-md5 set, one training pass
+    counts hits — no shuffle.  The SQL twin joins the identical
+    md5(\x1f-joined-gram) keys."""
+    from nerpii_ray.stages.dedup import ngram_decontaminate
+
+    def split(want_bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            # this pyarrow build ships no pc.mod — trunc-divide round trip
+            ids = b["doc_id"]
+            is_bench = pc.equal(
+                pc.subtract(ids, pc.multiply(pc.divide(ids, 7), 7)), 0
+            )
+            return b.filter(is_bench if want_bench else pc.invert(is_bench))
+
+        return fn
+
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        split(True), batch_format="pyarrow"
+    )
+    train = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        split(False), batch_format="pyarrow"
+    )
+    return ngram_decontaminate(train, bench, k=8)
+
+
+@register(
     "doc_distinct_token_estimate",
     r"""
     WITH toks AS (

@@ -1228,3 +1228,106 @@ def connected_components(
     return tree_aggregate(
         labeled, star_labels, min_merge, keys=["node"]
     ).map_batches(lambda b: b, batch_format="pandas", batch_size=None)
+
+
+class _FetchedBroadcast:
+    """``worker_cached`` holder: ray.get a broadcast ObjectRef exactly
+    once per worker process (the ref is the cache key)."""
+
+    def __init__(self, ref):
+        import ray
+
+        self.value = ray.get(ref)
+
+
+def ngram_decontaminate(
+    train_ds,
+    bench_ds,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark DECONTAMINATION — the training-data hygiene step that
+    drops documents overlapping an evaluation set: flag every training
+    document sharing at least one word-``k``-gram with any benchmark
+    document.  (The reference has no analogue; this is a first-class
+    LLM-pipeline operator, cf. GPT-3 appendix C / Dodge et al. 2021's
+    n-gram contamination checks.)
+
+    Plan: ONE pass over the benchmark side builds its distinct k-gram
+    md5 set (per-batch distinct → dedup tree), which is collected and
+    broadcast via ``ray.put`` — benchmark suites are eval-sized (MBs),
+    never corpus-sized, so the broadcast is the right shape at 100 TB;
+    for a pathologically large benchmark swap the exact set for
+    ``stages/joins.build_bloom`` + exact verify of the maybes.  ONE pass
+    over the training side then counts, per document, gram positions
+    whose md5 lands in the set — embarrassingly parallel, no shuffle
+    anywhere.  Grams are ``\\x1f``-joined lowercase ``\\w+`` tokens and
+    md5 is the gram key so a DuckDB twin can replay the check exactly
+    (md5-per-gram is the accepted cost of hash-oracle parity; the
+    per-doc gram loop is bounded by token count, same as the tokenizer
+    itself).
+
+    Output: one row per CONTAMINATED training doc —
+    ``(id_col, n_hits, n_distinct_hits)`` = total / distinct
+    contaminated gram positions.
+    """
+    import ray
+
+    from nerpii_ray.stages.agg import tree_dedup
+
+    def bench_grams(b: pd.DataFrame) -> pd.DataFrame:
+        out = set()
+        for t in b[text_col]:
+            toks = _TOKEN_RE.findall(str(t).lower()) if t is not None else []
+            for i in range(len(toks) - k + 1):
+                out.add(
+                    hashlib.md5(
+                        "\x1f".join(toks[i:i + k]).encode("utf-8")
+                    ).digest()
+                )
+        return pd.DataFrame({"g": pd.Series(sorted(out), dtype="object")})
+
+    # distinct gram digests; benchmark-sized by assumption, so the
+    # non-adaptive tree (one root block) is the right finish before the
+    # driver-side collect + broadcast
+    bench_pdf = tree_dedup(
+        bench_ds, ["g"], partial_fn=bench_grams, adaptive=False
+    ).to_pandas()
+    bench_ref = ray.put(frozenset(bench_pdf["g"].tolist()))
+
+    def count_hits(b: pd.DataFrame, *, bench) -> pd.DataFrame:
+        if isinstance(bench, ray.ObjectRef):
+            # deserialize once per worker, not once per batch
+            from nerpii_ray.stages.taskcache import worker_cached
+
+            bench = worker_cached(_FetchedBroadcast, ref=bench).value
+        ids, n_hits, n_dist = [], [], []
+        for did, t in zip(b[id_col], b[text_col]):
+            toks = _TOKEN_RE.findall(str(t).lower()) if t is not None else []
+            hits, dist = 0, set()
+            for i in range(len(toks) - k + 1):
+                d = hashlib.md5(
+                    "\x1f".join(toks[i:i + k]).encode("utf-8")
+                ).digest()
+                if d in bench:
+                    hits += 1
+                    dist.add(d)
+            if hits:
+                ids.append(did)
+                n_hits.append(hits)
+                n_dist.append(len(dist))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "n_hits": pd.Series(n_hits, dtype="int64"),
+                "n_distinct_hits": pd.Series(n_dist, dtype="int64"),
+            }
+        )
+
+    return train_ds.map_batches(
+        count_hits,
+        fn_kwargs=dict(bench=bench_ref),
+        batch_format="pandas",
+        batch_size=4096,
+    )

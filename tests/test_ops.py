@@ -1975,3 +1975,43 @@ def test_grouped_argmax():
     tie = pd.DataFrame({"k": [1, 1, 1], "v": [5, 5, 3], "t": [9, 2, 1]})
     out = agg.grouped_argmax(rd.from_pandas(tie), ["k"], "v", "t").to_pandas()
     assert out.iloc[0]["v"] == 5 and out.iloc[0]["t"] == 2 and out.iloc[0]["n"] == 3
+
+
+def test_ngram_decontaminate():
+    """An exact copy of a benchmark doc is contaminated at every gram
+    position; docs with fewer than k tokens and non-overlapping docs are
+    never flagged; distinct vs total hit counts diverge on repeats."""
+    from nerpii_ray.stages.dedup import ngram_decontaminate
+
+    bench = pd.DataFrame({
+        "doc_id": [100],
+        "text": ["a b c d e f g h i j"],          # 10 tokens → 3 8-grams
+    })
+    train = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "a b c d e f g h i j",                 # exact copy → 3 hits
+            "x " + "a b c d e f g h" + " y",       # one shared 8-gram
+            "a b c d e f g",                       # 7 tokens → no grams
+            "q w e r t y u i o p",                 # disjoint
+        ],
+    })
+    out = (
+        ngram_decontaminate(rd.from_pandas(train), rd.from_pandas(bench), k=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_hits"].tolist() == [3, 1]
+    assert out["n_distinct_hits"].tolist() == [3, 1]
+
+    # repeated contaminated gram: total counts positions, distinct dedups
+    rep = pd.DataFrame({
+        "doc_id": [9],
+        "text": ["a b c d e f g h a b c d e f g h"],
+    })
+    out2 = ngram_decontaminate(
+        rd.from_pandas(rep), rd.from_pandas(bench), k=8
+    ).to_pandas()
+    # grams at positions 1 and 9 are both 'a..h'; the bridging grams are
+    # not in the benchmark
+    assert out2.iloc[0]["n_hits"] == 2 and out2.iloc[0]["n_distinct_hits"] == 1
