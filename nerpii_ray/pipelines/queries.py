@@ -2695,6 +2695,192 @@ def customer_order_running(sf_dir: str):
 
 
 @register(
+    "customer_order_moving3",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS moving_cents
+    FROM orders
+    """,
+)
+def customer_order_moving3(sf_dir: str):
+    """Count-based ROWS-frame window (stages/window.rows_window_sum):
+    per customer, the moving sum of the last 3 orders' totals in
+    (date, key) order — the frame family ``events_rolling_hour``'s RANGE
+    window doesn't cover.  One keyed co-location, grouped cumsum minus
+    its shift — no global sort."""
+    from nerpii_ray.stages.window import rows_window_sum
+
+    ds = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "o_orderdate": b["o_orderdate"],
+                "cents": np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    out = rows_window_sum(
+        ds.map_batches(cents, batch_format="pandas"),
+        "o_custkey", ["o_orderdate", "o_orderkey"], "cents",
+        preceding=2, out_col="moving_cents",
+    )
+    return out.map_batches(
+        lambda b: b.loc[:, ["o_orderkey", "o_custkey", "moving_cents"]],
+        batch_format="pandas",
+    )
+
+
+@register(
+    "events_next_gap",
+    """
+    SELECT event_id,
+           CAST(COALESCE(epoch_us(LEAD(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))
+                - epoch_us(ts), -1) AS BIGINT) AS next_gap_us
+    FROM events
+    """,
+)
+def events_next_gap(sf_dir: str):
+    """LEAD window (stages/window.lead_gap): µs until the same user's
+    NEXT event, -1 on their last — the forward-looking complement of
+    the as-of/LAG family.  Ties in ts are broken by event_id on both
+    sides."""
+    from nerpii_ray.stages.window import lead_gap
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return lead_gap(ds, "user_id", "ts", "event_id")
+
+
+@register(
+    "orders_segment_share",
+    """
+    WITH j AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS segment,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT o_orderkey, segment, cents,
+           CAST(cents * 10000 // SUM(cents) OVER (PARTITION BY segment)
+                AS BIGINT) AS share_bp
+    FROM j
+    """,
+)
+def orders_segment_share(sf_dir: str):
+    """Ratio-to-report — each order's share of its market segment's
+    total, in integer basis points (cents * 10000 // segment total, so
+    the comparison is float-free).  The window SUM OVER (PARTITION BY
+    segment) needs no shuffle at any scale: the per-segment totals are a
+    5-row table (bounded-key grouped sum), broadcast back into a second
+    streaming pass."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).rename(columns={"c_custkey": "o_custkey", "c_mktsegment": "segment"})
+    joined = broadcast_join(orders, cust, on=["o_custkey"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "segment": b["segment"],
+                "cents": np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    j = joined.map_batches(cents, batch_format="pandas")
+    totals = grouped_sum(
+        j, ["segment"], ["cents"], adaptive=False  # 5 market segments
+    ).to_pandas().rename(columns={"cents": "_seg_total"})
+
+    def share(b: pd.DataFrame, *, tot) -> pd.DataFrame:
+        m = b.merge(tot, on="segment")
+        m["share_bp"] = (
+            m["cents"].to_numpy(dtype=np.int64) * 10000
+            // m["_seg_total"].to_numpy(dtype=np.int64)
+        )
+        return m.loc[:, ["o_orderkey", "segment", "cents", "share_bp"]]
+
+    return j.map_batches(
+        share, fn_kwargs=dict(tot=totals), batch_format="pandas"
+    )
+
+
+@register(
+    "lineitem_unpivot",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1995-02-01'
+    )
+    SELECT l_orderkey, l_linenumber, 'qty' AS measure,
+           CAST(l_quantity AS BIGINT) AS val
+    FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount_bp',
+           CAST(ROUND(l_discount * 10000) AS BIGINT)
+    FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax_bp',
+           CAST(ROUND(l_tax * 10000) AS BIGINT)
+    FROM src
+    """,
+)
+def lineitem_unpivot(sf_dir: str):
+    """UNPIVOT / melt — wide measure columns to long (row, measure,
+    value) triples, the inverse of ``orders_priority_pivot``.  Pure
+    per-batch reshape (three stacked column views, no shuffle, output
+    3× the filtered input); fractions become integer basis points so
+    the hash comparison is float-free."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax",
+         "l_shipdate"],
+    )
+    lo, hi = np.datetime64("1995-01-01"), np.datetime64("1995-02-01")
+
+    def melt(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["l_shipdate"].dt.tz_localize(None).to_numpy()
+        b = b[(d >= lo) & (d < hi)]
+        n = len(b)
+        ok = np.tile(b["l_orderkey"].to_numpy(dtype=np.int64), 3)
+        ln = np.tile(b["l_linenumber"].to_numpy(dtype=np.int64), 3)
+        measure = np.repeat(
+            np.array(["qty", "discount_bp", "tax_bp"], dtype=object), n
+        )
+        val = np.concatenate(
+            [
+                b["l_quantity"].to_numpy(dtype=np.int64),
+                np.round(b["l_discount"].to_numpy() * 10000).astype(np.int64),
+                np.round(b["l_tax"].to_numpy() * 10000).astype(np.int64),
+            ]
+        )
+        return pd.DataFrame(
+            {"l_orderkey": ok, "l_linenumber": ln, "measure": measure,
+             "val": val}
+        )
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
+@register(
     "events_rolling_hour",
     """
     SELECT event_id,

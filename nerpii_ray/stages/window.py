@@ -368,3 +368,71 @@ def sequential_funnel(
     return keyed_partition_apply(
         events_ds, [user_col], kernel, num_buckets, path
     )
+
+
+def rows_window_sum(
+    ds,
+    key_col: str,
+    order_cols: list,
+    value_col: str,
+    preceding: int,
+    out_col: str = "moving_sum",
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Per-key ROWS-frame moving sum — SQL's ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ... ROWS BETWEEN <preceding> PRECEDING AND CURRENT
+    ROW)``.  The count-based frame complements ``rolling_time_count``'s
+    RANGE frame.
+
+    Same physical plan as every ordered kernel here: one keyed
+    co-location, then an in-bucket sort + two C-level passes — a grouped
+    cumsum and the same cumsum shifted ``preceding+1`` rows within the
+    key (window sum = difference), no per-row Python.  ``value_col``
+    must already be an integer column (cents discipline).
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    m = preceding + 1
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="stable")
+        v = pd.Series(g[value_col].to_numpy(dtype=np.int64))
+        keys = g[key_col].to_numpy()
+        run = v.groupby(keys).cumsum()
+        lagged = run.groupby(keys).shift(m)
+        out = g.loc[:, [key_col, *order_cols]].reset_index(drop=True)
+        out[out_col] = (run - lagged.fillna(0)).astype(np.int64).to_numpy()
+        return out
+
+    return keyed_partition_apply(ds, [key_col], kernel, num_buckets, path)
+
+
+def lead_gap(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    out_col: str = "next_gap_us",
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Per-key LEAD: µs gap from each row to the NEXT row of the same
+    key in (ts, id) order, -1 on the key's last row — the
+    forward-looking complement of the LAG-gap in
+    ``running_order_stats``.  One keyed co-location + an in-bucket
+    grouped ``shift(-1)``."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="stable")
+        us = _ts_us(g[ts_col]).reset_index(drop=True)
+        nxt = us.groupby(g[key_col].to_numpy()).shift(-1)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                out_col: (nxt - us).fillna(-1).astype(np.int64).to_numpy(),
+            }
+        )
+
+    return keyed_partition_apply(ds, [key_col], kernel, num_buckets, path)

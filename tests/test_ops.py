@@ -2015,3 +2015,64 @@ def test_ngram_decontaminate():
     # grams at positions 1 and 9 are both 'a..h'; the bridging grams are
     # not in the benchmark
     assert out2.iloc[0]["n_hits"] == 2 and out2.iloc[0]["n_distinct_hits"] == 1
+
+
+def test_rows_window_and_lead_gap():
+    """ROWS-frame moving sum and LEAD gap: pandas-reference equality on
+    real events/orders, including the forced-exchange path."""
+    from nerpii_ray.stages import agg
+    from nerpii_ray.stages.window import lead_gap, rows_window_sum
+
+    od = rd.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    odf = od.to_pandas()
+    odf["cents"] = np.round(odf["o_totalprice"] * 100).astype("int64")
+
+    prep = od.map_batches(
+        lambda b: b.assign(
+            cents=np.round(b["o_totalprice"].to_numpy() * 100).astype("int64")
+        )[["o_orderkey", "o_custkey", "o_orderdate", "cents"]],
+        batch_format="pandas",
+    )
+    got = (
+        rows_window_sum(prep, "o_custkey", ["o_orderdate", "o_orderkey"],
+                        "cents", preceding=2)
+        .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+    s = odf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                        kind="mergesort")
+    want = (
+        s.groupby("o_custkey")["cents"]
+        .rolling(3, min_periods=1).sum().reset_index(level=0, drop=True)
+        .astype("int64")
+    )
+    ref = s.assign(w=want).sort_values("o_orderkey").reset_index(drop=True)
+    assert (got["moving_sum"].to_numpy() == ref["w"].to_numpy()).all()
+
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    edf = ev.to_pandas()
+    got_g = (
+        lead_gap(ev, "user_id", "ts", "event_id")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    se = edf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    us = se["ts"].astype("int64")
+    nxt = us.groupby(se["user_id"].to_numpy()).shift(-1)
+    ref_g = se.assign(gap=(nxt - us).fillna(-1).astype("int64")) \
+              .sort_values("event_id").reset_index(drop=True)
+    assert (got_g["next_gap_us"].to_numpy() == ref_g["gap"].to_numpy()).all()
+
+    # forced exchange path agrees
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1
+    try:
+        forced = (
+            lead_gap(ev, "user_id", "ts", "event_id")
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    assert (forced["next_gap_us"].to_numpy() == got_g["next_gap_us"].to_numpy()).all()
