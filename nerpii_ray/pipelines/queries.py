@@ -3286,6 +3286,48 @@ def doc_decontaminate(sf_dir: str):
 
 
 @register(
+    "doc_ngram_novelty",
+    r"""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + 4), chr(31))) AS g
+      FROM docs, UNNEST(generate_series(1, len(toks) - 4)) AS s(i)
+      WHERE len(toks) >= 5
+    ), firsts AS (
+      SELECT g, MIN(doc_id) AS doc_id FROM grams GROUP BY g
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+    ), novel AS (
+      SELECT doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) * 10000 // c.n_grams AS BIGINT)
+             AS novelty_bp
+    FROM counts c LEFT JOIN novel n USING (doc_id)
+    """,
+)
+def doc_ngram_novelty(sf_dir: str):
+    """Corpus n-gram novelty (stages/dedup.ngram_novelty): every
+    distinct word-5-gram is attributed to its smallest containing
+    doc_id; each doc scores the basis-point share of its distinct grams
+    it is first to contain.  Catches stitched-together repeated content
+    that pairwise near-dup misses.  The gram→min-doc attribution is the
+    one data-sized keyed aggregate (cardinality-aware tree); the SQL
+    twin replays the identical md5 gram keys."""
+    from nerpii_ray.stages.dedup import ngram_novelty
+
+    return ngram_novelty(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=5
+    )
+
+
+@register(
     "doc_distinct_token_estimate",
     r"""
     WITH toks AS (

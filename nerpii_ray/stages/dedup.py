@@ -1331,3 +1331,104 @@ def ngram_decontaminate(
         batch_format="pandas",
         batch_size=4096,
     )
+
+
+def ngram_novelty(
+    docs_ds,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus n-gram NOVELTY: attribute every distinct word-``k``-gram
+    to the document with the smallest id containing it, then score each
+    document by how much of it is first-seen — ``n_novel / n_grams`` in
+    integer basis points.  The repeated-content complement of pairwise
+    near-dup detection: a doc stitched from earlier docs scores ~0 even
+    when no single source is similar enough to pair with it.
+
+    Plan: one text pass emits each doc's DISTINCT gram md5s (a doc's
+    text lives in one row, so per-doc distinct counts are exact within
+    the batch — no tree needed for ``n_grams``); the gram → min-doc
+    attribution is the one data-sized keyed aggregate (cardinality-aware
+    tree → keyed exchange past the root threshold); regrouping the
+    attribution by winner doc gives ``n_novel``; a partitioned hash join
+    stitches the two doc-keyed tables.  No broadcast of anything
+    data-sized.
+    """
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    def doc_grams(b: pd.DataFrame):
+        """→ (per-doc distinct (doc, gram) rows, per-doc gram counts)"""
+        ids, grams = [], []
+        counts = []
+        for did, t in zip(b[id_col], b[text_col]):
+            toks = _TOKEN_RE.findall(str(t).lower()) if t is not None else []
+            g = {
+                hashlib.md5(
+                    "\x1f".join(toks[i:i + k]).encode("utf-8")
+                ).digest()
+                for i in range(len(toks) - k + 1)
+            }
+            if g:
+                ids.extend([did] * len(g))
+                grams.extend(sorted(g))
+                counts.append((did, len(g)))
+        pairs = pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "g": pd.Series(grams, dtype="object"),
+            }
+        )
+        cnt = pd.DataFrame(
+            counts, columns=[id_col, "n_grams"]
+        ).astype("int64") if counts else pd.DataFrame(
+            {id_col: pd.Series(dtype="int64"),
+             "n_grams": pd.Series(dtype="int64")}
+        )
+        return pairs, cnt
+
+    def pairs_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return doc_grams(b)[0]
+
+    def counts_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return doc_grams(b)[1]
+
+    pairs = docs_ds.map_batches(pairs_fn, batch_format="pandas",
+                                batch_size=4096)
+    n_grams = docs_ds.map_batches(counts_fn, batch_format="pandas",
+                                  batch_size=4096)
+
+    def min_doc(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("g", sort=False, observed=True)[id_col]
+            .min()
+            .reset_index()
+        )
+
+    firsts = tree_aggregate(pairs, min_doc, min_doc, keys=["g"])
+    novel = grouped_sum(
+        firsts.map_batches(
+            lambda b: pd.DataFrame(
+                {id_col: b[id_col].astype("int64"),
+                 "n_novel": np.ones(len(b), dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        [id_col], ["n_novel"],
+    )
+    out = partitioned_hash_join(n_grams, novel, on=[id_col], how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ng = b["n_grams"].to_numpy(dtype=np.int64)
+        nv = b["n_novel"].fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].astype("int64"),
+                "n_grams": ng,
+                "n_novel": nv,
+                "novelty_bp": nv * 10000 // ng,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -2076,3 +2076,25 @@ def test_rows_window_and_lead_gap():
     finally:
         agg.ROOT_THRESHOLD_DEFAULT = old
     assert (forced["next_gap_us"].to_numpy() == got_g["next_gap_us"].to_numpy()).all()
+
+
+def test_ngram_novelty():
+    """First doc is 100% novel, an exact later copy is 0% novel, a doc
+    mixing one old and one new gram scores the integer bp split."""
+    from nerpii_ray.stages.dedup import ngram_novelty
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b c d e f",        # grams: abcde, bcdef → both novel
+            "a b c d e f",        # exact copy → 0 novel
+            "b c d e f g h",      # bcdef old; cdefg, defgh novel → 2/3
+        ],
+    })
+    out = (
+        ngram_novelty(rd.from_pandas(docs), k=5)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_grams"].tolist() == [2, 2, 3]
+    assert out["n_novel"].tolist() == [2, 0, 2]
+    assert out["novelty_bp"].tolist() == [10000, 0, 2 * 10000 // 3]
