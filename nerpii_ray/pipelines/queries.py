@@ -3684,6 +3684,68 @@ def orders_rollup(sf_dir: str):
 
 
 @register(
+    "orders_cube",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+)
+def orders_cube(sf_dir: str):
+    """CUBE aggregate — ROLLUP plus the cross level (ALL, status): all
+    four grouping sets derived from ONE finest-level combiner-tree root
+    (the key space is bounded by construction), so the cube costs one
+    scan and zero extra shuffles regardless of input size."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "o_orderstatus": b["o_orderstatus"],
+                "n_orders": 1,
+                "revenue_cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return (
+            df.groupby(["o_orderpriority", "o_orderstatus"], sort=False,
+                       observed=True)[["n_orders", "revenue_cents"]]
+            .sum()
+            .reset_index()
+        )
+
+    fine = grouped_sum(
+        ds, ["o_orderpriority", "o_orderstatus"],
+        ["n_orders", "revenue_cents"], partial_fn=partial, adaptive=False,
+    )
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        vals = ["n_orders", "revenue_cents"]
+        by_prio = df.groupby("o_orderpriority", sort=False)[vals].sum().reset_index()
+        by_prio["o_orderstatus"] = "ALL"
+        by_stat = df.groupby("o_orderstatus", sort=False)[vals].sum().reset_index()
+        by_stat["o_orderpriority"] = "ALL"
+        total = df[vals].sum().to_frame().T
+        total["o_orderpriority"] = "ALL"
+        total["o_orderstatus"] = "ALL"
+        out = pd.concat([df, by_prio, by_stat, total], ignore_index=True)
+        out = out[["o_orderpriority", "o_orderstatus"] + vals]
+        return out.astype({"n_orders": "int64", "revenue_cents": "int64"})
+
+    return fine.map_batches(cube, batch_format="pandas", batch_size=None)
+
+
+@register(
     "users_customers_full_join",
     """
     WITH u AS (
