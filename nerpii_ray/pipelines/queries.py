@@ -2881,6 +2881,42 @@ def lineitem_unpivot(sf_dir: str):
 
 
 @register(
+    "orders_global_rank",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(ROW_NUMBER() OVER (
+                ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                         o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def orders_global_rank(sf_dir: str):
+    """Global total-order ROW_NUMBER (stages/window.global_row_number):
+    range-partitioned ranking — two scalar bounds, 64 bucket counts
+    cumsummed on the driver into rank offsets, then complete buckets
+    sort locally.  No single-node sort, no all-data sort shuffle; ties
+    broken by o_orderkey to stay deterministic."""
+    from nerpii_ray.stages.window import global_row_number
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "cents": np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return global_row_number(
+        ds.map_batches(cents, batch_format="pandas"), "cents", "o_orderkey"
+    )
+
+
+@register(
     "events_rolling_hour",
     """
     SELECT event_id,

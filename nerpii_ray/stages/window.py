@@ -436,3 +436,99 @@ def lead_gap(
         )
 
     return keyed_partition_apply(ds, [key_col], kernel, num_buckets, path)
+
+
+def global_row_number(
+    ds,
+    value_col: str,
+    id_col: str,
+    num_buckets: int = 64,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+    path: str = "auto",
+):
+    """Global total-order ROW_NUMBER (ORDER BY value DESC, id ASC)
+    without a single-node sort — the range-partitioned ranking a 100-TB
+    corpus needs:
+
+    1. global (lo, hi) of the integer ``value_col`` via the combiner
+       tree (driver reads two scalars);
+    2. bounded-key equi-width bucket counts (one grouped sum over
+       ``num_buckets`` keys) → the driver cumsums ``num_buckets`` rows
+       into per-bucket rank offsets — never data;
+    3. rows co-locate by bucket (complete buckets per partition), each
+       partition sorts its buckets locally and adds offset + position.
+
+    Equi-width ranges assume the value distribution is not
+    pathologically skewed; for skewed data derive boundaries from
+    ``agg.grouped_quantile_disc`` instead and bucket by searchsorted —
+    the offset/kernel mechanics below are unchanged.  ``value_col``
+    must already be int64 (cents discipline).
+    """
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"), "hi": pd.Series(dtype="int64")}
+            )
+        v = b[value_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
+
+    def bounds_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {"lo": [int(df["lo"].min())], "hi": [int(df["hi"].max())]}
+        )
+
+    bounds = tree_aggregate(ds, bounds_partial, bounds_merge).take_all()
+    if not bounds:
+        raise ValueError("global_row_number: empty input")
+    lo, hi = int(bounds[0]["lo"]), int(bounds[0]["hi"])
+    span = hi - lo + 1
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = (
+            (b[value_col].to_numpy(dtype=np.int64) - lo) * num_buckets // span
+        )
+        return b
+
+    withb = ds.map_batches(bucketize, batch_format="pandas")
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"_bkt": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64")}
+            )
+        return (
+            pd.DataFrame({"_bkt": b["_bkt"], "n": np.int64(1)})
+            .groupby("_bkt", sort=False)["n"].sum().reset_index()
+        )
+
+    counts = grouped_sum(
+        withb, ["_bkt"], ["n"], partial_fn=count_partial, adaptive=False
+    ).to_pandas()
+    # descending rank: higher buckets rank first
+    counts = counts.sort_values("_bkt", ascending=False)
+    offsets = dict(
+        zip(
+            counts["_bkt"].astype(int),
+            np.concatenate(([0], counts["n"].to_numpy(dtype=np.int64).cumsum()[:-1])),
+        )
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["_bkt", value_col, id_col], ascending=[False, False, True],
+            kind="mergesort",
+        )
+        pos = g.groupby("_bkt", sort=False).cumcount().to_numpy(dtype=np.int64)
+        base = g["_bkt"].map(offsets).to_numpy(dtype=np.int64)
+        out = g.loc[:, [id_col, value_col]].reset_index(drop=True)
+        out[out_col] = base + pos + 1
+        return out
+
+    return keyed_partition_apply(withb, ["_bkt"], kernel, num_partitions, path)

@@ -2098,3 +2098,39 @@ def test_ngram_novelty():
     assert out["n_grams"].tolist() == [2, 2, 3]
     assert out["n_novel"].tolist() == [2, 0, 2]
     assert out["novelty_bp"].tolist() == [10000, 0, 2 * 10000 // 3]
+
+
+def test_global_row_number():
+    """Range-partitioned global ROW_NUMBER equals the single-node sort
+    reference, on both the small root and the forced-exchange path."""
+    from nerpii_ray.stages import agg
+    from nerpii_ray.stages.window import global_row_number
+
+    od = rd.read_parquet(f"{SF}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    prep = od.map_batches(
+        lambda b: pd.DataFrame({
+            "o_orderkey": b["o_orderkey"].astype("int64"),
+            "cents": np.round(b["o_totalprice"].to_numpy() * 100).astype("int64"),
+        }),
+        batch_format="pandas",
+    )
+    ref = prep.to_pandas().sort_values(
+        ["cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    ref["rn"] = np.arange(1, len(ref) + 1, dtype=np.int64)
+
+    for force in (False, True):
+        old = agg.ROOT_THRESHOLD_DEFAULT
+        if force:
+            agg.ROOT_THRESHOLD_DEFAULT = 1
+        try:
+            got = (
+                global_row_number(prep, "cents", "o_orderkey")
+                .to_pandas().sort_values("rn").reset_index(drop=True)
+            )
+        finally:
+            agg.ROOT_THRESHOLD_DEFAULT = old
+        assert (got["o_orderkey"].to_numpy() == ref["o_orderkey"].to_numpy()).all()
+        assert (got["rn"].to_numpy() == ref["rn"].to_numpy()).all()
+        assert got["rn"].iloc[0] == 1 and got["rn"].iloc[-1] == len(ref)
