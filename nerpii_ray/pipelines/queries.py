@@ -2881,6 +2881,59 @@ def lineitem_unpivot(sf_dir: str):
 
 
 @register(
+    "events_percent_rank",
+    """
+    WITH r AS (
+      SELECT event_id,
+             RANK() OVER (PARTITION BY user_id
+                          ORDER BY CAST(ROUND(value * 100) AS BIGINT)) AS rnk,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    )
+    SELECT event_id,
+           CAST(CASE WHEN cnt = 1 THEN 0
+                     ELSE (rnk - 1) * 10000 // (cnt - 1) END AS BIGINT)
+             AS prank_bp
+    FROM r
+    """,
+)
+def events_percent_rank(sf_dir: str):
+    """PERCENT_RANK per partition in integer basis points — RANK ties
+    share a value so the result is deterministic without an id
+    tie-break, and the (rank−1)·10000 // (n−1) integer form keeps the
+    hash comparison float-free (single-row partitions are 0, matching
+    SQL).  One keyed co-location + in-bucket C-level rank kernels."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "cents": np.round(b["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("user_id", sort=False, observed=True)
+        rnk = gb["cents"].rank(method="min").astype("int64").to_numpy()
+        cnt = gb["cents"].transform("size").astype("int64").to_numpy()
+        prank = np.where(cnt == 1, 0, (rnk - 1) * 10000 // np.maximum(cnt - 1, 1))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "prank_bp": prank.astype(np.int64),
+            }
+        )
+
+    return keyed_partition_apply(
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"], kernel
+    )
+
+
+@register(
     "orders_global_rank",
     """
     SELECT o_orderkey,
