@@ -5040,12 +5040,23 @@ _WINDOW_DEPRIORITIZED = [
 ]
 
 
-#: new or materially-changed this round (round 5): new SQL oracles
-#: (kg_nodes pseudonyms, real-codec stats, 4-step funnel) and queries
-#: whose physical plan changed (bloom anti-join, digest-bytes draw,
-#: sequential_funnel routing, corr NULL guard)
+#: front of the driver's 50-entry window, in priority order: every
+#: SQL-oracled query with NO driver certification in any prior round's
+#: CORRECTNESS artifact (all r5 additions), then the r5 queries whose
+#: physical plan changed (bloom anti-join, digest-bytes draw,
+#: sequential_funnel routing, corr NULL guard).  Recomputed from the
+#: r01–r04 artifacts before the round-5 sweep.
 _R5_FRESH = [
+    # --- never driver-certified (new in round 5) ---
     "kg_nodes", "multimodal_decode_stats", "events_funnel4",
+    "doc_dedup_keep_best", "doc_decontaminate", "doc_ngram_novelty",
+    "customer_order_moving3", "events_next_gap", "orders_segment_share",
+    "lineitem_unpivot", "events_percent_rank", "orders_global_rank",
+    "orders_cube", "events_value_histogram", "orders_rank_ties",
+    "events_viewers_purchasers", "events_view_days_no_purchase",
+    "lineitem_price_median", "orders_ntile_quartiles", "events_retention",
+    "embedding_srp_pairs", "events_type_mode",
+    # --- certified before, but the r5 plan changed ---
     "customers_without_orders", "orders_weighted_sample", "events_funnel",
     "lineitem_price_qty_corr", "events_ipc_roundtrip",
 ]
@@ -5062,24 +5073,28 @@ _R5_PINNED = [
 
 
 def _reorder_for_driver_window() -> None:
+    # window layout (first 50 = the driver's sweep): never-certified /
+    # plan-changed queries first, then the pinned flagships, then as many
+    # r4-deprioritized rotate-ins as still fit — certified-in-r≤3 queries
+    # yield their slot to queries with no driver artifact at all
     fresh = [n for n in _R5_FRESH if n in QUERIES and n in ORACLE_SQL]
     taken = set(fresh)
-    rotate_in = [
-        n for n in _WINDOW_DEPRIORITIZED
-        if n in QUERIES and n in ORACLE_SQL and n not in taken
-    ]
-    taken |= set(rotate_in)
     pinned = [
         n for n in _R5_PINNED
         if n in QUERIES and n in ORACLE_SQL and n not in taken
     ]
     taken |= set(pinned)
+    rotate_in = [
+        n for n in _WINDOW_DEPRIORITIZED
+        if n in QUERIES and n in ORACLE_SQL and n not in taken
+    ]
+    taken |= set(rotate_in)
     rest = [
         n for n in QUERIES
         if n in ORACLE_SQL and n not in taken
     ]
     rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
-    ordered = fresh + rotate_in + pinned + rest + rows_only
+    ordered = fresh + pinned + rotate_in + rest + rows_only
     assert sorted(ordered) == sorted(QUERIES)
     reord = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
