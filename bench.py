@@ -163,6 +163,8 @@ def run_bench() -> dict:
         "customer_order_running",  # ordered-window family (round 3)
         "doc_pagerank",            # iterative graph family (round 4)
         "natid_detect_eu",         # checksum-chain scan family (round 4)
+        "doc_ngram_novelty",       # corpus gram attribution (round 5)
+        "orders_global_rank",      # range-partitioned total order (round 5)
     ]
 
     # --scaling sets this: the per-level subprocesses measure ONLY the

@@ -1358,10 +1358,9 @@ def ngram_novelty(
     from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
     from nerpii_ray.stages.joins import partitioned_hash_join
 
-    def doc_grams(b: pd.DataFrame):
-        """→ (per-doc distinct (doc, gram) rows, per-doc gram counts)"""
+    def pairs_fn(b: pd.DataFrame) -> pd.DataFrame:
+        """per-doc DISTINCT (doc, gram-md5) rows"""
         ids, grams = [], []
-        counts = []
         for did, t in zip(b[id_col], b[text_col]):
             toks = _TOKEN_RE.findall(str(t).lower()) if t is not None else []
             g = {
@@ -1373,31 +1372,32 @@ def ngram_novelty(
             if g:
                 ids.extend([did] * len(g))
                 grams.extend(sorted(g))
-                counts.append((did, len(g)))
-        pairs = pd.DataFrame(
+        return pd.DataFrame(
             {
                 id_col: pd.Series(ids, dtype="int64"),
                 "g": pd.Series(grams, dtype="object"),
             }
         )
-        cnt = pd.DataFrame(
-            counts, columns=[id_col, "n_grams"]
-        ).astype("int64") if counts else pd.DataFrame(
-            {id_col: pd.Series(dtype="int64"),
-             "n_grams": pd.Series(dtype="int64")}
-        )
-        return pairs, cnt
 
-    def pairs_fn(b: pd.DataFrame) -> pd.DataFrame:
-        return doc_grams(b)[0]
-
-    def counts_fn(b: pd.DataFrame) -> pd.DataFrame:
-        return doc_grams(b)[1]
-
+    # Materialized because TWO consumers branch off it (n_grams and the
+    # gram→min-doc attribution); lazy re-execution would tokenize and
+    # md5 every gram twice.  Rows are ~24 bytes (int64 + 16-byte md5) —
+    # object-store-resident/spillable, never driver-sized.
     pairs = docs_ds.map_batches(pairs_fn, batch_format="pandas",
-                                batch_size=4096)
-    n_grams = docs_ds.map_batches(counts_fn, batch_format="pandas",
-                                  batch_size=4096)
+                                batch_size=4096).materialize()
+    # per-doc distinct gram counts derive from the SAME pair stream (a
+    # doc-keyed grouped count) — a second text pass would tokenize and
+    # md5 every gram twice
+    n_grams = grouped_sum(
+        pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {id_col: b[id_col].astype("int64"),
+                 "n_grams": np.ones(len(b), dtype="int64")}
+            ),
+            batch_format="pandas",
+        ),
+        [id_col], ["n_grams"],
+    )
 
     def min_doc(df: pd.DataFrame) -> pd.DataFrame:
         return (
