@@ -4983,6 +4983,131 @@ def events_type_mode(sf_dir: str):
     )
 
 
+@register(
+    "events_user_type_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_type_pivot(sf_dir: str):
+    """PIVOT long→wide (stages/agg.pivot_counts): one int64 column per
+    event type, counts per user.  The type domain is derived by a
+    column-pruned distinct tree over a SEPARATE single-column read (not
+    hardcoded — the SQL twin hardcodes it because SQL output schemas
+    are static); the counts are one cardinality-aware grouped-sum tree
+    with per-batch conditional partials — no long-table reshape."""
+    from nerpii_ray.stages.agg import pivot_counts
+
+    return pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"],
+        "event_type",
+        domain_ds=_read(sf_dir, "events", ["event_type"]),
+    )
+
+
+@register(
+    "orders_priority_sample",
+    """
+    SELECT o_orderpriority, o_orderkey FROM (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rn
+      FROM orders
+    ) WHERE rn <= 5
+    """,
+)
+def orders_priority_sample(sf_dir: str):
+    """Deterministic k-per-group sample: the k rows with the smallest
+    md5(key) per group — a content-hash reservoir that is exact,
+    retry-stable and SQL-replayable (an RNG reservoir is none of these).
+    Per-batch local k-smallest-hash + tree merge keeping ≤k rows per
+    group at every level, like ``top_orders_per_segment`` — state is
+    (groups × k) rows, never data-sized."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderkey"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if "__h" not in df.columns:
+            df = df.assign(__h=md5_of_strings(df["o_orderkey"].astype(str)))
+        return (
+            df.sort_values("__h", kind="mergesort")
+            .groupby("o_orderpriority", sort=False)
+            .head(5)
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = topk(df)
+        return out[["o_orderpriority", "o_orderkey"]].reset_index(drop=True)
+
+    return tree_aggregate(ds, topk, topk, final_fn=finalize)
+
+
+@register(
+    "lineitem_qty_price_linreg",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS HUGEINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem
+    ), a AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept
+    FROM a
+    """,
+)
+def lineitem_qty_price_linreg(sf_dir: str):
+    """Per-group least squares (stages/agg.grouped_linreg): REGR_SLOPE /
+    REGR_INTERCEPT of price-cents on quantity per return flag, with
+    exact big-int partials — each double is ONE division of exact
+    integers in the same expression shape as the HUGEINT SQL, so the
+    hash match is bit-stable."""
+    from nerpii_ray.stages.agg import grouped_linreg
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def to_ints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "x": b["l_quantity"].to_numpy().astype("int64"),
+                "y": np.round(b["l_extendedprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return grouped_linreg(
+        ds.map_batches(to_ints, batch_format="pandas"),
+        ["l_returnflag"], "x", "y",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #
@@ -5056,6 +5181,8 @@ _R5_FRESH = [
     "events_viewers_purchasers", "events_view_days_no_purchase",
     "lineitem_price_median", "orders_ntile_quartiles", "events_retention",
     "embedding_srp_pairs", "events_type_mode",
+    "events_user_type_pivot", "orders_priority_sample",
+    "lineitem_qty_price_linreg",
     # --- certified before, but the r5 plan changed ---
     "customers_without_orders", "orders_weighted_sample", "events_funnel",
     "lineitem_price_qty_corr", "events_ipc_roundtrip",

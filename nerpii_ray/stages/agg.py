@@ -886,3 +886,137 @@ def grouped_argmax(
         ds, partial, merge, levels=levels, batch_size=batch_size,
         keys=keys, root_threshold=root_threshold,
     )
+
+
+def pivot_counts(
+    ds,
+    keys: Sequence[str],
+    pivot_col: str,
+    domain: Optional[Sequence[str]] = None,
+    domain_ds=None,
+    prefix: str = "n_",
+):
+    """Long→wide PIVOT as conditional grouped counts: one int64 output
+    column per distinct ``pivot_col`` value.  The reference engines
+    express this as ``SUM(CASE WHEN pivot = v THEN 1 END)`` per value;
+    here each batch computes its partial pivot locally and the counts
+    ride the cardinality-aware grouped-sum tree — one keyed aggregate,
+    no post-hoc reshape of a long table.
+
+    The pivot domain must be BOUNDED (a dimension, not a data-scaled
+    key) — it becomes the output schema.  Pass it explicitly via
+    ``domain``, or let the operator derive it with a column-pruned
+    distinct tree over ``domain_ds`` (falls back to ``ds``; a separate
+    pruned read avoids re-executing a wide upstream pipeline twice).
+    The derived domain lands on the driver — that is domain-sized, the
+    same contract as ``equi_width_histogram``'s two scalars.
+    """
+    keys = list(keys)
+    if domain is None:
+        src = domain_ds if domain_ds is not None else ds
+        dom = tree_dedup(
+            src.select_columns([pivot_col]), [pivot_col], adaptive=False
+        ).to_pandas()
+        domain = sorted(str(v) for v in dom[pivot_col])
+    else:
+        domain = sorted(str(v) for v in domain)
+    cols = [f"{prefix}{v}" for v in domain]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = b.loc[:, keys].copy()
+        pv = b[pivot_col].astype(str).to_numpy()
+        for v, c in zip(domain, cols):
+            df[c] = (pv == v).astype(np.int64)
+        return (
+            df.groupby(keys, sort=False, observed=True)[cols]
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_sum(ds, keys, cols, partial_fn=partial)
+
+
+def grouped_linreg(
+    ds,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    partial_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    """Per-group least-squares fit y ≈ slope·x + intercept (SQL's
+    REGR_SLOPE / REGR_INTERCEPT) with the exact-integer discipline of
+    ``grouped_corr``: combiner state (n, Σx, Σy, Σxy, Σx²) as genuine
+    object-dtype Python ints, and each double result is ONE division of
+    exact integer numerator by exact integer denominator —
+    slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept =
+    (Σy·Σx² − Σx·Σxy)/(n·Σx² − (Σx)²) — the same expression shape the
+    SQL twin evaluates over HUGEINT sums, so hash matches are
+    bit-stable where a float-partial REGR_* drifts with merge order.
+
+    ``x_col``/``y_col`` must be integer-valued (cents, counts); derive
+    them in ``partial_fn``.  Zero x-variance groups (incl. single-row
+    groups) yield NaN for both, matching SQL NULL semantics.
+    Output: keys…, n, slope, intercept.
+    """
+    keys = list(keys)
+    state = ["n", "sx", "sy", "sxy", "sxx"]
+
+    def default_partial(b: pd.DataFrame) -> pd.DataFrame:
+        x = [int(v) for v in b[x_col]]
+        y = [int(v) for v in b[y_col]]
+        df = pd.DataFrame({**{k: b[k] for k in keys}})
+        idx = df.index
+        df["n"] = pd.Series([1] * len(df), index=idx, dtype="object")
+        df["sx"] = pd.Series(x, index=idx, dtype="object")
+        df["sy"] = pd.Series(y, index=idx, dtype="object")
+        df["sxy"] = pd.Series(
+            [a * c for a, c in zip(x, y)], index=idx, dtype="object"
+        )
+        df["sxx"] = pd.Series([a * a for a in x], index=idx, dtype="object")
+        return (
+            df.groupby(keys, sort=False, observed=True)[state]
+            .sum()
+            .reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in state:
+            df[c] = pd.Series(
+                [int(v) for v in df[c]], index=df.index, dtype="object"
+            )
+        return (
+            df.groupby(keys, sort=False, observed=True)[state]
+            .sum()
+            .reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = {k: pd.Series(dtype="object") for k in keys}
+            cols.update(n=pd.Series(dtype="int64"),
+                        slope=pd.Series(dtype="float64"),
+                        intercept=pd.Series(dtype="float64"))
+            return pd.DataFrame(cols)
+        out = df[keys].copy()
+        n = [int(v) for v in df["n"]]
+        sx = [int(v) for v in df["sx"]]
+        sy = [int(v) for v in df["sy"]]
+        sxy = [int(v) for v in df["sxy"]]
+        sxx = [int(v) for v in df["sxx"]]
+        out["n"] = pd.Series(n, index=df.index).astype("int64")
+        out["slope"] = [
+            float(c * xy - a * b) / float(c * xx - a * a)
+            if (c * xx - a * a) != 0 else float("nan")
+            for a, b, xy, xx, c in zip(sx, sy, sxy, sxx, n)
+        ]
+        out["intercept"] = [
+            float(b * xx - a * xy) / float(c * xx - a * a)
+            if (c * xx - a * a) != 0 else float("nan")
+            for a, b, xy, xx, c in zip(sx, sy, sxy, sxx, n)
+        ]
+        return out.reset_index(drop=True)
+
+    return tree_aggregate(
+        ds, partial_fn or default_partial, merge, final_fn=finish
+    )

@@ -2134,3 +2134,51 @@ def test_global_row_number():
         assert (got["o_orderkey"].to_numpy() == ref["o_orderkey"].to_numpy()).all()
         assert (got["rn"].to_numpy() == ref["rn"].to_numpy()).all()
         assert got["rn"].iloc[0] == 1 and got["rn"].iloc[-1] == len(ref)
+
+
+def test_pivot_counts():
+    """PIVOT long→wide: explicit domain, value missing from a group → 0,
+    values outside the domain ignored, empty input keeps the schema."""
+    from nerpii_ray.stages.agg import pivot_counts
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "v": ["a", "a", "b", "b", "zzz", "a"],
+    })
+    out = (
+        pivot_counts(rd.from_pandas(df), ["k"], "v", domain=["a", "b"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(out.columns) == ["k", "n_a", "n_b"]
+    assert out["n_a"].tolist() == [2, 0, 1]
+    assert out["n_b"].tolist() == [1, 1, 0]
+
+    # derived domain comes back sorted and includes every distinct value
+    out2 = (
+        pivot_counts(rd.from_pandas(df), ["k"], "v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(out2.columns) == ["k", "n_a", "n_b", "n_zzz"]
+    assert out2["n_zzz"].tolist() == [0, 1, 0]
+
+
+def test_grouped_linreg():
+    """Exact fit recovers slope/intercept bit-exactly; degenerate
+    (single-row / zero-x-variance) groups yield NaN, not a crash."""
+    from nerpii_ray.stages.agg import grouped_linreg
+
+    x = np.arange(1, 101, dtype=np.int64)
+    df = pd.DataFrame({
+        "g": ["fit"] * 100 + ["single", "flat", "flat"],
+        "x": np.concatenate([x, [5, 7, 7]]),
+        "y": np.concatenate([2 * x + 3, [1, 1, 2]]),
+    })
+    out = (
+        grouped_linreg(rd.from_pandas(df), ["g"], "x", "y")
+        .to_pandas().set_index("g")
+    )
+    assert out.loc["fit", "slope"] == 2.0
+    assert out.loc["fit", "intercept"] == 3.0
+    assert np.isnan(out.loc["single", "slope"])
+    assert np.isnan(out.loc["flat", "slope"])
+    assert out.loc["flat", "n"] == 2
