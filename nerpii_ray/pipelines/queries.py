@@ -5108,6 +5108,70 @@ def lineitem_qty_price_linreg(sf_dir: str):
     )
 
 
+#: BM25 demo query-term set — any small fixed set works; these exist in
+#: the synthetic corpus vocabulary
+_BM25_TERMS = ["vector", "hash", "merge", "stream"]
+
+
+def _bm25_sql(terms, topk: int = 20) -> str:
+    """SQL twin for ``doc_bm25_topk``, generated from the SAME term list
+    and integer-score constants the engine uses (the corpus_clean
+    pattern): per-term HUGEINT floor-division replay of
+    ⌊10⁶·r_t·w_t⌋ — see stages/textstats.bm25_topk for the algebra."""
+    tf_exprs = ",\n             ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS HUGEINT) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::HUGEINT AS df{i}"
+        for i in range(len(terms))
+    )
+    term_scores = "\n           + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN"
+        f" (1000000::HUGEINT * (2*N - 2*df{i} + 1) * 44 * tf{i} * L)"
+        f" // ((2*df{i} + 1) * (20*tf{i}*L + 6*L + 18*dl*N))"
+        f" ELSE 0::HUGEINT END)"
+        for i in range(len(terms))
+    )
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, CAST(len(toks) AS HUGEINT) AS dl,
+             {tf_exprs}
+      FROM docs
+    ), stats AS (
+      SELECT COUNT(*)::HUGEINT AS N, SUM(dl) AS L FROM tf
+    ), dfs AS (
+      SELECT {df_exprs} FROM tf
+    ), scored AS (
+      SELECT doc_id,
+           {term_scores}
+           AS score_ppm
+      FROM tf, stats, dfs
+    )
+    SELECT doc_id, CAST(score_ppm AS BIGINT) AS score_ppm
+    FROM scored WHERE score_ppm > 0
+    ORDER BY score_ppm DESC, doc_id LIMIT {topk}
+    """
+
+
+@register("doc_bm25_topk", _bm25_sql(_BM25_TERMS))
+def doc_bm25_topk(sf_dir: str):
+    """Lexical retrieval top-k (stages/textstats.bm25_topk): BM25-shaped
+    scoring (k1=1.2, b=0.75, log-free rational idf) against a fixed
+    query-term set, exact-integer ppm scores so the global top-20 is
+    bit-stable and fully SQL-replayable.  One text pass; stats are m+2
+    driver integers; the top-k rides the per-level cut tree."""
+    from nerpii_ray.stages.textstats import bm25_topk
+
+    return bm25_topk(
+        _read(sf_dir, "documents", ["doc_id", "text"]), _BM25_TERMS, topk=20
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #
@@ -5182,7 +5246,7 @@ _R5_FRESH = [
     "lineitem_price_median", "orders_ntile_quartiles", "events_retention",
     "embedding_srp_pairs", "events_type_mode",
     "events_user_type_pivot", "orders_priority_sample",
-    "lineitem_qty_price_linreg",
+    "lineitem_qty_price_linreg", "doc_bm25_topk",
     # --- certified before, but the r5 plan changed ---
     "customers_without_orders", "orders_weighted_sample", "events_funnel",
     "lineitem_price_qty_corr", "events_ipc_roundtrip",

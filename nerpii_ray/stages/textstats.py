@@ -259,3 +259,136 @@ def add_winnow_fingerprints(
     return pd.DataFrame(
         {id_col: ids, "n_fps": out_n, "fp_min": out_min}
     )
+
+
+def bm25_topk(
+    docs_ds,
+    terms,
+    topk: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25-shaped lexical retrieval over the corpus: score every
+    document against a small fixed query-term set and return the global
+    top-k — the retrieval step of a training-data quality/search
+    pipeline (inverted-index scoring without materializing the index).
+
+    Exactness trick (same family as the integer fixed-point PageRank):
+    BM25's k1=6/5, b=3/4 fold into ONE rational per (term, doc) —
+
+        w_t   = 44·tf·L / (20·tf·L + 6·L + 18·dl·N)   (tf saturation +
+                                                       length norm;
+                                                       avgdl = L/N
+                                                       cleared of
+                                                       fractions)
+        r_t   = (2N − 2·df_t + 1) / (2·df_t + 1)       (log-free
+                                                       Robertson idf —
+                                                       rational, so the
+                                                       score is exact)
+        score = Σ_t ⌊10⁶ · r_t · w_t⌋                  (per-term floor,
+                                                       exact big-int)
+
+    — so the score is an exact INTEGER at any scale and the SQL twin
+    replays it bit-for-bit in HUGEINT (a float BM25 with ln() would
+    hash-drift on summation order).  Ranking matches true BM25's
+    within-term monotonicity; only the idf curve is rational instead of
+    logarithmic, which is stated in the operator contract.
+
+    Plan (one text pass): batch map → compact per-doc row
+    (id, dl, tf per term — bounded width), materialized once for its
+    two consumers; corpus stats (N, L, df_t) via one merge tree to
+    m+2 driver integers; scoring + positive filter inside a second
+    map over the COMPACT table (never the text); global top-k via the
+    per-level (score desc, id asc) cut tree — state ≤ topk rows per
+    block at every level.
+    """
+    import ray.data  # noqa: F401  (docs_ds already is a Dataset)
+
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    terms = list(terms)
+    m = len(terms)
+    tf_cols = [f"tf{i}" for i in range(m)]
+    word_re = re.compile(r"\w+")
+
+    def compact(b: pd.DataFrame) -> pd.DataFrame:
+        ids, dls = [], []
+        tfs = [[] for _ in range(m)]
+        for did, t in zip(b[id_col], b[text_col]):
+            toks = word_re.findall(str(t).lower()) if t is not None else []
+            ids.append(did)
+            dls.append(len(toks))
+            if toks:
+                from collections import Counter
+
+                c = Counter(toks)
+                for j, term in enumerate(terms):
+                    tfs[j].append(c.get(term, 0))
+            else:
+                for j in range(m):
+                    tfs[j].append(0)
+        out = {id_col: pd.Series(ids, dtype="int64"),
+               "dl": pd.Series(dls, dtype="int64")}
+        for j, c in enumerate(tf_cols):
+            out[c] = pd.Series(tfs[j], dtype="int64")
+        return pd.DataFrame(out)
+
+    compact_ds = docs_ds.map_batches(
+        compact, batch_format="pandas", batch_size=4096
+    ).materialize()
+
+    # corpus stats: N docs, L total tokens, df per term — ONE root row
+    # of m+2 integers (bounded state, plain non-keyed tree)
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        row = {"N": np.int64(len(b)), "L": b["dl"].sum()}
+        for c in tf_cols:
+            row[f"df_{c}"] = (b[c] > 0).sum()
+        return pd.DataFrame([row]).astype("int64")
+
+    def stats_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([df.sum()]).astype("int64")
+
+    stats = (
+        tree_aggregate(compact_ds, stats_partial, stats_merge)
+        .to_pandas().iloc[0]
+    )
+    N, L = int(stats["N"]), int(stats["L"])
+    dfs = [int(stats[f"df_{c}"]) for c in tf_cols]
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        any_tf = np.zeros(len(b), dtype=bool)
+        for c in tf_cols:
+            any_tf |= b[c].to_numpy() > 0
+        b = b[any_tf]
+        if not len(b):
+            return pd.DataFrame({
+                id_col: pd.Series(dtype="int64"),
+                "score_ppm": pd.Series(dtype="int64"),
+            })
+        dl = [int(v) for v in b["dl"]]
+        total = [0] * len(b)
+        for j, c in enumerate(tf_cols):
+            dfj = dfs[j]
+            idf_num, idf_den = 2 * N - 2 * dfj + 1, 2 * dfj + 1
+            for i, (tf, d) in enumerate(zip((int(v) for v in b[c]), dl)):
+                if tf:
+                    total[i] += (10**6 * idf_num * 44 * tf * L) // (
+                        idf_den * (20 * tf * L + 6 * L + 18 * d * N)
+                    )
+        out = pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            "score_ppm": pd.Series(total, index=b.index),
+        })
+        out = out[out["score_ppm"] > 0]
+        return pd.DataFrame({
+            id_col: out[id_col].astype("int64"),
+            "score_ppm": out["score_ppm"].astype("int64"),
+        }).reset_index(drop=True)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["score_ppm", id_col], ascending=[False, True], kind="mergesort"
+        ).head(topk)
+
+    scored = compact_ds.map_batches(score, batch_format="pandas")
+    return tree_aggregate(scored, cut, cut)

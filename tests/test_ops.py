@@ -2182,3 +2182,35 @@ def test_grouped_linreg():
     assert np.isnan(out.loc["single", "slope"])
     assert np.isnan(out.loc["flat", "slope"])
     assert out.loc["flat", "n"] == 2
+
+
+def test_bm25_topk():
+    """Integer BM25: more query-term mass ranks higher; rarer terms
+    outweigh common ones; docs without any term are excluded; None/empty
+    texts still count toward corpus stats without crashing."""
+    from nerpii_ray.stages.textstats import bm25_topk
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "apple apple banana x y z",   # 2×apple 1×banana
+            "apple x y z q w",            # 1×apple
+            "banana x y z q w",           # 1×banana (rarer: df 2 vs 3)
+            "apple pie recipe",           # 1×apple → df(apple)=3
+            "nothing relevant here",      # no term → excluded
+            None,                          # counts toward N only
+        ],
+    })
+    out = (
+        bm25_topk(rd.from_pandas(docs), ["apple", "banana"], topk=10)
+        .to_pandas().reset_index(drop=True)
+    )
+    assert set(out["doc_id"]) == {1, 2, 3, 4}
+    top = out.sort_values(["score_ppm", "doc_id"],
+                          ascending=[False, True])["doc_id"].tolist()
+    assert top[0] == 1                      # both terms, double tf
+    # banana (df=2) must outscore apple (df=3) at equal tf and equal dl
+    s = out.set_index("doc_id")["score_ppm"]
+    assert s[3] > s[2]
+    # exact-integer scores (no floats anywhere)
+    assert out["score_ppm"].dtype == np.int64
