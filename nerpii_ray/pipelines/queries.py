@@ -5172,6 +5172,98 @@ def doc_bm25_topk(sf_dir: str):
     )
 
 
+def _postings_sql(terms, k: int = 10) -> str:
+    values = ", ".join(f"('{t}')" for t in terms)
+    return rf"""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT DISTINCT doc_id, t.term
+      FROM docs, (VALUES {values}) AS t(term)
+      WHERE list_contains(toks, t.term)
+    ), ranked AS (
+      SELECT term, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM pairs
+    ), lists AS (
+      SELECT term,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings
+      FROM ranked WHERE rn <= {k} GROUP BY term
+    ), dfs AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY term
+    )
+    SELECT term, df, postings FROM dfs JOIN lists USING (term)
+    """
+
+
+@register("doc_posting_lists", _postings_sql(_BM25_TERMS))
+def doc_posting_lists(sf_dir: str):
+    """Inverted-index construction (stages/textstats.posting_lists):
+    per term the exact document frequency and the first 10 posting doc
+    ids.  One text pass to a distinct (term, doc) pair stream
+    materialized for its two consumers (df count tree, min-k postings
+    cut tree); the |terms|-sized sides meet in a broadcast join."""
+    from nerpii_ray.stages.textstats import posting_lists
+
+    return posting_lists(
+        _read(sf_dir, "documents", ["doc_id", "text"]), _BM25_TERMS, k=10
+    )
+
+
+def _cooccur_sql(terms) -> str:
+    m = len(terms)
+    ind = ",\n             ".join(
+        f"CAST(list_contains(toks, '{t}') AS BIGINT) AS h{i}"
+        for i, t in enumerate(terms)
+    )
+    sums = ", ".join(f"SUM(h{i})::HUGEINT AS c{i}" for i in range(m))
+    psums = ", ".join(
+        f"SUM(h{i} * h{j})::HUGEINT AS p{i}_{j}"
+        for i in range(m) for j in range(i + 1, m)
+    )
+    rows = ",\n      ".join(
+        f"('{terms[i]}', '{terms[j]}', c{i}, c{j}, p{i}_{j},"
+        f" CASE WHEN c{i} > 0 AND c{j} > 0 THEN"
+        f" (1000000::HUGEINT * N * p{i}_{j}) // (c{i} * c{j})"
+        f" ELSE 0::HUGEINT END)"
+        for i in range(m) for j in range(i + 1, m)
+    )
+    return rf"""
+    WITH docs AS (
+      SELECT regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+      FROM documents
+    ), ind AS (
+      SELECT {ind}
+      FROM docs
+    ), agg AS (
+      SELECT COUNT(*)::HUGEINT AS N, {sums}, {psums} FROM ind
+    )
+    SELECT term_a, term_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(lift_ppm AS BIGINT) AS lift_ppm
+    FROM agg, LATERAL (VALUES
+      {rows}
+    ) AS v(term_a, term_b, n_a, n_b, n_ab, lift_ppm)
+    """
+
+
+@register("doc_term_cooccurrence", _cooccur_sql(_BM25_TERMS))
+def doc_term_cooccurrence(sf_dir: str):
+    """Pairwise term association (stages/textstats.term_cooccurrence):
+    doc-level co-occurrence counts and exact-integer LIFT in ppm
+    (rational PMI — no log, so the twin replays it in HUGEINT).  One
+    text pass, bounded per-batch counters, one non-keyed merge tree."""
+    from nerpii_ray.stages.textstats import term_cooccurrence
+
+    return term_cooccurrence(
+        _read(sf_dir, "documents", ["text"]), _BM25_TERMS
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #
@@ -5246,7 +5338,8 @@ _R5_FRESH = [
     "lineitem_price_median", "orders_ntile_quartiles", "events_retention",
     "embedding_srp_pairs", "events_type_mode",
     "events_user_type_pivot", "orders_priority_sample",
-    "lineitem_qty_price_linreg", "doc_bm25_topk",
+    "lineitem_qty_price_linreg", "doc_bm25_topk", "doc_posting_lists",
+    "doc_term_cooccurrence",
     # --- certified before, but the r5 plan changed ---
     "customers_without_orders", "orders_weighted_sample", "events_funnel",
     "lineitem_price_qty_corr", "events_ipc_roundtrip",

@@ -392,3 +392,148 @@ def bm25_topk(
 
     scored = compact_ds.map_batches(score, batch_format="pandas")
     return tree_aggregate(scored, cut, cut)
+
+
+def posting_lists(
+    docs_ds,
+    terms,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Inverted-index construction for a fixed vocabulary slice: per
+    term, the exact document frequency and the first ``k`` posting doc
+    ids (smallest ids, comma-joined — a STRING so the result is
+    schema-stable and hashable downstream).  The capped-postings shape
+    is what an index-build pipeline ships per shard before a merge.
+
+    One text pass emits distinct (term, doc) pairs for matching docs
+    only; the pairs table (match-sized, 2 ints wide) is materialized
+    once for its two consumers: an exact grouped df count and a
+    per-level min-k cut tree for the postings — both bounded by
+    |terms| rows of state at the root.  Output: (term, df, postings).
+    """
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.joins import broadcast_join
+
+    terms = list(terms)
+    term_set = set(terms)
+    word_re = re.compile(r"\w+")
+
+    def pairs_fn(b: pd.DataFrame) -> pd.DataFrame:
+        ids, ts = [], []
+        for did, t in zip(b[id_col], b[text_col]):
+            toks = word_re.findall(str(t).lower()) if t is not None else []
+            for term in term_set.intersection(toks):
+                ids.append(did)
+                ts.append(term)
+        return pd.DataFrame({
+            "term": pd.Series(ts, dtype="object"),
+            id_col: pd.Series(ids, dtype="int64"),
+        })
+
+    pairs = docs_ds.map_batches(
+        pairs_fn, batch_format="pandas", batch_size=4096
+    ).materialize()
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.loc[:, ["term"]].copy()
+        out["df"] = np.int64(1) if len(b) else pd.Series(dtype="int64")
+        return (
+            out.groupby(["term"], sort=False, observed=True)["df"]
+            .sum()
+            .reset_index()
+        )
+
+    dfs = grouped_sum(pairs, ["term"], ["df"], partial_fn=df_partial,
+                      adaptive=False)
+
+    def cut(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["term", id_col], kind="mergesort")
+            .groupby("term", sort=False)
+            .head(k)
+        )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = cut(b)
+        return (
+            b.groupby("term", sort=False)[id_col]
+            .agg(lambda s: ",".join(str(v) for v in s))
+            .reset_index()
+            .rename(columns={id_col: "postings"})
+        )
+
+    lists = tree_aggregate(pairs, cut, cut, final_fn=finish)
+    # both sides are |terms|-sized → broadcast join, no shuffle
+    return broadcast_join(dfs, lists.to_pandas(), on=["term"])
+
+
+def term_cooccurrence(
+    docs_ds,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Pairwise term co-occurrence with exact-integer LIFT — the
+    association statistic behind PMI, kept rational (no log) so the
+    result is bit-stable and SQL-replayable:
+
+        lift_ppm(i,j) = ⌊10⁶ · N · c_ij / (c_i · c_j)⌋
+
+    where c_i = docs containing term i, c_ij = docs containing both,
+    N = corpus size.  lift > 1e6 means the pair co-occurs more often
+    than independence predicts.
+
+    One text pass → per-batch BOUNDED partial counters (m indicators +
+    m(m−1)/2 pair counters + N, summed per batch); one non-keyed merge
+    tree; the finish emits one row per unordered pair.  Nothing
+    data-sized leaves the batch map.  Output: (term_a, term_b, n_a,
+    n_b, n_ab, lift_ppm); pairs with c_ij = 0 keep lift 0.
+    """
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    terms = list(terms)
+    m = len(terms)
+    word_re = re.compile(r"\w+")
+    pair_idx = [(i, j) for i in range(m) for j in range(i + 1, m)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        singles = np.zeros(m, dtype=np.int64)
+        pairs = np.zeros(len(pair_idx), dtype=np.int64)
+        n = 0
+        for t in b[text_col]:
+            toks = set(word_re.findall(str(t).lower())) if t is not None else set()
+            n += 1
+            has = [term in toks for term in terms]
+            for i in range(m):
+                if has[i]:
+                    singles[i] += 1
+            for p, (i, j) in enumerate(pair_idx):
+                if has[i] and has[j]:
+                    pairs[p] += 1
+        row = {"N": np.int64(n)}
+        for i in range(m):
+            row[f"c{i}"] = singles[i]
+        for p in range(len(pair_idx)):
+            row[f"p{p}"] = pairs[p]
+        return pd.DataFrame([row]).astype("int64")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([df.sum()]).astype("int64")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.iloc[0]
+        N = int(r["N"])
+        rows = []
+        for p, (i, j) in enumerate(pair_idx):
+            ci, cj, cij = int(r[f"c{i}"]), int(r[f"c{j}"]), int(r[f"p{p}"])
+            lift = (10**6 * N * cij) // (ci * cj) if ci and cj else 0
+            rows.append((terms[i], terms[j], ci, cj, cij, lift))
+        return pd.DataFrame(
+            rows,
+            columns=["term_a", "term_b", "n_a", "n_b", "n_ab", "lift_ppm"],
+        ).astype({"n_a": "int64", "n_b": "int64", "n_ab": "int64",
+                  "lift_ppm": "int64"})
+
+    return tree_aggregate(docs_ds, partial, merge, final_fn=finish)

@@ -2214,3 +2214,41 @@ def test_bm25_topk():
     assert s[3] > s[2]
     # exact-integer scores (no floats anywhere)
     assert out["score_ppm"].dtype == np.int64
+
+
+def test_posting_lists():
+    """Inverted index: exact df, first-k postings sorted ascending,
+    terms with no postings absent, cap respected."""
+    from nerpii_ray.stages.textstats import posting_lists
+
+    docs = pd.DataFrame({
+        "doc_id": [5, 3, 1, 2, 4],
+        "text": ["cat dog", "cat", "cat mouse", "dog", None],
+    })
+    out = (
+        posting_lists(rd.from_pandas(docs), ["cat", "dog", "absent"], k=2)
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    )
+    assert out["term"].tolist() == ["cat", "dog"]
+    assert out["df"].tolist() == [3, 2]           # exact, not capped
+    assert out["postings"].tolist() == ["1,3", "2,5"]  # capped at k=2
+
+
+def test_term_cooccurrence():
+    """Lift: independent pair ≈ 1e6, perfectly-coupled pair > 1e6,
+    never-co-occurring pair = 0; counts exact."""
+    from nerpii_ray.stages.textstats import term_cooccurrence
+
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["a b", "a b", "a b", "a b", "c", "c", "d", None],
+    })
+    out = (
+        term_cooccurrence(rd.from_pandas(docs), ["a", "b", "c"])
+        .to_pandas().set_index(["term_a", "term_b"])
+    )
+    ab = out.loc[("a", "b")]
+    assert ab["n_a"] == 4 and ab["n_b"] == 4 and ab["n_ab"] == 4
+    assert ab["lift_ppm"] == (10**6 * 8 * 4) // 16  # = 2e6 > 1e6
+    ac = out.loc[("a", "c")]
+    assert ac["n_ab"] == 0 and ac["lift_ppm"] == 0
