@@ -5264,6 +5264,90 @@ def doc_term_cooccurrence(sf_dir: str):
     )
 
 
+@register(
+    "events_cume_dist",
+    """
+    WITH c AS (
+      SELECT event_id, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY cents
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cr,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM c
+    )
+    SELECT event_id, CAST(cr * 10000 // cnt AS BIGINT) AS cume_bp
+    FROM r
+    """,
+)
+def events_cume_dist(sf_dir: str):
+    """CUME_DIST per partition in integer basis points: peers share the
+    cumulative count (rank method='max'), so ⌊cr·10⁴/n⌋ is exact and
+    float-free on both sides.  One keyed co-location + in-bucket
+    C-level rank kernels, like ``events_percent_rank``."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "user_id": b["user_id"].astype("int64"),
+                "cents": np.round(b["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby("user_id", sort=False, observed=True)
+        cr = gb["cents"].rank(method="max").astype("int64").to_numpy()
+        cnt = gb["cents"].transform("size").astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "cume_bp": (cr * 10000 // cnt).astype(np.int64),
+            }
+        )
+
+    return keyed_partition_apply(
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"], kernel
+    )
+
+
+@register(
+    "events_user_gini",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*)::HUGEINT AS n
+      FROM events GROUP BY user_id, event_type
+    ), a AS (
+      SELECT user_id, SUM(n) AS tot, SUM(n * n) AS ss FROM c
+      GROUP BY user_id
+    )
+    SELECT user_id, CAST(tot AS BIGINT) AS n,
+           CAST((10000 * (tot * tot - ss)) // (tot * tot) AS BIGINT)
+             AS gini_bp
+    FROM a
+    """,
+)
+def events_user_gini(sf_dir: str):
+    """Per-user categorical Gini impurity of the event-type mix
+    (stages/agg.grouped_gini) in integer basis points — the
+    diversity/concentration statistic kept rational (entropy's log
+    would hash-drift).  Counts ride the cardinality-aware tree; the
+    Σc² finish sums squares as Python ints over the counts table."""
+    from nerpii_ray.stages.agg import grouped_gini
+
+    return grouped_gini(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"],
+        "event_type",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #
@@ -5339,7 +5423,7 @@ _R5_FRESH = [
     "embedding_srp_pairs", "events_type_mode",
     "events_user_type_pivot", "orders_priority_sample",
     "lineitem_qty_price_linreg", "doc_bm25_topk", "doc_posting_lists",
-    "doc_term_cooccurrence",
+    "doc_term_cooccurrence", "events_cume_dist", "events_user_gini",
     # --- certified before, but the r5 plan changed ---
     "customers_without_orders", "orders_weighted_sample", "events_funnel",
     "lineitem_price_qty_corr", "events_ipc_roundtrip",

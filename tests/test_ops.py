@@ -2252,3 +2252,23 @@ def test_term_cooccurrence():
     assert ab["lift_ppm"] == (10**6 * 8 * 4) // 16  # = 2e6 > 1e6
     ac = out.loc[("a", "c")]
     assert ac["n_ab"] == 0 and ac["lift_ppm"] == 0
+
+
+def test_grouped_gini():
+    """Gini impurity bp: pure group 0, 50/50 → 5000, uniform-3 → 6666;
+    multi-key tuples survive; Python-int squares (no int64 overflow on
+    big counts is pinned by construction — exercised via exact values)."""
+    from nerpii_ray.stages.agg import grouped_gini
+
+    df = pd.DataFrame({
+        "g": ["p"] * 4 + ["h"] * 4 + ["u"] * 3,
+        "v": ["a", "a", "a", "a", "a", "a", "b", "b", "x", "y", "z"],
+    })
+    out = (
+        grouped_gini(rd.from_pandas(df), ["g"], "v")
+        .to_pandas().set_index("g")
+    )
+    assert out.loc["p", "gini_bp"] == 0
+    assert out.loc["h", "gini_bp"] == 5000
+    assert out.loc["u", "gini_bp"] == (10**4 * (9 - 3)) // 9  # 6666
+    assert out.loc["u", "n"] == 3
