@@ -5348,6 +5348,205 @@ def events_user_gini(sf_dir: str):
     )
 
 
+@register(
+    "shipping_priority_top10",
+    """
+    WITH seg AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), o AS (
+      SELECT o_orderkey, o_orderdate FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_custkey IN (SELECT c_custkey FROM seg)
+    ), l AS (
+      SELECT l_orderkey,
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS HUGEINT))
+               AS micents
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+    )
+    SELECT l_orderkey, o_orderdate,
+           CAST(SUM(micents) AS BIGINT) AS revenue_micents
+    FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_micents DESC, l_orderkey LIMIT 10
+    """,
+)
+def shipping_priority_top10(sf_dir: str):
+    """TPC-H Q3 shape — the canonical 3-table analytic pipeline
+    COMPOSED from the engine's scale-safe pieces: segment customers
+    feed a bloom semi-join that prunes orders WITHOUT broadcasting an
+    exact key set; the surviving orders meet the ship-date-filtered
+    lineitems in a partitioned hash join; revenue Σ cents·(100−disc%)
+    is exact integer micents through the grouped-sum tree; the global
+    top-10 rides the per-level cut tree.  Every filter is applied at
+    or directly after the pruned read."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.joins import bloom_semi_join, partitioned_hash_join
+
+    cutoff = pd.Timestamp("1998-01-01")
+
+    seg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b[b["c_mktsegment"] == "BUILDING"][["c_custkey"]].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: b[b["o_orderdate"] < cutoff], batch_format="pandas"
+    )
+    orders = bloom_semi_join(orders, seg, on="o_custkey").map_batches(
+        lambda b: b[["o_orderkey", "o_orderdate"]].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        ),
+        batch_format="pandas",
+    )
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cutoff]
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "micents": cents * (100 - disc),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_prep, batch_format="pandas")
+
+    joined = partitioned_hash_join(
+        li, orders, on=["l_orderkey"], num_buckets=16, path="exchange"
+    )
+    rev = grouped_sum(
+        joined, ["l_orderkey", "o_orderdate"], ["micents"]
+    ).map_batches(
+        lambda b: b.rename(columns={"micents": "revenue_micents"}),
+        batch_format="pandas",
+    )
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_micents", "l_orderkey"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(10)
+
+    return tree_aggregate(rev, cut, cut)
+
+
+@register(
+    "orders_monthly_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             COUNT(*)::BIGINT AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n,
+           CAST(n - COALESCE(LAG(n) OVER (ORDER BY month), 0) AS BIGINT)
+             AS delta
+    FROM m
+    """,
+)
+def orders_monthly_growth(sf_dir: str):
+    """Aggregate→window composition: monthly order counts (bounded key
+    space — one grouped-sum tree), then month-over-month delta as a
+    window over the TINY aggregated series at the single root block —
+    the 'roll up, then trend' shape that never windows raw data."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        month = b["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        out = pd.DataFrame({"month": month})
+        out["n"] = np.int64(1)
+        return out.groupby("month", sort=False)["n"].sum().reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("month", sort=False)["n"].sum().reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("month", kind="mergesort").reset_index(drop=True)
+        prev = df["n"].shift(fill_value=0).astype("int64")
+        df["delta"] = (df["n"] - prev).astype("int64")
+        return df
+
+    return tree_aggregate(ds, partial, merge, final_fn=finish)
+
+
+@register(
+    "session_type_pairs",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ), st AS (
+      SELECT DISTINCT user_id, sid, event_type FROM sess
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*)::BIGINT AS n_sessions
+    FROM st a JOIN st b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+)
+def session_type_pairs(sf_dir: str):
+    """Market-basket association over SESSIONS: for each unordered
+    event-type pair, the number of 30-min-gap sessions containing both.
+    One keyed co-location per user; the in-bucket kernel sessionizes
+    (vectorized gap cumsum), reduces to distinct (session, type) and
+    self-merges those — the pair domain is bounded (|types|²/2), so
+    each bucket emits ≤10 partial rows and one non-keyed tree sums
+    them.  Session semantics match ``events_sessions`` exactly."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        # pin the unit: parquet timestamps arrive as datetime64[us] in
+        # pandas 2 — an implicit astype(int64) would silently change
+        # scale with the storage unit
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        new = (g["user_id"] != g["user_id"].shift()) | (
+            (ts - ts.shift()) > 1800 * 10**6
+        )
+        st = pd.DataFrame(
+            {"sid": new.cumsum(), "event_type": g["event_type"]}
+        ).drop_duplicates()
+        pairs = st.merge(st, on="sid")
+        pairs = pairs[pairs["event_type_x"] < pairs["event_type_y"]]
+        out = pairs.rename(
+            columns={"event_type_x": "type_a", "event_type_y": "type_b"}
+        )
+        out["n_sessions"] = np.int64(1)
+        return (
+            out.groupby(["type_a", "type_b"], sort=False)["n_sessions"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(ds, ["user_id"], kernel)
+    return grouped_sum(
+        partials, ["type_a", "type_b"], ["n_sessions"], adaptive=False
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #
@@ -5424,6 +5623,8 @@ _R5_FRESH = [
     "events_user_type_pivot", "orders_priority_sample",
     "lineitem_qty_price_linreg", "doc_bm25_topk", "doc_posting_lists",
     "doc_term_cooccurrence", "events_cume_dist", "events_user_gini",
+    "shipping_priority_top10", "orders_monthly_growth",
+    "session_type_pairs",
     # --- certified before, but the r5 plan changed ---
     "customers_without_orders", "orders_weighted_sample", "events_funnel",
     "lineitem_price_qty_corr", "events_ipc_roundtrip",
