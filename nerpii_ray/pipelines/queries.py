@@ -5625,7 +5625,12 @@ _R5_FRESH = [
     "doc_term_cooccurrence", "events_cume_dist", "events_user_gini",
     "shipping_priority_top10", "orders_monthly_growth",
     "session_type_pairs",
-    # --- certified before, but the r5 plan changed ---
+]
+
+#: certified before, but the r5 plan changed — window priority BELOW the
+#: pinned flagships (they have an artifact for an older plan; a flagship
+#: slot matters more than re-certifying these first)
+_R5_PLAN_CHANGED = [
     "customers_without_orders", "orders_weighted_sample", "events_funnel",
     "lineitem_price_qty_corr", "events_ipc_roundtrip",
 ]
@@ -5653,6 +5658,11 @@ def _reorder_for_driver_window() -> None:
         if n in QUERIES and n in ORACLE_SQL and n not in taken
     ]
     taken |= set(pinned)
+    plan_changed = [
+        n for n in _R5_PLAN_CHANGED
+        if n in QUERIES and n in ORACLE_SQL and n not in taken
+    ]
+    taken |= set(plan_changed)
     rotate_in = [
         n for n in _WINDOW_DEPRIORITIZED
         if n in QUERIES and n in ORACLE_SQL and n not in taken
@@ -5663,7 +5673,7 @@ def _reorder_for_driver_window() -> None:
         if n in ORACLE_SQL and n not in taken
     ]
     rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
-    ordered = fresh + pinned + rotate_in + rest + rows_only
+    ordered = fresh + pinned + plan_changed + rotate_in + rest + rows_only
     assert sorted(ordered) == sorted(QUERIES)
     reord = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
