@@ -5421,8 +5421,24 @@ def shipping_priority_top10(sf_dir: str):
     joined = partitioned_hash_join(
         li, orders, on=["l_orderkey"], num_buckets=16, path="exchange"
     )
+
+    # At tiny SFs the heavy filters leave EMPTY exchange buckets, and
+    # Ray's pandas-block concat degrades all-empty int64/datetime
+    # columns to float64 — re-pin the dtypes before the sum tree (a
+    # per-row cast pre-aggregation: values are single-row micents,
+    # far inside exact-float range) and again on the 10-row root.
+    def repin(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "o_orderdate": b["o_orderdate"].astype("datetime64[us]"),
+                "micents": b["micents"].astype("int64"),
+            }
+        )
+
     rev = grouped_sum(
-        joined, ["l_orderkey", "o_orderdate"], ["micents"]
+        joined.map_batches(repin, batch_format="pandas"),
+        ["l_orderkey", "o_orderdate"], ["micents"],
     ).map_batches(
         lambda b: b.rename(columns={"micents": "revenue_micents"}),
         batch_format="pandas",
@@ -5435,7 +5451,13 @@ def shipping_priority_top10(sf_dir: str):
             kind="mergesort",
         ).head(10)
 
-    return tree_aggregate(rev, cut, cut)
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = cut(df)
+        return df.astype(
+            {"l_orderkey": "int64", "revenue_micents": "int64"}
+        ).astype({"o_orderdate": "datetime64[us]"})
+
+    return tree_aggregate(rev, cut, cut, final_fn=finish)
 
 
 @register(
@@ -5544,6 +5566,130 @@ def session_type_pairs(sf_dir: str):
     partials = keyed_partition_apply(ds, ["user_id"], kernel)
     return grouped_sum(
         partials, ["type_a", "type_b"], ["n_sessions"], adaptive=False
+    )
+
+
+@register(
+    "events_transitions",
+    """
+    WITH s AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*)::BIGINT AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's event
+    stream in (ts, event_id) order — the path-analysis shape behind
+    next-action models.  One keyed co-location per user; the in-bucket
+    kernel is a grouped shift(-1) plus a bounded-key count (≤ |types|²
+    rows per bucket), finished by one non-keyed sum tree — raw rows
+    are shuffled exactly once."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        nxt = g.groupby("user_id", sort=False)["event_type"].shift(-1)
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "next_type": nxt.to_numpy(),
+            }
+        )
+        out = out[out["next_type"].notna()]
+        out["n"] = np.int64(1)
+        return (
+            out.groupby(["event_type", "next_type"], sort=False,
+                        observed=True)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(ds, ["user_id"], kernel)
+    return grouped_sum(
+        partials, ["event_type", "next_type"], ["n"], adaptive=False
+    )
+
+
+@register(
+    "events_dow_hour",
+    """
+    SELECT CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hour,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_cents
+    FROM events GROUP BY dow, hour
+    """,
+)
+def events_dow_hour(sf_dir: str):
+    """Calendar-heatmap aggregate: (ISO day-of-week, hour-of-day)
+    counts and integer-cent value sums.  The key space is bounded by
+    construction (≤ 168 cells), so per-batch partials collapse inside
+    the scan and only the tiny partial tables move — no shuffle of raw
+    rows at any scale."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                # pandas dayofweek is Monday=0; ISODOW is Monday=1
+                "dow": (b["ts"].dt.dayofweek + 1).astype("int64"),
+                "hour": b["ts"].dt.hour.astype("int64"),
+                "n": np.int64(1),
+                "value_cents": np.round(
+                    b["value"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return out.groupby(["dow", "hour"], sort=False).sum().reset_index()
+
+    return grouped_sum(
+        ds, ["dow", "hour"], ["n", "value_cents"],
+        partial_fn=partial, adaptive=False,
+    )
+
+
+@register(
+    "doc_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks, UNNEST(range(0, len(toks), 48)) AS s
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s // 48 AS BIGINT) AS chunk_idx,
+           CAST(LEAST(64, len(toks) - s) AS BIGINT) AS chunk_tokens,
+           array_to_string(toks[s + 1 : s + 64], ' ') AS chunk_text
+    FROM g
+    """,
+)
+def doc_chunks(sf_dir: str):
+    """Context-window chunking (stages/textstats.chunk_token_windows):
+    64-token windows advancing by 48 (16-token overlap) — the standard
+    pre-tokenization step of an LLM training pipeline.  Pure
+    map_batches over the document scan; offsets are batch-wide numpy,
+    no shuffle.  The SQL twin replays the same whitespace tokenization
+    (the proven ``doc_token_counts`` idiom) and start-offset arithmetic
+    with a lateral ``range(0, n, stride)``."""
+    from nerpii_ray.stages.textstats import chunk_token_windows
+
+    return chunk_token_windows(
+        _read(sf_dir, "documents", ["doc_id", "text"]), chunk=64, stride=48
     )
 
 

@@ -537,3 +537,57 @@ def term_cooccurrence(
                   "lift_ppm": "int64"})
 
     return tree_aggregate(docs_ds, partial, merge, final_fn=finish)
+
+
+def chunk_token_windows(
+    docs_ds,
+    chunk: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Context-window chunking for LLM training corpora: split each
+    document's whitespace tokens into windows of ``chunk`` tokens whose
+    start offsets advance by ``stride`` (overlap = chunk − stride),
+    emitting (doc_id, chunk_idx, chunk_tokens, chunk_text).  Starts are
+    0, stride, 2·stride, … while < n_tokens, so every token is covered,
+    the last window may be short, and an empty document emits no rows.
+
+    Embarrassingly parallel ``map_batches`` — no shuffle at any scale.
+    Chunk offsets/indices are derived batch-wide in numpy (repeat +
+    cumsum arithmetic, no per-doc loop); the one per-chunk Python step
+    is the final ``' '.join`` — chunk text is inherently string
+    assembly.  Output is an explicitly-typed Arrow table so empty
+    batches keep the schema (a column-less/null-typed empty block
+    poisons downstream unions).
+    """
+    if stride <= 0 or chunk < stride:
+        raise ValueError("need 0 < stride <= chunk")
+
+    def fn(b: pd.DataFrame) -> pa.Table:
+        toks = b[text_col].fillna("").str.split()
+        n = toks.str.len().to_numpy(dtype=np.int64, na_value=0)
+        n_chunks = np.where(n == 0, 0, (n - 1) // stride + 1).astype(np.int64)
+        total = int(n_chunks.sum())
+        row_of = np.repeat(np.arange(len(b)), n_chunks)
+        offs = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        ci = np.arange(total, dtype=np.int64) - offs
+        starts = ci * stride
+        tok_lists = toks.to_numpy()
+        texts = [
+            " ".join(tok_lists[r][s : s + chunk])
+            for r, s in zip(row_of, starts)
+        ]
+        ntoks = np.minimum(chunk, n[row_of] - starts).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(
+                    b[id_col].to_numpy()[row_of], type=pa.int64()
+                ),
+                "chunk_idx": pa.array(ci, type=pa.int64()),
+                "chunk_tokens": pa.array(ntoks, type=pa.int64()),
+                "chunk_text": pa.array(texts, type=pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pandas")

@@ -2272,3 +2272,47 @@ def test_grouped_gini():
     assert out.loc["h", "gini_bp"] == 5000
     assert out.loc["u", "gini_bp"] == (10**4 * (9 - 3)) // 9  # 6666
     assert out.loc["u", "n"] == 3
+
+
+def test_chunk_token_windows():
+    """Context-window chunking: full coverage with overlap, short/empty
+    docs, exact-multiple boundary, and typed output on empty input."""
+    from nerpii_ray.stages.textstats import chunk_token_windows
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                " ".join(f"w{i}" for i in range(70)),   # 2 chunks, short tail
+                "a b c",                                  # 1 short chunk
+                "",                                       # no chunks
+                " ".join(f"x{i}" for i in range(96)),   # starts 0,48 — exact
+            ],
+        }
+    )
+    out = (
+        chunk_token_windows(rd.from_pandas(docs), chunk=64, stride=48)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 1, 2, 4, 4]
+    assert out["chunk_idx"].tolist() == [0, 1, 0, 0, 1]
+    assert out["chunk_tokens"].tolist() == [64, 22, 3, 64, 48]
+    # chunk text is the literal token slice
+    toks70 = [f"w{i}" for i in range(70)]
+    assert out.loc[0, "chunk_text"] == " ".join(toks70[:64])
+    assert out.loc[1, "chunk_text"] == " ".join(toks70[48:70])
+    # every token is covered: union of slices reconstructs the doc
+    seen = set()
+    for _, r in out[out["doc_id"] == 1].iterrows():
+        s = int(r["chunk_idx"]) * 48
+        seen.update(range(s, s + int(r["chunk_tokens"])))
+    assert seen == set(range(70))
+    # whitespace-run + leading/trailing semantics match str.split()
+    messy = pd.DataFrame({"doc_id": [9], "text": ["  a\t\tb \n c  "]})
+    m = chunk_token_windows(rd.from_pandas(messy)).to_pandas()
+    assert m.loc[0, "chunk_text"] == "a b c" and m.loc[0, "chunk_tokens"] == 3
+    # invalid parameters fail loudly
+    with pytest.raises(ValueError):
+        chunk_token_windows(rd.from_pandas(docs), chunk=4, stride=8)
