@@ -832,6 +832,97 @@ def grouped_mode(
     return keyed_partition_apply(counts, keys, argmax)
 
 
+def grouped_higher_moments(
+    ds,
+    keys: Sequence[str],
+    value_col: str,
+    partial_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    """Third/fourth CENTRAL moments per group with the exact-integer
+    discipline of ``grouped_moments``: the mergeable state is the raw
+    power sums (n, Σx, Σx², Σx³, Σx⁴) as arbitrary-precision Python
+    ints, and the central sums come out of the binomial expansion over
+    the SCALED residuals x·n − Σx (integers, so no float drift at any
+    merge order):
+
+        Σ(x·n − S)³ = n³·Σx³ − 3n²·S·Σx² + 2n·S³
+        Σ(x·n − S)⁴ = n⁴·Σx⁴ − 4n³·S·Σx³ + 6n²·S²·Σx² − 3n·S⁴
+
+    and m3 = Σ(x·n−S)³ / n⁴,  m4 = Σ(x·n−S)⁴ / n⁵ — each ONE double
+    division of two exact integers, the same single IEEE rounding as
+    DuckDB's ``CAST(exact AS DOUBLE) / CAST(exact AS DOUBLE)``, so the
+    oracle match is bit-stable.  (Standardized skewness/kurtosis need a
+    √, which no finite SQL replay matches bit-for-bit — callers divide
+    by var^1.5 themselves if they want the unitless form.)
+
+    ``value_col`` must be integer-valued.  Output: keys…, n (BIGINT),
+    m3 (DOUBLE), m4 (DOUBLE).
+    """
+    keys = list(keys)
+    cols = ["n", "s1", "s2", "s3", "s4"]
+
+    def default_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col]
+        df = pd.DataFrame({**{k: b[k] for k in keys}})
+        ints = [int(x) for x in v]
+        df["n"] = pd.Series([1] * len(df), index=df.index, dtype="object")
+        df["s1"] = pd.Series(ints, index=df.index, dtype="object")
+        df["s2"] = pd.Series([x * x for x in ints], index=df.index,
+                             dtype="object")
+        df["s3"] = pd.Series([x * x * x for x in ints], index=df.index,
+                             dtype="object")
+        df["s4"] = pd.Series([x * x * x * x for x in ints], index=df.index,
+                             dtype="object")
+        return (
+            df.groupby(keys, sort=False, observed=True)[cols]
+            .sum()
+            .reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in cols:
+            df[c] = pd.Series(
+                [int(x) for x in df[c]], index=df.index, dtype="object"
+            )
+        return (
+            df.groupby(keys, sort=False, observed=True)[cols]
+            .sum()
+            .reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = {k: pd.Series(dtype="object") for k in keys}
+            out.update(n=pd.Series(dtype="int64"),
+                       m3=pd.Series(dtype="float64"),
+                       m4=pd.Series(dtype="float64"))
+            return pd.DataFrame(out)
+        n = df["n"].map(int)
+        s1, s2 = df["s1"].map(int), df["s2"].map(int)
+        s3, s4 = df["s3"].map(int), df["s4"].map(int)
+        out = df[keys].copy()
+        out["n"] = n.astype("int64")
+        out["m3"] = [
+            float(b**3 * c3 - 3 * b**2 * a * c2 + 2 * b * a**3)
+            / float(b**4)
+            for a, b, c2, c3 in zip(s1, n, s2, s3)
+        ]
+        out["m4"] = [
+            float(
+                b**4 * c4 - 4 * b**3 * a * c3
+                + 6 * b**2 * a * a * c2 - 3 * b * a**4
+            )
+            / float(b**5)
+            for a, b, c2, c3, c4 in zip(s1, n, s2, s3, s4)
+        ]
+        return out.reset_index(drop=True)
+
+    return tree_aggregate(
+        ds, partial_fn or default_partial, merge, final_fn=finish
+    )
+
+
 def grouped_argmax(
     ds,
     keys: Sequence[str],

@@ -2316,3 +2316,76 @@ def test_chunk_token_windows():
     # invalid parameters fail loudly
     with pytest.raises(ValueError):
         chunk_token_windows(rd.from_pandas(docs), chunk=4, stride=8)
+
+
+def test_grouped_higher_moments_exact():
+    """m3/m4 match a Python big-int reference bit-for-bit, including a
+    value range whose power sums overflow int64."""
+    from nerpii_ray.stages.agg import grouped_higher_moments
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(1, 3_000_000, size=4000).astype(np.int64)
+    keys = rng.choice(["a", "b"], size=4000)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    # Σx⁴ for 3e6-scale values: ~8e25 per row → far past 2^63
+    got = (
+        grouped_higher_moments(
+            rd.from_pandas(df).repartition(8), ["k"], "v"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        xs = [int(x) for x in df.loc[df["k"] == r["k"], "v"]]
+        n, s1 = len(xs), sum(xs)
+        s2 = sum(x * x for x in xs)
+        s3 = sum(x**3 for x in xs)
+        s4 = sum(x**4 for x in xs)
+        m3 = float(n**3 * s3 - 3 * n**2 * s1 * s2 + 2 * n * s1**3) / float(n**4)
+        m4 = float(
+            n**4 * s4 - 4 * n**3 * s1 * s3 + 6 * n**2 * s1 * s1 * s2
+            - 3 * n * s1**4
+        ) / float(n**5)
+        assert r["n"] == n
+        assert r["m3"] == m3 and r["m4"] == m4  # bit-exact, not approx
+
+
+def test_triangle_count_crafted():
+    """Known triangle structures, hub skew, and equality with a brute
+    -force closure on a random graph."""
+    from itertools import combinations
+
+    from nerpii_ray.stages.graph import triangle_count
+
+    def run(edges):
+        df = pd.DataFrame(edges, columns=["u", "v"]).astype("int64")
+        out = triangle_count(rd.from_pandas(df)).to_pandas()
+        return int(out["n_triangles"].iloc[0])
+
+    def brute(edges):
+        es = {tuple(e) for e in edges}
+        nodes = sorted({x for e in edges for x in e})
+        return sum(
+            1
+            for a, b, c in combinations(nodes, 3)
+            if (a, b) in es and (b, c) in es and (a, c) in es
+        )
+
+    # K4 has 4 triangles
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    assert run(k4) == 4
+    # a path has none
+    assert run([(0, 1), (1, 2), (2, 3)]) == 0
+    # hub star + one rim edge = exactly 1 triangle despite skew
+    star = [(0, i) for i in range(1, 50)] + [(1, 2)]
+    assert run(star) == 1
+    # random graph vs brute force
+    rng = np.random.RandomState(11)
+    e = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.randint(0, 30, size=(120, 2))
+        if a != b
+    }
+    e = sorted(e)
+    assert run(e) == brute(e)
