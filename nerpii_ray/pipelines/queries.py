@@ -5913,6 +5913,161 @@ def part_copurchase_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+@register(
+    "events_user_hll",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT
+               AS reg,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14))::UBIGINT
+               AS rem
+      FROM events
+    )
+    SELECT CAST(reg AS BIGINT) AS register,
+           CAST(MAX(CASE WHEN rem = 0 THEN 57
+                         ELSE 57 - length(bin(rem)) END) AS BIGINT)
+             AS max_rank
+    FROM h GROUP BY register
+    """,
+)
+def events_user_hll(sf_dir: str):
+    """HyperLogLog distinct-user sketch (stages/agg.hll_registers):
+    256 max-rank registers merged by elementwise MAX through the
+    bounded-key tree — constant memory at any scale, mergeable across
+    clusters.  The registered output IS the sketch, so the SQL twin
+    replays it exactly (md5 substrings, length(bin(rem))) and the
+    check is hash-exact even though the HLL ESTIMATE is approximate;
+    ``hll_estimate`` accuracy is pytest-pinned."""
+    from nerpii_ray.stages.agg import hll_registers
+
+    return hll_registers(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
+@register(
+    "events_value_equidepth",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+    ), vc AS (
+      SELECT cents, COUNT(*)::BIGINT AS n FROM c GROUP BY cents
+    ), cum AS (
+      SELECT cents, n,
+             COALESCE(SUM(n) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cum_lt,
+             SUM(n) OVER () AS total
+      FROM vc
+    )
+    SELECT CAST(LEAST(3, 4 * cum_lt // total) AS BIGINT) AS bucket,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM cum GROUP BY bucket
+    """,
+)
+def events_value_equidepth(sf_dir: str):
+    """Equi-depth (quartile) histogram of event values
+    (stages/agg.equi_depth_histogram): deterministic value-level
+    bucketing ``min(3, 4·cum_lt // total)`` — ties share a bucket, no
+    interpolation, no float — over the (value, count) merge tree;
+    the root holds one row per distinct cent value (bounded domain,
+    the ``grouped_quantile_disc`` assumption)."""
+    from nerpii_ray.stages.agg import equi_depth_histogram
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cents": np.round(b["value"].to_numpy() * 100).astype("int64")}
+        )
+
+    return equi_depth_histogram(ds, "cents", num_buckets=4, prep_fn=prep)
+
+
+@register(
+    "events_balanced_sample",
+    """
+    WITH k AS (
+      SELECT MIN(n) AS k FROM (
+        SELECT COUNT(*)::BIGINT AS n FROM events GROUP BY event_type
+      )
+    )
+    SELECT event_type, event_id FROM (
+      SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)))
+               AS rn
+      FROM events
+    ), k WHERE rn <= k.k
+    """,
+)
+def events_balanced_sample(sf_dir: str):
+    """Class-balancing downsample — every event type kept at exactly
+    the minority class's count, rows chosen by smallest md5(event_id)
+    (deterministic, retry-stable, SQL-replayable).  Phase 1 is the tiny
+    bounded-key count tree (driver holds |types| integers — the
+    ``equi_width_histogram`` two-pass shape); phase 2 the k-per-group
+    hash-reservoir tree of ``orders_priority_sample``, state ≤
+    groups × k rows per level."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+
+    counts = grouped_sum(
+        ds.map_batches(
+            lambda b: pd.DataFrame({"event_type": b["event_type"]}).assign(
+                n=np.int64(1)
+            ),
+            batch_format="pandas",
+        ),
+        ["event_type"], ["n"], adaptive=False,
+    ).to_pandas()
+    k = int(counts["n"].min()) if len(counts) else 0
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if "__h" not in df.columns:
+            df = df.assign(__h=md5_of_strings(df["event_id"].astype(str)))
+        return (
+            df.sort_values("__h", kind="mergesort")
+            .groupby("event_type", sort=False, observed=True)
+            .head(k)
+        )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(df)[["event_type", "event_id"]].reset_index(drop=True)
+
+    return tree_aggregate(ds, topk, topk, final_fn=finalize)
+
+
+@register(
+    "customer_name_ed1_pairs",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT
+             unnest(list_filter(regexp_split_to_array(coalesce(c_name, ''),
+                                                      '\s+'),
+                    x -> x <> '')) AS t
+      FROM customer
+    )
+    SELECT a.t AS tok_a, b.t AS tok_b
+    FROM toks a JOIN toks b ON a.t < b.t AND levenshtein(a.t, b.t) = 1
+    """,
+)
+def customer_name_ed1_pairs(sf_dir: str):
+    """Fuzzy vocabulary self-join at Levenshtein distance exactly 1
+    (stages/dedup.token_ed1_pairs): deletion-neighborhood keyed buckets
+    (FastSS) — exact by construction, no verify pass, O(L) expansion
+    per token instead of a vocab² scan.  Over customer-name tokens,
+    where one-digit substitutions abound (the typo-dedup shape).  The
+    SQL twin IS the vocab² scan with DuckDB's levenshtein(), which the
+    bucketed plan must reproduce pair-for-pair."""
+    from nerpii_ray.stages.dedup import token_ed1_pairs
+
+    return token_ed1_pairs(
+        _read(sf_dir, "customer", ["c_name"]), text_col="c_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #

@@ -1177,3 +1177,129 @@ def grouped_gini(
         )
 
     return keyed_partition_apply(counts, keys, gini)
+
+
+def hll_registers(ds, key_col: str, prep_fn=None):
+    """HyperLogLog register table over a key column — the
+    constant-memory COUNT DISTINCT sketch complementing the KMV
+    bottom-k in ``distinct_count_sketch`` (KMV keeps k hashes; HLL
+    keeps 256 max-rank bytes and merges by elementwise MAX, the
+    textbook cross-cluster cardinality shape).
+
+    h = first 8 md5 digest bytes of str(key); register = top byte
+    (m = 256); rank = leading-zero count of the remaining 56 bits + 1
+    (57 when they are all zero).  Per-batch (register, max rank)
+    partials merge through the bounded-key tree (≤256 rows per level).
+    The output IS the sketch — (register BIGINT, max_rank BIGINT),
+    registers no key hashed into omitted — which a SQL twin replays
+    exactly (md5 substrings + length(bin(rem))), the
+    ``grouped_quantile_sketch`` oracle trick: the check is exact even
+    though the estimate is approximate.  ``hll_estimate`` derives the
+    bias-corrected cardinality from the sketch.
+    """
+    from nerpii_ray.functions.textfns import stable_hash64_np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = stable_hash64_np(b[key_col].astype(str))
+        reg = (h >> np.uint64(56)).astype(np.int64)
+        rem = (h & np.uint64((1 << 56) - 1)).astype(np.uint64)
+        # exact vectorized bit length (float log2 misrounds near 2^k)
+        bl = np.zeros(len(rem), dtype=np.int64)
+        v = rem.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= np.uint64(1 << s)
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl += (v > 0).astype(np.int64)
+        out = pd.DataFrame({"register": reg, "max_rank": 57 - bl})
+        return (
+            out.groupby("register", sort=False)["max_rank"]
+            .max()
+            .reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("register", sort=False)["max_rank"]
+            .max()
+            .reset_index()
+        )
+
+    src = ds.map_batches(prep_fn, batch_format="pandas") if prep_fn else ds
+    return tree_aggregate(src, partial, merge)
+
+
+def hll_estimate(registers: pd.DataFrame, m: int = 256) -> float:
+    """Bias-corrected HLL estimate from a ``hll_registers`` table.
+    The harmonic sum is computed in EXACT integers (Σ 2^(57−M_j) —
+    every term a power of two) with one float division at the end."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    ranks = dict(
+        zip(registers["register"].astype(int), registers["max_rank"].astype(int))
+    )
+    z = sum(1 << (57 - ranks.get(j, 0)) for j in range(m))
+    raw = alpha * m * m * float(1 << 57) / float(z)
+    zeros = sum(1 for j in range(m) if j not in ranks)
+    if raw <= 2.5 * m and zeros:
+        import math
+
+        return m * math.log(m / zeros)  # linear counting regime
+    return raw
+
+
+def equi_depth_histogram(
+    ds,
+    value_col: str = "cents",
+    num_buckets: int = 4,
+    prep_fn=None,
+):
+    """Equi-DEPTH histogram (≈equal row counts per bucket) over an
+    integer value column — the quantile-bucketing complement of
+    ``equi_width_histogram``.  One pass builds the (value, count) table
+    through the merge tree; the root assigns each DISTINCT VALUE the
+    bucket ``min(B−1, B·cum_lt // total)`` where ``cum_lt`` counts rows
+    strictly below it — ties share a value and therefore a bucket, so
+    the split is deterministic and exactly SQL-replayable (no
+    interpolation, no float).  Same bounded-VALUE-DOMAIN root
+    assumption as ``grouped_quantile_disc``: the root block holds one
+    row per distinct value, not per input row.
+
+    Output: bucket, n_rows, lo_<value_col>, hi_<value_col>.
+    """
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({value_col: b[value_col]})
+        out["n"] = np.int64(1)
+        return out.groupby(value_col, sort=False)["n"].sum().reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(value_col, sort=False)["n"].sum().reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lo_c, hi_c = f"lo_{value_col}", f"hi_{value_col}"
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series(dtype="int64"),
+                    "n_rows": pd.Series(dtype="int64"),
+                    lo_c: pd.Series(dtype="int64"),
+                    hi_c: pd.Series(dtype="int64"),
+                }
+            )
+        df = df.sort_values(value_col, kind="mergesort").reset_index(drop=True)
+        n = df["n"].to_numpy(dtype=np.int64)
+        cum_lt = np.cumsum(n) - n
+        total = int(n.sum())
+        df["bucket"] = np.minimum(
+            num_buckets - 1, num_buckets * cum_lt // total
+        ).astype(np.int64)
+        g = df.groupby("bucket", sort=True).agg(
+            n_rows=("n", "sum"),
+            **{lo_c: (value_col, "min"), hi_c: (value_col, "max")},
+        ).reset_index()
+        return g.astype(
+            {"bucket": "int64", "n_rows": "int64", lo_c: "int64", hi_c: "int64"}
+        )
+
+    src = ds.map_batches(prep_fn, batch_format="pandas") if prep_fn else ds
+    return tree_aggregate(src, partial, merge, final_fn=finish)

@@ -1432,3 +1432,105 @@ def ngram_novelty(
         )
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def token_ed1_pairs(
+    docs_ds,
+    text_col: str = "text",
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """All DISTINCT token pairs at Levenshtein distance exactly 1 —
+    fuzzy vocabulary self-join via DELETION NEIGHBORHOODS (the FastSS
+    construction): each length-L token meets its candidates through L+1
+    keyed buckets instead of a vocab² scan.
+
+    Two words are at distance 1 iff (a) equal length and they share the
+    deletion variant at the SAME position (one substitution — the
+    shared variant pins the differing index), or (b) lengths differ by
+    1 and the shorter IS a deletion variant of the longer.  Both cases
+    are exact by construction, so NO verification pass is needed and
+    the SQL twin is the plain ``levenshtein(a, b) = 1`` vocabulary
+    cross join.
+
+    Plan: tokenize inside the scan → distinct-token tree → one
+    map_batches emits per token its self row (bucket = token, pos −1)
+    and its L deletion-variant rows (bucket = variant; substitutions
+    keyed by position, insertions/deletions by −1) → ONE keyed
+    co-location pairs within buckets → distinct-pair tree.  Bucket
+    sizes are alphabet-bounded in practice (a bucket holds words one
+    edit from one specific string); row expansion is O(L) per token.
+    """
+    from nerpii_ray.stages.agg import tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b[text_col].fillna("").str.split()
+        flat = [t for lst in parts for t in lst]
+        return pd.DataFrame({"tok": pd.Series(flat, dtype="object")}
+                            ).drop_duplicates()
+
+    vocab = tree_dedup(
+        docs_ds.map_batches(toks, batch_format="pandas"), ["tok"]
+    )
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        keys, poss, tks, roles = [], [], [], []
+        for t in b["tok"]:
+            keys.append(t); poss.append(-1); tks.append(t); roles.append(0)
+            for i in range(len(t)):
+                keys.append(t[:i] + t[i + 1:])
+                poss.append(i); tks.append(t); roles.append(1)
+        # substitution candidates meet at (variant, i); ins/del
+        # candidates meet the shorter token's SELF row at (variant, −1)
+        df = pd.DataFrame(
+            {
+                "key": pd.Series(keys, dtype="object"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "tok": pd.Series(tks, dtype="object"),
+                "role": pd.Series(roles, dtype="int64"),
+            }
+        )
+        sub = df[df["pos"] >= 0].copy()
+        ind = df.copy()
+        ind["pos"] = np.int64(-1)
+        return pd.concat([sub, ind], ignore_index=True).drop_duplicates()
+
+    cand = vocab.map_batches(expand, batch_format="pandas")
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "tok_a": pd.Series(dtype="object"),
+                "tok_b": pd.Series(dtype="object"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on=["key", "pos"], suffixes=("_x", "_y"))
+        # (variant, i≥0): two same-position deletions = one substitution;
+        # (variant, −1): a self row × a deletion row = one ins/del
+        sub = (
+            (m["pos"] >= 0)
+            & (m["role_x"] == 1) & (m["role_y"] == 1)
+            & (m["tok_x"] < m["tok_y"])
+        )
+        ind = (
+            (m["pos"] < 0)
+            & (m["role_x"] == 0) & (m["role_y"] == 1)
+            & (m["tok_x"] != m["tok_y"])
+        )
+        p = m[sub | ind]
+        if p.empty:
+            return empty
+        return pd.DataFrame(
+            {
+                "tok_a": np.minimum(p["tok_x"], p["tok_y"]),
+                "tok_b": np.maximum(p["tok_x"], p["tok_y"]),
+            }
+        ).drop_duplicates()
+
+    pairs = keyed_partition_apply(
+        cand, ["key", "pos"], pair_kernel, num_buckets, path
+    )
+    return tree_dedup(pairs, ["tok_a", "tok_b"])

@@ -2389,3 +2389,104 @@ def test_triangle_count_crafted():
     }
     e = sorted(e)
     assert run(e) == brute(e)
+
+
+def test_hll_registers_and_estimate():
+    """HLL sketch: register table matches a direct per-key replay, the
+    estimate lands within 2σ (m=256 → σ≈1.04/16 ≈ 6.5%), merge = max."""
+    import hashlib
+
+    from nerpii_ray.stages.agg import hll_estimate, hll_registers
+
+    ids = pd.DataFrame({"k": [f"user-{i}" for i in range(5000)] * 2})
+    got = (
+        hll_registers(rd.from_pandas(ids).repartition(8), "k")
+        .to_pandas()
+        .sort_values("register")
+        .reset_index(drop=True)
+    )
+    # direct replay
+    ref = {}
+    for s in set(ids["k"]):
+        h = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+        reg, rem = h >> 56, h & ((1 << 56) - 1)
+        rank = 57 - rem.bit_length()
+        ref[reg] = max(ref.get(reg, 0), rank)
+    assert dict(zip(got["register"], got["max_rank"])) == ref
+    est = hll_estimate(got)
+    assert abs(est - 5000) / 5000 < 0.13
+    # small-cardinality regime: linear counting takes over and is close
+    small = pd.DataFrame({"k": [f"u{i}" for i in range(40)]})
+    sgot = hll_registers(rd.from_pandas(small), "k").to_pandas()
+    sest = hll_estimate(sgot)
+    assert abs(sest - 40) / 40 < 0.2
+
+
+def test_equi_depth_histogram():
+    from nerpii_ray.stages.agg import equi_depth_histogram
+
+    rng = np.random.RandomState(3)
+    vals = np.concatenate(
+        [rng.randint(0, 100, 700), rng.randint(100, 10000, 300),
+         np.full(500, 42)]  # heavy tie mass
+    ).astype("int64")
+    df = pd.DataFrame({"cents": vals})
+    out = (
+        equi_depth_histogram(rd.from_pandas(df).repartition(6), "cents")
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert out["n_rows"].sum() == len(df)
+    # buckets are contiguous, ordered, non-overlapping
+    assert (out["lo_cents"] <= out["hi_cents"]).all()
+    assert (out["hi_cents"].to_numpy()[:-1] < out["lo_cents"].to_numpy()[1:]).all()
+    # pandas reference with the identical value-level rule
+    vc = df["cents"].value_counts().sort_index()
+    cum_lt = vc.cumsum() - vc
+    bucket = np.minimum(3, 4 * cum_lt // len(df))
+    want = vc.groupby(bucket).sum()
+    got = out.set_index("bucket")["n_rows"]
+    assert got.sort_index().equals(want.sort_index().astype("int64"))
+
+
+def test_token_ed1_pairs_crafted():
+    from nerpii_ray.stages.dedup import token_ed1_pairs
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "cat bat",        # substitution
+                "cat cart",       # insertion (cart -> cat? lev=2: c-a-t vs c-a-r-t = 1 insertion)
+                "car cart",       # insertion at end
+                "ab ba",          # transposition: lev 2, must NOT pair
+                "x y",            # single chars: lev 1
+                "same same",      # identical: never a pair
+            ]
+        }
+    )
+    got = token_ed1_pairs(rd.from_pandas(docs)).to_pandas()
+    pairs = set(zip(got["tok_a"], got["tok_b"]))
+    # brute-force reference over the vocab
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    vocab = sorted({t for s in docs["text"] for t in s.split()})
+    want = {
+        (a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1:]
+        if lev(a, b) == 1
+    }
+    assert ("ab", "ba") not in pairs
+    assert ("bat", "cat") in pairs and ("car", "cart") in pairs
+    assert ("x", "y") in pairs
+    assert pairs == want
+    assert not got.duplicated(["tok_a", "tok_b"]).any()
