@@ -6068,6 +6068,268 @@ def customer_name_ed1_pairs(sf_dir: str):
     )
 
 
+@register(
+    "doc_pii_density",
+    f"""
+    WITH m AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_mentions
+      FROM ({_DOC_MENTIONS_SQL_PARTS}) GROUP BY doc_id
+    ), t AS (
+      SELECT doc_id,
+             CAST(length(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT t.doc_id, COALESCE(m.n_mentions, 0) AS n_mentions, t.n_tokens,
+           CASE WHEN t.n_tokens = 0 THEN 0
+                ELSE 1000000 * COALESCE(m.n_mentions, 0) // t.n_tokens
+           END AS density_ppm
+    FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+    """,
+)
+def doc_pii_density(sf_dir: str):
+    """PII density gate — mentions per million tokens, the filter a
+    training pipeline applies before deciding redact-vs-drop.  Both
+    counters come from ONE fused scan (each document is a single row,
+    so per-doc totals need no cross-batch merge): the recognizer scan
+    and the whitespace token count run in the same map_batches and no
+    shuffle happens at any scale.  Density is exact integer ppm."""
+    from nerpii_ray.stages.textstats import token_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def fused(b: pd.DataFrame) -> pd.DataFrame:
+        ments = _doc_mentions_batch(pa.Table.from_pandas(b)).to_pandas()
+        per_doc = ments.groupby("doc_id", sort=False).size()
+        n_tokens = pc.cast(
+            token_counts(pa.Array.from_pandas(b["text"])), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_m = (
+            b["doc_id"].map(per_doc).fillna(0).astype("int64").to_numpy()
+        )
+        dens = np.where(
+            n_tokens == 0, 0, 1_000_000 * n_m // np.maximum(n_tokens, 1)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_mentions": n_m,
+                "n_tokens": n_tokens,
+                "density_ppm": dens.astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fused, batch_format="pandas")
+
+
+@register(
+    "events_value_median_cont",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), r AS (
+      SELECT event_type, cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST((MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+               + MAX(CASE WHEN rn = n // 2 + 1 THEN cents END)) * 5
+                AS BIGINT) AS med_millicents
+    FROM r GROUP BY event_type
+    """,
+)
+def events_value_median_cont(sf_dir: str):
+    """PERCENTILE_CONT(0.5) semantics, exactly: the interpolated median
+    is the MEAN of the two middle order statistics, which in millicents
+    is the exact integer (lo + hi)·5 — float-free on both sides (the
+    DISC variant is ``lineitem_price_median``).  One (type, value)
+    count tree; the root walks each group's cumulative counts to the
+    two order statistics."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "cents": np.round(b["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+        out["n"] = np.int64(1)
+        return (
+            out.groupby(["event_type", "cents"], sort=False, observed=True)[
+                "n"
+            ].sum().reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["event_type", "cents"], sort=False, observed=True)[
+                "n"
+            ].sum().reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True, observed=True):
+            g = g.sort_values("cents", kind="mergesort")
+            n = int(g["n"].sum())
+            cum = g["n"].cumsum().to_numpy()
+            cents = g["cents"].to_numpy()
+            k1, k2 = (n + 1) // 2, n // 2 + 1
+            lo = cents[np.searchsorted(cum, k1)]
+            hi = cents[np.searchsorted(cum, k2)]
+            rows.append((et, int(lo + hi) * 5))
+        return pd.DataFrame(
+            rows, columns=["event_type", "med_millicents"]
+        ).astype({"med_millicents": "int64"})
+
+    return tree_aggregate(ds, partial, merge, final_fn=finish)
+
+
+@register(
+    "orders_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def orders_grouping_sets(sf_dir: str):
+    """GROUPING SETS — the generalization behind CUBE/ROLLUP: every
+    requested level is derived from ONE finest-level (status, priority)
+    count tree (≤15 root rows), never a second input scan — the
+    ``orders_cube`` plan with an arbitrary set list."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "o_orderstatus": b["o_orderstatus"],
+                "o_orderpriority": b["o_orderpriority"],
+                "n": np.int64(1),
+                "total_cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return (
+            out.groupby(["o_orderstatus", "o_orderpriority"], sort=False,
+                        observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    finest = grouped_sum(
+        ds, ["o_orderstatus", "o_orderpriority"], ["n", "total_cents"],
+        partial_fn=partial, adaptive=False,
+    )
+
+    def derive(f: pd.DataFrame) -> pd.DataFrame:
+        by_status = (
+            f.groupby("o_orderstatus", sort=False)[["n", "total_cents"]]
+            .sum().reset_index()
+            .rename(columns={"o_orderstatus": "status"})
+        )
+        by_status["priority"] = "ALL"
+        by_prio = (
+            f.groupby("o_orderpriority", sort=False)[["n", "total_cents"]]
+            .sum().reset_index()
+            .rename(columns={"o_orderpriority": "priority"})
+        )
+        by_prio["status"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "status": ["ALL"], "priority": ["ALL"],
+                "n": [int(f["n"].sum())],
+                "total_cents": [int(f["total_cents"].sum())],
+            }
+        )
+        out = pd.concat([by_status, by_prio, total], ignore_index=True)
+        return out[["status", "priority", "n", "total_cents"]].astype(
+            {"n": "int64", "total_cents": "int64"}
+        )
+
+    return finest.repartition(1).map_batches(derive, batch_format="pandas")
+
+
+@register(
+    "lineitem_table_checksum",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 16))
+               ::UBIGINT::HUGEINT AS v
+      FROM lineitem
+    )
+    SELECT CAST(SUM(v) % 18446744073709551616 // 4294967296 AS BIGINT)
+             AS checksum_hi,
+           CAST(SUM(v) % 18446744073709551616 % 4294967296 AS BIGINT)
+             AS checksum_lo,
+           COUNT(*)::BIGINT AS n_rows
+    FROM h
+    """,
+)
+def lineitem_table_checksum(sf_dir: str):
+    """Order-independent table fingerprint: Σ md5₆₄(primary key) mod
+    2⁶⁴ + row count — the cheap cross-system integrity check for a
+    migrated/replicated table (equal checksums at equal counts ⇒ equal
+    key sets with overwhelming probability).  Wrapping uint64 sums per
+    batch, one scalar merge tree; emitted as two 32-bit halves (the
+    minhash hi/lo idiom) because a full uint64 exceeds BIGINT."""
+    from nerpii_ray.functions.textfns import stable_hash64_np
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            b["l_orderkey"].astype("int64").astype(str)
+            + "|"
+            + b["l_linenumber"].astype("int64").astype(str)
+        )
+        h = stable_hash64_np(s)
+        return pd.DataFrame(
+            {
+                "acc": pd.Series([int(h.sum(dtype=np.uint64))], dtype="object"),
+                "n_rows": pd.Series([len(b)], dtype="object"),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = sum(int(x) for x in df["acc"]) % (1 << 64)
+        n = sum(int(x) for x in df["n_rows"])
+        return pd.DataFrame(
+            {
+                "acc": pd.Series([acc], dtype="object"),
+                "n_rows": pd.Series([n], dtype="object"),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        acc = int(df["acc"].iloc[0]) % (1 << 64)
+        return pd.DataFrame(
+            {
+                "checksum_hi": pd.array([acc >> 32], dtype="int64"),
+                "checksum_lo": pd.array([acc & 0xFFFFFFFF], dtype="int64"),
+                "n_rows": pd.array([int(df["n_rows"].iloc[0])], dtype="int64"),
+            }
+        )
+
+    return tree_aggregate(ds, partial, merge, final_fn=finish)
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #
