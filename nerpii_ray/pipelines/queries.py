@@ -6330,6 +6330,422 @@ def lineitem_table_checksum(sf_dir: str):
     return tree_aggregate(ds, partial, merge, final_fn=finish)
 
 
+@register(
+    "orders_count_distribution",
+    """
+    WITH oc AS (
+      SELECT o_custkey, COUNT(*)::BIGINT AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT COALESCE(oc.n, 0) AS n_orders, COUNT(*)::BIGINT AS n_customers
+    FROM customer c LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+    GROUP BY 1
+    """,
+)
+def orders_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape — the distribution-of-a-distribution: how many
+    customers placed k orders, INCLUDING the zero bucket.  Per-customer
+    counts ride the cardinality-aware tree (key space scales with
+    customers); the k-histogram is a second bounded-key tree over that
+    output; the zero bucket is total customers (a METADATA count — no
+    scan) minus the histogram's coverage, appended at the root — no
+    customer⋈orders join ever happens."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+
+    total_customers = int(_read(sf_dir, "customer", ["c_custkey"]).count())
+
+    per_cust = grouped_sum(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            lambda b: pd.DataFrame({"o_custkey": b["o_custkey"]}).assign(
+                n=np.int64(1)
+            ),
+            batch_format="pandas",
+        ),
+        ["o_custkey"], ["n"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"n_orders": b["n"].astype("int64")})
+        out["n_customers"] = np.int64(1)
+        return (
+            out.groupby("n_orders", sort=False)["n_customers"]
+            .sum()
+            .reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("n_orders", sort=False)["n_customers"]
+            .sum()
+            .reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        covered = int(df["n_customers"].sum()) if len(df) else 0
+        zero = pd.DataFrame(
+            {"n_orders": [0], "n_customers": [total_customers - covered]}
+        )
+        out = pd.concat([df, zero], ignore_index=True)
+        out = out[out["n_customers"] > 0]
+        return out.astype({"n_orders": "int64", "n_customers": "int64"})
+
+    return tree_aggregate(per_cust, partial, merge, final_fn=finish)
+
+
+@register(
+    "events_dau",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(DISTINCT user_id)::BIGINT AS dau
+    FROM events GROUP BY 1
+    """,
+)
+def events_dau(sf_dir: str):
+    """Daily active users — exact COUNT DISTINCT per day: distinct
+    (day, user) through the cardinality-aware dedup tree (the exact
+    path; ``events_user_hll`` is the constant-memory sketch), then a
+    bounded-key count per day.  Distinct rows move once; raw rows
+    never shuffle."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": b["ts"].dt.floor("D"),
+                "user_id": b["user_id"].astype("int64"),
+            }
+        ).drop_duplicates()
+
+    pairs = tree_dedup(
+        ds.map_batches(prep, batch_format="pandas"), ["day", "user_id"]
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"day": b["day"]})
+        out["dau"] = np.int64(1)
+        return out.groupby("day", sort=False)["dau"].sum().reset_index()
+
+    return grouped_sum(
+        pairs, ["day"], ["dau"], partial_fn=count_partial, adaptive=False
+    )
+
+
+@register(
+    "events_type_user_jaccard",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), tc AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n FROM ut GROUP BY event_type
+    ), p AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*)::BIGINT AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY ta, tb
+    )
+    SELECT p.ta AS type_a, p.tb AS type_b, p.n_ab,
+           CAST(1000000 * p.n_ab // (x.n + y.n - p.n_ab) AS BIGINT)
+             AS jaccard_ppm
+    FROM p JOIN tc x ON x.event_type = p.ta
+           JOIN tc y ON y.event_type = p.tb
+    """,
+)
+def events_type_user_jaccard(sf_dir: str):
+    """Audience-overlap similarity: Jaccard of the USER SETS of each
+    event-type pair, in exact integer ppm.  One distinct-(user, type)
+    dedup tree feeds both sides — per-type set sizes (bounded key
+    space, driver holds |types| integers) and per-user co-located pair
+    partials (≤ |types|²/2 rows per bucket) — so raw events shuffle
+    zero times and distinct rows once."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    ut = tree_dedup(
+        ds.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "user_id": b["user_id"].astype("int64"),
+                    "event_type": b["event_type"],
+                }
+            ).drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["user_id", "event_type"],
+    ).materialize()  # two consumers below — scan the dedup output once
+
+    tc = grouped_sum(
+        ut.map_batches(
+            lambda b: pd.DataFrame({"event_type": b["event_type"]}).assign(
+                n=np.int64(1)
+            ),
+            batch_format="pandas",
+        ),
+        ["event_type"], ["n"], adaptive=False,
+    ).to_pandas()
+    sizes = dict(zip(tc["event_type"], tc["n"].astype(int)))
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "type_a": pd.Series(dtype="object"),
+                    "type_b": pd.Series(dtype="object"),
+                    "n_ab": pd.Series(dtype="int64"),
+                }
+            )
+        m = g.merge(g, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["event_type_a"] < m["event_type_b"]]
+        out = pd.DataFrame(
+            {"type_a": m["event_type_a"], "type_b": m["event_type_b"]}
+        )
+        out["n_ab"] = np.int64(1)
+        return (
+            out.groupby(["type_a", "type_b"], sort=False, observed=True)[
+                "n_ab"
+            ].sum().reset_index()
+        )
+
+    partials = keyed_partition_apply(ut, ["user_id"], pair_kernel)
+    pairs = grouped_sum(
+        partials, ["type_a", "type_b"], ["n_ab"], adaptive=False
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        na = b["type_a"].map(sizes).astype("int64")
+        nb = b["type_b"].map(sizes).astype("int64")
+        ab = b["n_ab"].astype("int64")
+        return pd.DataFrame(
+            {
+                "type_a": b["type_a"],
+                "type_b": b["type_b"],
+                "n_ab": ab,
+                "jaccard_ppm": (1_000_000 * ab // (na + nb - ab)).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+@register(
+    "lineitem_weighted_median_price",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), vc AS (
+      SELECT l_returnflag, cents, SUM(w)::BIGINT AS w
+      FROM c GROUP BY l_returnflag, cents
+    ), cum AS (
+      SELECT l_returnflag, cents,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM vc
+    )
+    SELECT l_returnflag, MIN(cents) AS wmedian_cents
+    FROM cum WHERE 2 * cw >= tw GROUP BY l_returnflag
+    """,
+)
+def lineitem_weighted_median_price(sf_dir: str):
+    """QUANTITY-weighted median price per return flag — the lower
+    weighted median (first value whose cumulative weight reaches half
+    the total, by the integer rule 2·cw ≥ tw: exact, tie-stable,
+    float-free).  Same (value, Σweight) tree + root-walk shape as
+    ``events_value_median_cont``, with weights instead of counts."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "cents": np.round(
+                    b["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+                "w": b["l_quantity"].astype("int64"),
+            }
+        )
+        return (
+            out.groupby(["l_returnflag", "cents"], sort=False,
+                        observed=True)["w"].sum().reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["l_returnflag", "cents"], sort=False,
+                       observed=True)["w"].sum().reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rf, g in df.groupby("l_returnflag", sort=True, observed=True):
+            g = g.sort_values("cents", kind="mergesort")
+            cw = g["w"].cumsum().to_numpy()
+            tw = int(cw[-1])
+            idx = int(np.argmax(2 * cw >= tw))
+            rows.append((rf, int(g["cents"].to_numpy()[idx])))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "wmedian_cents"]
+        ).astype({"wmedian_cents": "int64"})
+
+    return tree_aggregate(ds, partial, merge, final_fn=finish)
+
+
+@register(
+    "events_value_outliers",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS HUGEINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT event_type, COUNT(*)::HUGEINT AS n,
+             SUM(cents) AS s1, SUM(cents * cents) AS s2
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           COUNT(*) FILTER (WHERE
+             (c.cents * s.n - s.s1) * (c.cents * s.n - s.s1)
+               > 9 * (s.n * s.s2 - s.s1 * s.s1))::BIGINT AS n_outliers,
+           COUNT(*)::BIGINT AS n
+    FROM c JOIN s ON c.event_type = s.event_type
+    GROUP BY c.event_type
+    """,
+)
+def events_value_outliers(sf_dir: str):
+    """3σ outlier gate per event type with ZERO floats: x is an outlier
+    iff (x·n − Σx)² > 9·(n·Σx² − (Σx)²) — the population z-score test
+    cleared of every division and square root, so engine and SQL agree
+    exactly (the engine compares |x·n − Σx| against the integer
+    ⌊√(9·V)⌋ once per group instead of squaring per row).  Two passes:
+    the exact big-int stats tree (driver holds |types|·3 integers),
+    then a vectorized filter-count inside the re-scan — the standard
+    broadcast-stats quality-gate shape."""
+    from math import isqrt
+
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame({"event_type": b["event_type"]})
+        df["n"] = pd.Series([1] * len(df), index=df.index, dtype="object")
+        df["s1"] = pd.Series([int(x) for x in cents], index=df.index,
+                             dtype="object")
+        df["s2"] = pd.Series([int(x) * int(x) for x in cents],
+                             index=df.index, dtype="object")
+        return (
+            df.groupby("event_type", sort=False, observed=True)[
+                ["n", "s1", "s2"]
+            ].sum().reset_index()
+        )
+
+    def stats_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("n", "s1", "s2"):
+            df[c] = pd.Series([int(x) for x in df[c]], index=df.index,
+                              dtype="object")
+        return (
+            df.groupby("event_type", sort=False, observed=True)[
+                ["n", "s1", "s2"]
+            ].sum().reset_index()
+        )
+
+    stats = tree_aggregate(ds, stats_partial, stats_merge).to_pandas()
+    thresh = {}
+    for _, r in stats.iterrows():
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        thresh[r["event_type"]] = (n, s1, isqrt(9 * (n * s2 - s1 * s1)))
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        et = b["event_type"]
+        n = et.map({k: v[0] for k, v in thresh.items()}).to_numpy("int64")
+        s1 = et.map({k: v[1] for k, v in thresh.items()}).to_numpy("int64")
+        t = et.map({k: v[2] for k, v in thresh.items()}).to_numpy("int64")
+        d = np.abs(cents * n - s1)
+        out = pd.DataFrame(
+            {
+                "event_type": et,
+                "n_outliers": (d > t).astype("int64"),
+                "n": np.int64(1),
+            }
+        )
+        return (
+            out.groupby("event_type", sort=False, observed=True)[
+                ["n_outliers", "n"]
+            ].sum().reset_index()
+        )
+
+    return grouped_sum(
+        ds, ["event_type"], ["n_outliers", "n"],
+        partial_fn=count_partial, adaptive=False,
+    )
+
+
+@register(
+    "supplier_acctbal_dense_rank",
+    """
+    SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           CAST(DENSE_RANK() OVER (
+             PARTITION BY s_nationkey
+             ORDER BY CAST(ROUND(s_acctbal * 100) AS BIGINT) DESC)
+               AS BIGINT) AS drank
+    FROM supplier
+    """,
+)
+def supplier_acctbal_dense_rank(sf_dir: str):
+    """DENSE_RANK — the last missing member of the rank family
+    (ROW_NUMBER / RANK / PERCENT_RANK / CUME_DIST / NTILE all exist):
+    ties share a rank AND no gap follows.  One keyed co-location per
+    nation; the in-bucket kernel is pandas ``rank(method='dense')`` on
+    integer cents."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    cents_ds = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "s_suppkey": b["s_suppkey"].astype("int64"),
+                "s_nationkey": b["s_nationkey"].astype("int64"),
+                "cents": np.round(b["s_acctbal"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        r = (
+            g.groupby("s_nationkey", observed=True)["cents"]
+            .rank(method="dense", ascending=False)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "s_suppkey": g["s_suppkey"].to_numpy(),
+                "s_nationkey": g["s_nationkey"].to_numpy(),
+                "drank": r.to_numpy(),
+            }
+        )
+
+    return keyed_partition_apply(
+        cents_ds.map_batches(prep, batch_format="pandas"),
+        ["s_nationkey"], kernel,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #
