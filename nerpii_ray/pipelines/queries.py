@@ -5863,6 +5863,35 @@ def lineitem_qty_moments34(sf_dir: str):
     )
 
 
+def _copurchase_edges(sf_dir: str):
+    """Distinct canonical (u < v) part co-purchase edges: one order
+    co-location emitting ≤C(parts-per-order, 2) rows each + a
+    cardinality-aware distinct tree.  Shared by the triangle and BFS
+    graph queries."""
+    from nerpii_ray.stages.agg import tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
+            )
+        pp = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        p = pp.merge(pp, on="l_orderkey", suffixes=("_a", "_b"))
+        p = p[p["l_partkey_a"] < p["l_partkey_b"]]
+        return pd.DataFrame(
+            {
+                "u": p["l_partkey_a"].astype("int64").to_numpy(),
+                "v": p["l_partkey_b"].astype("int64").to_numpy(),
+            }
+        ).drop_duplicates()
+
+    pairs = keyed_partition_apply(ds, ["l_orderkey"], pair_kernel)
+    return tree_dedup(pairs, ["u", "v"])
+
+
 @register(
     "part_copurchase_triangles",
     """
@@ -5883,34 +5912,12 @@ def part_copurchase_triangles(sf_dir: str):
     sharing an order) — the clustering-structure primitive of graph
     analytics, via ``stages/graph.triangle_count``'s degree-oriented
     wedge-closing plan (out-degrees bounded O(√m) by orientation, so
-    wedge volume is O(m^1.5) even on hub-skewed graphs).  Edge build:
-    one order co-location emitting ≤C(parts-per-order, 2) rows each +
-    a cardinality-aware distinct tree.  The SQL twin is the plain
-    a<b<c triple self-join — orientation never changes the count."""
-    from nerpii_ray.stages.agg import tree_dedup
-    from nerpii_ray.stages.colocate import keyed_partition_apply
+    wedge volume is O(m^1.5) even on hub-skewed graphs).  The SQL twin
+    is the plain a<b<c triple self-join — orientation never changes
+    the count."""
     from nerpii_ray.stages.graph import triangle_count
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return pd.DataFrame(
-                {"u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64")}
-            )
-        pp = g.drop_duplicates(["l_orderkey", "l_partkey"])
-        p = pp.merge(pp, on="l_orderkey", suffixes=("_a", "_b"))
-        p = p[p["l_partkey_a"] < p["l_partkey_b"]]
-        return pd.DataFrame(
-            {
-                "u": p["l_partkey_a"].astype("int64").to_numpy(),
-                "v": p["l_partkey_b"].astype("int64").to_numpy(),
-            }
-        ).drop_duplicates()
-
-    pairs = keyed_partition_apply(ds, ["l_orderkey"], pair_kernel)
-    edges = tree_dedup(pairs, ["u", "v"])
-    return triangle_count(edges)
+    return triangle_count(_copurchase_edges(sf_dir))
 
 
 @register(
@@ -6744,6 +6751,50 @@ def supplier_acctbal_dense_rank(sf_dir: str):
         cents_ds.map_batches(prep, batch_format="pandas"),
         ["s_nationkey"], kernel,
     )
+
+
+@register(
+    "part_graph_bfs",
+    """
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ), l0 AS (
+      SELECT MIN(u) AS node FROM e
+    ), f1 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN l0 ON e.u = l0.node
+      WHERE e.v NOT IN (SELECT node FROM l0)
+    ), f2 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN f1 ON e.u = f1.node
+      WHERE e.v NOT IN (SELECT node FROM l0)
+        AND e.v NOT IN (SELECT node FROM f1)
+    ), f3 AS (
+      SELECT DISTINCT e.v AS node FROM e JOIN f2 ON e.u = f2.node
+      WHERE e.v NOT IN (SELECT node FROM l0)
+        AND e.v NOT IN (SELECT node FROM f1)
+        AND e.v NOT IN (SELECT node FROM f2)
+    )
+    SELECT node, 0::BIGINT AS dist FROM l0
+    UNION ALL SELECT node, 1::BIGINT FROM f1
+    UNION ALL SELECT node, 2::BIGINT FROM f2
+    UNION ALL SELECT node, 3::BIGINT FROM f3
+    """,
+)
+def part_graph_bfs(sf_dir: str):
+    """BFS hop distances (≤3) from the smallest node of the part
+    co-purchase graph (stages/graph.bfs_levels) — the traversal
+    primitive beside PageRank (value propagation) and connected
+    components (global structure).  Integer distances are
+    order-independent, so the SQL twin unrolls the hops as three
+    NOT-IN set differences and the match is exact."""
+    from nerpii_ray.stages.graph import bfs_levels
+
+    return bfs_levels(_copurchase_edges(sf_dir), max_hops=3)
 
 
 # ---------------------------------------------------------------------------

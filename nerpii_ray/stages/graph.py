@@ -329,3 +329,176 @@ def triangle_count(
         return pd.DataFrame({"n_triangles": pd.array([n], dtype="int64")})
 
     return tree_aggregate(cnt, count, count)
+
+
+def bfs_levels(
+    edges_ds,
+    u_col: str = "u",
+    v_col: str = "v",
+    source: int | None = None,
+    max_hops: int = 3,
+    path: str = "auto",
+):
+    """Breadth-first hop distances from ``source`` over an UNDIRECTED
+    edge list, bounded at ``max_hops`` — the traversal primitive
+    (reachability, ego networks, neighborhood features) alongside
+    ``pagerank_fp`` (value propagation) and
+    ``dedup.connected_components`` (global structure).  ``source=None``
+    starts from the smallest node id (deterministic).
+
+    Integer distances are order-independent, so the result is
+    bit-identical on any partitioning and a SQL twin can unroll the
+    hops as k NOT-IN set differences.
+
+    ``path`` — the ``pagerank_fp`` discipline:
+    * small/auto-under-threshold: ONE task runs the whole frontier loop
+      in numpy (graph tables are output-sized; the distributed form
+      pays ~3 fixed-cost dataset executions per hop for the same
+      answer);
+    * exchange/auto-past-threshold: per hop, one partitioned hash join
+      (frontier onto the direction-doubled edges) + a distinct tree +
+      a LEFT-join filter against the accumulated labels — frontier and
+      labels stay node-sized datasets, never driver-sized.
+    Cross-path equality is pytest-pinned.
+
+    Returns (node, dist:int64) for every node within ``max_hops``.
+    """
+    from nerpii_ray.stages.agg import ROOT_THRESHOLD_DEFAULT, tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    e = edges_ds.materialize()
+    if path == "auto":
+        path = "small" if e.count() <= ROOT_THRESHOLD_DEFAULT else "exchange"
+
+    if path == "small":
+
+        def whole(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"node": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="int64")}
+            )
+            if df.empty:
+                return empty
+            u = df[u_col].to_numpy()
+            v = df[v_col].to_numpy()
+            nodes, codes = np.unique(
+                np.concatenate([u, v]), return_inverse=True
+            )
+            ui, vi = codes[: len(u)], codes[len(u):]
+            src_i = (
+                0 if source is None
+                else int(np.searchsorted(nodes, source))
+            )
+            if source is not None and (
+                src_i >= len(nodes) or nodes[src_i] != source
+            ):
+                return empty
+            dist = np.full(len(nodes), -1, dtype=np.int64)
+            dist[src_i] = 0
+            frontier = np.array([src_i])
+            for d in range(1, max_hops + 1):
+                mask_u = np.isin(ui, frontier)
+                mask_v = np.isin(vi, frontier)
+                nbrs = np.unique(
+                    np.concatenate([vi[mask_u], ui[mask_v]])
+                )
+                nbrs = nbrs[dist[nbrs] < 0]
+                if not len(nbrs):
+                    break
+                dist[nbrs] = d
+                frontier = nbrs
+            keep = dist >= 0
+            return pd.DataFrame(
+                {
+                    "node": nodes[keep].astype("int64"),
+                    "dist": dist[keep],
+                }
+            )
+
+        return e.repartition(1).map_batches(
+            whole, batch_format="pandas", batch_size=None
+        )
+
+    if path != "exchange":
+        raise ValueError(f"bfs_levels: unknown path {path!r}")
+
+    import ray.data as rd
+
+    both = e.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [b[u_col].to_numpy(), b[v_col].to_numpy()]
+                ).astype("int64"),
+                "nbr": np.concatenate(
+                    [b[v_col].to_numpy(), b[u_col].to_numpy()]
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    if source is None:
+        mins = both.map_batches(
+            lambda b: pd.DataFrame(
+                {"m": [int(b["node"].min())] if len(b) else []},
+                dtype="int64",
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        if mins.empty:
+            return rd.from_pandas(
+                pd.DataFrame(
+                    {"node": pd.Series(dtype="int64"),
+                     "dist": pd.Series(dtype="int64")}
+                )
+            )
+        source = int(mins["m"].min())
+
+    labels = rd.from_pandas(
+        pd.DataFrame({"node": pd.array([source], dtype="int64"),
+                      "dist": pd.array([0], dtype="int64")})
+    ).materialize()
+    frontier = labels
+
+    for d in range(1, max_hops + 1):
+        nbrs = partitioned_hash_join(
+            frontier.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["node"].astype("int64")}
+                ),
+                batch_format="pandas",
+            ),
+            both, on=["node"], path="exchange",
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["nbr"].astype("int64")}
+            ),
+            batch_format="pandas",
+        )
+        cand = tree_dedup(nbrs, ["node"])
+        seen = partitioned_hash_join(
+            cand, labels.map_batches(
+                lambda b: pd.DataFrame(
+                    {"node": b["node"].astype("int64"),
+                     "dist": b["dist"].astype("int64")}
+                ),
+                batch_format="pandas",
+            ),
+            on=["node"], how="left", path="exchange",
+        )
+        fresh = seen.map_batches(
+            lambda b, _d=d: pd.DataFrame(
+                {
+                    "node": b.loc[b["dist"].isna(), "node"].astype("int64"),
+                    "dist": np.int64(_d),
+                }
+            ),
+            batch_format="pandas",
+        ).materialize()
+        if fresh.count() == 0:
+            break
+        labels = labels.union(fresh).materialize()
+        frontier = fresh
+
+    return labels

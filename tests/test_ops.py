@@ -2490,3 +2490,51 @@ def test_token_ed1_pairs_crafted():
     assert ("x", "y") in pairs
     assert pairs == want
     assert not got.duplicated(["tok_a", "tok_b"]).any()
+
+
+def test_bfs_levels_crafted_and_cross_path():
+    from nerpii_ray.stages.graph import bfs_levels
+
+    # path graph 0-1-2-3-4-5: hops capped at 3
+    edges = pd.DataFrame({"u": [0, 1, 2, 3, 4], "v": [1, 2, 3, 4, 5]})
+    out = (
+        bfs_levels(rd.from_pandas(edges))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert dict(zip(out["node"], out["dist"])) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    # star + rim: every rim node at 1, opposite rim at 2 via hub
+    star = pd.DataFrame({"u": [0] * 5, "v": [1, 2, 3, 4, 5]})
+    got = bfs_levels(rd.from_pandas(star), source=3).to_pandas()
+    d = dict(zip(got["node"], got["dist"]))
+    assert d[3] == 0 and d[0] == 1 and all(d[i] == 2 for i in (1, 2, 4, 5))
+
+    # disconnected component never appears
+    two = pd.DataFrame({"u": [0, 10], "v": [1, 11]})
+    got = bfs_levels(rd.from_pandas(two)).to_pandas()
+    assert set(got["node"]) == {0, 1}
+
+    # source absent from the graph → empty result
+    assert len(bfs_levels(rd.from_pandas(two), source=99).to_pandas()) == 0
+
+    # cross-path equality on a random graph
+    rng = np.random.RandomState(5)
+    e = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.randint(0, 40, size=(120, 2))
+            if a != b
+        }
+    )
+    edf = pd.DataFrame(e, columns=["u", "v"]).astype("int64")
+    small = (
+        bfs_levels(rd.from_pandas(edf), path="small")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    exch = (
+        bfs_levels(rd.from_pandas(edf), path="exchange")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, exch, check_dtype=False)
