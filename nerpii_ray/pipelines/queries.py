@@ -2656,12 +2656,13 @@ def events_prev_purchase(sf_dir: str):
 
 
 def _max_by_user_ts(df: pd.DataFrame) -> pd.DataFrame:
+    # MAX of every value column per (user, ts) — makes the as-of right
+    # side (key, ts)-unique; shared by the backward and forward queries
     if df.empty:
         return df
+    vals = [c for c in df.columns if c not in ("user_id", "ts")]
     return (
-        df.groupby(["user_id", "ts"], sort=False, observed=True)[
-            "prev_purchase_cents"
-        ]
+        df.groupby(["user_id", "ts"], sort=False, observed=True)[vals]
         .max()
         .reset_index()
     )
@@ -6795,6 +6796,113 @@ def part_graph_bfs(sf_dir: str):
     from nerpii_ray.stages.graph import bfs_levels
 
     return bfs_levels(_copurchase_edges(sf_dir), max_hops=3)
+
+
+@register(
+    "events_next_purchase_asof",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS next_purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id,
+           COALESCE(p.next_purchase_cents, -1) AS next_purchase_cents
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts < p.ts
+    """,
+)
+def events_next_purchase_asof(sf_dir: str):
+    """FORWARD as-of join (``asof_join(direction="forward")``, the r5
+    completion of the as-of family): every event picks the value of the
+    strictly NEXT purchase of the same user, -1 when none follows —
+    identical physical plan to ``events_prev_purchase`` (one keyed
+    co-location, in-bucket ``merge_asof``), mirrored DuckDB twin
+    (``l.ts < p.ts`` picks the nearest following row)."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import asof_join
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    left = ev.map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas"
+    )
+
+    def purchase_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[b["event_type"] == "purchase"]
+        df = pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype("int64"),
+                "ts": p["ts"],
+                "next_purchase_cents": np.round(
+                    p["value"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return _max_by_user_ts(df)
+
+    right = tree_aggregate(
+        ev, purchase_partial, _max_by_user_ts, keys=["user_id", "ts"]
+    )
+    joined = asof_join(
+        left, right, key="user_id", ts="ts", strict=True, path="exchange",
+        direction="forward",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "next_purchase_cents": b["next_purchase_cents"]
+                .fillna(-1)
+                .astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+@register(
+    "orders_skyline",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+             o_orderdate
+      FROM orders
+    )
+    SELECT a.o_orderkey, a.total_cents, a.o_orderdate
+    FROM c a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c b
+      WHERE b.total_cents > a.total_cents
+        AND b.o_orderdate > a.o_orderdate
+    )
+    """,
+)
+def orders_skyline(sf_dir: str):
+    """2-D skyline (stages/agg.skyline_2d): orders no other order beats
+    on BOTH price and recency — the Pareto-front primitive.  Strict
+    domination is transitive, so local fronts merge through the tree
+    and only candidate fronts move; the SQL twin is the quadratic
+    NOT EXISTS, which the output-sized plan must reproduce exactly."""
+    from nerpii_ray.stages.agg import skyline_2d
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "total_cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+                "o_orderdate": b["o_orderdate"],
+            }
+        ),
+        batch_format="pandas",
+    )
+    return skyline_2d(ds, "total_cents", "o_orderdate")
 
 
 # ---------------------------------------------------------------------------

@@ -1303,3 +1303,37 @@ def equi_depth_histogram(
 
     src = ds.map_batches(prep_fn, batch_format="pandas") if prep_fn else ds
     return tree_aggregate(src, partial, merge, final_fn=finish)
+
+
+def skyline_2d(ds, x_col: str, y_col: str):
+    """2-D skyline (Pareto front): rows not STRICTLY dominated — no
+    other row is greater in BOTH ``x_col`` and ``y_col``.  Strict
+    domination is transitive, so the distributed plan is the classic
+    local-front merge tree: each batch keeps its own front, fronts
+    merge pairwise, and the root front equals the global front (a row
+    eliminated locally is dominated by a surviving row, which either
+    reaches the root or is dominated transitively by one that does).
+    Only candidate fronts ever move — output-sized, not data-sized.
+
+    In-kernel test is vectorized: sort by x descending, take the
+    running max of y over all STRICTLY-greater-x groups (groupwise
+    cummax shifted by one group); a row is dominated iff that prefix
+    max exceeds its own y.  All columns pass through.
+    """
+
+    def front(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values(
+            [x_col, y_col], ascending=False, kind="mergesort"
+        ).reset_index(drop=True)
+        x = df[x_col].to_numpy()
+        grp = np.concatenate([[0], np.cumsum(x[1:] != x[:-1])])
+        gmax = pd.Series(df[y_col].to_numpy()).groupby(grp).max()
+        prefix = gmax.cummax().shift(1)  # max y over greater-x groups
+        pref_row = prefix.iloc[grp].to_numpy()
+        y = df[y_col].to_numpy()
+        dominated = pd.notna(pref_row) & (pref_row > y)
+        return df[~dominated].reset_index(drop=True)
+
+    return tree_aggregate(ds, front, front)

@@ -159,12 +159,14 @@ def asof_join(
     strict: bool = False,
     suffix: str = "_r",
     path: str = "auto",
+    direction: str = "backward",
 ):
-    """Backward as-of join: each left row picks the right row of the same
-    ``key`` with the greatest ``ts`` ≤ (or < when ``strict``) its own,
-    or nulls when none precedes.  Matches DuckDB
+    """As-of join: each left row picks the right row of the same
+    ``key`` with the greatest ``ts`` ≤ (or < when ``strict``) its own —
+    or, with ``direction="forward"``, the SMALLEST ``ts`` ≥ (>) its
+    own — nulls when none qualifies.  Matches DuckDB
     ``ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts`` (``>`` when
-    strict), which is the SQL-oracle twin.
+    strict; ``<=``/``<`` for forward), which is the SQL-oracle twin.
 
     Physical plan: both sides unioned with a side tag and co-located by
     ``key`` through ``keyed_partition_apply`` (one-task small path /
@@ -188,6 +190,8 @@ def asof_join(
     the typed-empty fix in stages/similarity.py).  Integer payloads come
     out float64 with NaN for no-match; cast back downstream.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     left_cols = [str(c) for c in left.schema().names]
     right_cols = [str(c) for c in right.schema().names]
     out_right = [c for c in right_cols if c != key and c != ts] or []
@@ -235,7 +239,7 @@ def asof_join(
             rg,
             on=ts,
             by=key,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=not strict,
             suffixes=("", suffix),
         )

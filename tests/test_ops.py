@@ -2538,3 +2538,61 @@ def test_bfs_levels_crafted_and_cross_path():
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(small, exch, check_dtype=False)
+
+
+def test_skyline_2d():
+    from nerpii_ray.stages.agg import skyline_2d
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(3000, dtype="int64"),
+            "x": rng.randint(0, 500, 3000).astype("int64"),
+            "y": rng.randint(0, 500, 3000).astype("int64"),
+        }
+    )
+    got = (
+        skyline_2d(rd.from_pandas(df).repartition(8), "x", "y")
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    dominated = np.array(
+        [bool(np.any((x > x[i]) & (y > y[i]))) for i in range(len(df))]
+    )
+    want = df[~dominated].sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # tie safety: equal x never dominates; identical points both survive
+    tie = pd.DataFrame(
+        {"id": [1, 2, 3], "x": [5, 5, 5], "y": [9, 1, 9]}
+    ).astype("int64")
+    out = skyline_2d(rd.from_pandas(tie), "x", "y").to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3]
+
+
+def test_asof_join_forward():
+    from nerpii_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 2], "ts": [5, 10, 3]}).astype("int64")
+    right = pd.DataFrame(
+        {"k": [1, 1, 2], "ts": [7, 12, 1], "x": [70, 120, 10]}
+    ).astype("int64")
+    out = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", ts="ts", direction="forward",
+        )
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    assert out["x"].fillna(-1).tolist() == [70.0, 120.0, -1.0]
+    # exact match included unless strict
+    l2 = pd.DataFrame({"k": [1], "ts": [7]}).astype("int64")
+    inc = asof_join(rd.from_pandas(l2), rd.from_pandas(right),
+                    key="k", ts="ts", direction="forward").to_pandas()
+    assert inc["x"].iloc[0] == 70
+    str_ = asof_join(rd.from_pandas(l2), rd.from_pandas(right),
+                     key="k", ts="ts", direction="forward",
+                     strict=True).to_pandas()
+    assert str_["x"].iloc[0] == 120
+    with pytest.raises(ValueError):
+        asof_join(rd.from_pandas(l2), rd.from_pandas(right),
+                  key="k", ts="ts", direction="sideways")
