@@ -6905,6 +6905,82 @@ def orders_skyline(sf_dir: str):
     return skyline_2d(ds, "total_cents", "o_orderdate")
 
 
+_SESSION_TABLE_SQL = ORACLE_SQL["events_session_table"]
+
+
+@register(
+    "events_max_concurrent_sessions",
+    f"""
+    WITH st AS ({_SESSION_TABLE_SQL}),
+    b AS (
+      SELECT s_start AS ts, 1 AS delta FROM st
+      UNION ALL SELECT s_end AS ts, -1 AS delta FROM st
+    ), c AS (
+      SELECT SUM(delta) OVER (ORDER BY ts, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM b
+    )
+    SELECT CAST(MAX(conc) AS BIGINT) AS max_concurrent FROM c
+    """,
+)
+def events_max_concurrent_sessions(sf_dir: str):
+    """Peak simultaneous sessions (stages/window.max_concurrent_intervals):
+    the sweep line over session bounds, range-partitioned — per-bucket
+    Σdelta gives the driver one entry-concurrency offset per time
+    bucket, each bucket resolves its own maximum, a tiny tree takes the
+    global max.  Intervals come from the same mergeable session tree as
+    ``events_session_table``, whose registered SQL this twin embeds
+    verbatim."""
+    from nerpii_ray.stages.window import max_concurrent_intervals, session_table
+
+    st = session_table(_read(sf_dir, "events", ["user_id", "ts"]), gap_sec=1800)
+    return max_concurrent_intervals(st)
+
+
+@register(
+    "events_latest_per_user",
+    """
+    SELECT user_id, ts_us, event_id, n FROM (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_latest_per_user(sf_dir: str):
+    """Changelog compaction (the CDC upsert shape): the LATEST event
+    per user — deterministic argmax(ts, tie smallest event_id) plus the
+    group's row count, through ``agg.grouped_argmax``'s mergeable
+    one-row-per-key tree (never more than one candidate per key per
+    block moves)."""
+    from nerpii_ray.stages.agg import grouped_argmax
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+            }
+        )
+
+    out = grouped_argmax(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id"], "ts_us", "event_id",
+    )
+    return out.map_batches(
+        lambda b: b[["user_id", "ts_us", "event_id", "n"]].astype(
+            {"user_id": "int64", "ts_us": "int64",
+             "event_id": "int64", "n": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering (round 5: ROTATION, per ADVICE r4).
 #

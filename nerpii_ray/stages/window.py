@@ -532,3 +532,112 @@ def global_row_number(
         return out
 
     return keyed_partition_apply(withb, ["_bkt"], kernel, num_partitions, path)
+
+
+def max_concurrent_intervals(
+    intervals_ds,
+    start_col: str = "s_start",
+    end_col: str = "s_end",
+    num_buckets: int = 64,
+):
+    """Maximum number of simultaneously-active intervals (INCLUSIVE
+    bounds: at any instant t, intervals with start ≤ t ≤ end count) —
+    the sweep-line primitive behind peak-concurrency metrics, done
+    range-partitioned so no node ever sees the whole boundary stream
+    (the ``global_row_number`` plan applied to prefix sums):
+
+    1. boundary rows (ts, +1) / (ts, −1) from each interval;
+    2. global (lo, hi) of ts via the combiner tree → two driver
+       scalars; equi-width time buckets;
+    3. per-bucket Σdelta via a bounded-key sum tree → the driver
+       cumsums ``num_buckets`` integers into per-bucket ENTRY
+       concurrency offsets — never data;
+    4. boundaries co-locate by bucket; each bucket sorts by
+       (ts, delta DESC) — starts before ends at the same instant, the
+       inclusive-overlap convention — and takes max(offset + cumsum);
+    5. one tiny tree maxes the ≤``num_buckets`` bucket maxima.
+
+    Returns a single-row Dataset ``(max_concurrent:int64)``; 0 on
+    empty input.  ``start_col``/``end_col`` must be int64 (µs
+    discipline).
+    """
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def bounds(b: pd.DataFrame) -> pd.DataFrame:
+        ts = np.concatenate(
+            [b[start_col].to_numpy(np.int64), b[end_col].to_numpy(np.int64)]
+        )
+        delta = np.concatenate(
+            [np.ones(len(b), dtype=np.int64), -np.ones(len(b), dtype=np.int64)]
+        )
+        return pd.DataFrame({"ts": ts, "delta": delta})
+
+    bnd = intervals_ds.map_batches(bounds, batch_format="pandas").materialize()
+
+    def mm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"), "hi": pd.Series(dtype="int64")}
+            )
+        t = b["ts"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": [int(t.min())], "hi": [int(t.max())]})
+
+    def mm_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {"lo": [int(df["lo"].min())], "hi": [int(df["hi"].max())]}
+        )
+
+    mm = tree_aggregate(bnd, mm_partial, mm_merge).take_all()
+    import ray.data as rd
+
+    if not mm:
+        return rd.from_pandas(
+            pd.DataFrame({"max_concurrent": pd.array([0], dtype="int64")})
+        )
+    lo, hi = int(mm[0]["lo"]), int(mm[0]["hi"])
+    span = hi - lo + 1
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = (
+            (b["ts"].to_numpy(np.int64) - lo) * num_buckets // span
+        ).astype(np.int64)
+        return b
+
+    withb = bnd.map_batches(bucketize, batch_format="pandas").materialize()
+
+    sums = grouped_sum(
+        withb.map_batches(
+            lambda b: pd.DataFrame({"_bkt": b["_bkt"], "d": b["delta"]}),
+            batch_format="pandas",
+        ),
+        ["_bkt"], ["d"], adaptive=False,
+    ).to_pandas()
+    per_bucket = np.zeros(num_buckets, dtype=np.int64)
+    per_bucket[sums["_bkt"].to_numpy(np.int64)] = sums["d"].to_numpy(np.int64)
+    entry = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
+
+    def bucket_max(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"m": pd.Series(dtype="int64")})
+        out = []
+        for bkt, grp in g.groupby("_bkt", sort=False):
+            grp = grp.sort_values(
+                ["ts", "delta"], ascending=[True, False], kind="mergesort"
+            )
+            run = int(entry[int(bkt)]) + grp["delta"].cumsum()
+            out.append(int(run.max()))
+        return pd.DataFrame({"m": pd.array(out, dtype="int64")})
+
+    maxima = keyed_partition_apply(withb, ["_bkt"], bucket_max)
+
+    def root_max(df: pd.DataFrame) -> pd.DataFrame:
+        # partial sees the kernel's "m" column, merge its own output
+        col = "m" if "m" in df.columns else "max_concurrent"
+        m = int(df[col].max()) if len(df) else 0
+        return pd.DataFrame({"max_concurrent": pd.array([m], dtype="int64")})
+
+    return tree_aggregate(maxima, root_max, root_max)

@@ -2596,3 +2596,54 @@ def test_asof_join_forward():
     with pytest.raises(ValueError):
         asof_join(rd.from_pandas(l2), rd.from_pandas(right),
                   key="k", ts="ts", direction="sideways")
+
+
+def test_max_concurrent_intervals():
+    from nerpii_ray.stages.window import max_concurrent_intervals
+
+    # three overlapping at t=10..12; inclusive bounds: end==start counts
+    iv = pd.DataFrame(
+        {
+            "s_start": [0, 5, 10, 20, 30],
+            "s_end": [12, 11, 15, 25, 30],
+        }
+    ).astype("int64")
+    out = max_concurrent_intervals(rd.from_pandas(iv)).to_pandas()
+    assert out["max_concurrent"].tolist() == [3]
+
+    # touching endpoints: [0,10] and [10,20] overlap at t=10 inclusively
+    touch = pd.DataFrame({"s_start": [0, 10], "s_end": [10, 20]}).astype(
+        "int64"
+    )
+    out2 = max_concurrent_intervals(rd.from_pandas(touch)).to_pandas()
+    assert out2["max_concurrent"].tolist() == [2]
+
+    # empty input -> 0
+    empty = pd.DataFrame(
+        {"s_start": pd.Series(dtype="int64"), "s_end": pd.Series(dtype="int64")}
+    )
+    out3 = max_concurrent_intervals(rd.from_pandas(empty)).to_pandas()
+    assert out3["max_concurrent"].tolist() == [0]
+
+    # bucket-boundary stress: many intervals spanning bucket edges, few buckets
+    rng = pd.DataFrame(
+        {
+            "s_start": [i * 7 % 101 for i in range(60)],
+            "s_end": [i * 7 % 101 + (i * 13) % 29 for i in range(60)],
+        }
+    ).astype("int64")
+    got = int(
+        max_concurrent_intervals(rd.from_pandas(rng), num_buckets=4)
+        .to_pandas()["max_concurrent"].iloc[0]
+    )
+    # brute-force sweep
+    events = []
+    for s, e in zip(rng["s_start"], rng["s_end"]):
+        events.append((s, 1))
+        events.append((e + 1, -1))  # inclusive end
+    events.sort()
+    cur = best = 0
+    for _, d in events:
+        cur += d
+        best = max(best, cur)
+    assert got == best
