@@ -6863,6 +6863,79 @@ def events_next_purchase_asof(sf_dir: str):
 
 
 @register(
+    "events_nearest_purchase",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS near_purchase_cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT event_id, near_purchase_cents FROM (
+      SELECT e.event_id,
+             COALESCE(p.near_purchase_cents, -1) AS near_purchase_cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY ABS(epoch_us(e.ts) - epoch_us(p.ts)) NULLS LAST,
+                        p.ts
+             ) AS rn
+      FROM events e LEFT JOIN p ON e.user_id = p.user_id
+    ) WHERE rn = 1
+    """,
+)
+def events_nearest_purchase(sf_dir: str):
+    """NEAREST as-of join (``asof_join(direction="nearest")``, closing
+    the backward/forward/nearest family): every event picks the value of
+    the temporally CLOSEST purchase of the same user in either
+    direction, ties to the prior row, -1 when the user never purchased.
+    Same physical plan as the directional forms — one keyed co-location,
+    two in-bucket ``merge_asof`` passes and a row-wise pick; the DuckDB
+    twin replays the tie rule as ``ORDER BY ABS(Δts), p.ts`` over the
+    exploded equi-join."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import asof_join
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    left = ev.map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas"
+    )
+
+    def purchase_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[b["event_type"] == "purchase"]
+        df = pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype("int64"),
+                "ts": p["ts"],
+                "near_purchase_cents": np.round(
+                    p["value"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return _max_by_user_ts(df)
+
+    right = tree_aggregate(
+        ev, purchase_partial, _max_by_user_ts, keys=["user_id", "ts"]
+    )
+    joined = asof_join(
+        left, right, key="user_id", ts="ts", path="exchange",
+        direction="nearest",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "near_purchase_cents": b["near_purchase_cents"]
+                .fillna(-1)
+                .astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+@register(
     "orders_skyline",
     """
     WITH c AS (

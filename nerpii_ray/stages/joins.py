@@ -164,7 +164,10 @@ def asof_join(
     """As-of join: each left row picks the right row of the same
     ``key`` with the greatest ``ts`` ≤ (or < when ``strict``) its own —
     or, with ``direction="forward"``, the SMALLEST ``ts`` ≥ (>) its
-    own — nulls when none qualifies.  Matches DuckDB
+    own — nulls when none qualifies.  ``direction="nearest"`` picks the
+    row minimizing ``|Δts|`` with ties going to the PRIOR row (replay in
+    SQL as ``ROW_NUMBER() OVER (... ORDER BY ABS(l.ts - r.ts), r.ts) =
+    1`` over the exploded equi-join).  Matches DuckDB
     ``ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts`` (``>`` when
     strict; ``<=``/``<`` for forward), which is the SQL-oracle twin.
 
@@ -190,7 +193,7 @@ def asof_join(
     the typed-empty fix in stages/similarity.py).  Integer payloads come
     out float64 with NaN for no-match; cast back downstream.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     left_cols = [str(c) for c in left.schema().names]
     right_cols = [str(c) for c in right.schema().names]
@@ -234,6 +237,29 @@ def asof_join(
                 "asof_join: right side has duplicate (key, ts) pairs — "
                 "pre-aggregate the right side to make the match unique"
             )
+        if direction == "nearest":
+            # explicit backward+forward pick with a PINNED tie rule
+            # (smaller |Δts| wins; equal distance -> the PRIOR row) —
+            # pandas' own direction="nearest" is not contractually
+            # documented for ties, so the choice is made here where a
+            # test can pin it and the SQL twin can replay it
+            # (ORDER BY ABS(l.ts - r.ts), r.ts).
+            rgn = rg.copy(deep=False)
+            rgn["__rts"] = rgn[ts]
+            kw = dict(
+                on=ts, by=key, allow_exact_matches=not strict,
+                suffixes=("", suffix),
+            )
+            bwd = pd.merge_asof(lg, rgn, direction="backward", **kw)
+            fwd = pd.merge_asof(lg, rgn, direction="forward", **kw)
+            bd = bwd[ts] - bwd["__rts"]
+            fd = fwd["__rts"] - fwd[ts]
+            use_f = fd.notna() & (bd.isna() | (fd < bd))
+            out = bwd
+            for c in out_right:
+                m = c + suffix if c in left_cols else c
+                out[m] = out[m].where(~use_f, fwd[m])
+            return out.drop(columns=["__rts"]).reset_index(drop=True)
         out = pd.merge_asof(
             lg,
             rg,

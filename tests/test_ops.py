@@ -2647,3 +2647,36 @@ def test_max_concurrent_intervals():
         cur += d
         best = max(best, cur)
     assert got == best
+
+
+def test_asof_join_nearest():
+    from nerpii_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2], "ts": [10, 16, 100, 7]}).astype(
+        "int64"
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 1], "ts": [5, 15, 25], "x": [50, 150, 250]}
+    ).astype("int64")
+    out = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", ts="ts", direction="nearest",
+        )
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    # ts=10: dist 5 to both 5 and 15 -> TIE -> prior (x=50)
+    # ts=16: dist 1 to 15 -> x=150; ts=100: nearest 25 -> x=250
+    # k=2: no right rows -> null
+    assert out["x"].fillna(-1).tolist() == [50.0, 150.0, 250.0, -1.0]
+
+    # strict excludes the exact match: left ts=15 must skip x=150
+    l2 = pd.DataFrame({"k": [1], "ts": [15]}).astype("int64")
+    ex = asof_join(rd.from_pandas(l2), rd.from_pandas(right),
+                   key="k", ts="ts", direction="nearest").to_pandas()
+    assert ex["x"].iloc[0] == 150
+    st = asof_join(rd.from_pandas(l2), rd.from_pandas(right),
+                   key="k", ts="ts", direction="nearest",
+                   strict=True).to_pandas()
+    # dist 10 to both 5 and 25 -> tie -> prior (x=50)
+    assert st["x"].iloc[0] == 50
