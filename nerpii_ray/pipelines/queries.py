@@ -3712,6 +3712,67 @@ def lineitem_price_qty_corr(sf_dir: str):
 
 
 @register(
+    "lineitem_qty_price_spearman",
+    """
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag,
+             CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1
+                  AS HUGEINT) AS rx,
+             CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1
+                  AS HUGEINT) AS ry
+      FROM c
+    ), a AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+             SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                ELSE NULL END AS spearman
+    FROM a
+    """,
+)
+def lineitem_qty_price_spearman(sf_dir: str):
+    """Spearman rank correlation per group (stages/agg.grouped_spearman):
+    one group co-location computes 2×average-ranks as exact int64, then
+    the exact-big-int ``grouped_corr`` tree finishes — rank-based
+    (monotone-relationship) correlation beside the Pearson query, and
+    bit-stable because every float comes from one division over exact
+    integer rank moments that the HUGEINT SQL twin replays."""
+    from nerpii_ray.stages.agg import grouped_spearman
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def to_ints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].astype(str),
+                "x": b["l_quantity"].to_numpy().astype("int64"),
+                "y": np.round(
+                    b["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    return grouped_spearman(
+        ds.map_batches(to_ints, batch_format="pandas"),
+        ["l_returnflag"], "x", "y",
+    )
+
+
+@register(
     "orders_rollup",
     """
     SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -1337,3 +1337,58 @@ def skyline_2d(ds, x_col: str, y_col: str):
         return df[~dominated].reset_index(drop=True)
 
     return tree_aggregate(ds, front, front)
+
+
+def grouped_spearman(
+    ds,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Spearman rank correlation per group — Pearson correlation of the
+    within-group AVERAGE ranks.  Average ranks of integers are exact
+    half-integers, so the rank stage emits 2×rank as int64 and the
+    downstream Pearson tree is the exact-big-int ``grouped_corr``
+    machinery unchanged (scale invariance: corr(2r_x, 2r_y) =
+    corr(r_x, r_y)).  SQL twin replays 2×avgrank as
+    ``2*RANK() OVER (PARTITION BY g ORDER BY v) +
+    COUNT(*) OVER (PARTITION BY g, v) - 1`` and the same
+    one-division-at-the-end corr expression, so matches are bit-stable.
+
+    Physical plan: ranking needs each group whole, so groups co-locate
+    once through ``keyed_partition_apply`` (one-task small path / keyed
+    actor exchange); the ranked (keys, rx, ry) rows — two int64s per
+    input row — then flow through the combiner tree, so nothing
+    group-sized survives past the rank stage.  Contract: a single
+    group must fit a worker heap; for few-huge-groups layouts rank via
+    a range-partitioned ``window.global_row_number`` per group instead.
+
+    ``x_col``/``y_col`` must be integer-valued.  Output: keys…, n,
+    spearman (NaN for zero-variance groups, matching SQL NULL).
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    keys = list(keys)
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[keys].copy()
+        gb = g.groupby(keys, sort=False, observed=True)
+        out["rx"] = np.round(
+            gb[x_col].rank(method="average").to_numpy() * 2
+        ).astype("int64")
+        out["ry"] = np.round(
+            gb[y_col].rank(method="average").to_numpy() * 2
+        ).astype("int64")
+        return out.reset_index(drop=True)
+
+    ranked = keyed_partition_apply(ds, keys, rank_kernel, num_buckets, path)
+    corr = grouped_corr(ranked, keys, "rx", "ry")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keys + ["n"]].copy()
+        out["spearman"] = b["corr"].astype("float64")
+        return out
+
+    return corr.map_batches(finish, batch_format="pandas")

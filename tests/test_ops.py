@@ -2680,3 +2680,41 @@ def test_asof_join_nearest():
                    strict=True).to_pandas()
     # dist 10 to both 5 and 25 -> tie -> prior (x=50)
     assert st["x"].iloc[0] == 50
+
+
+def test_grouped_spearman():
+    from nerpii_ray.stages.agg import grouped_spearman
+
+    # group a: perfect monotone (rho=1) despite non-linear values
+    # group b: perfect inverse (rho=-1); group c: zero variance -> NaN
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 4 + ["c"] * 3,
+            "x": [1, 2, 3, 4, 5, 1, 2, 3, 4, 7, 7, 7],
+            "y": [1, 10, 100, 1000, 10000, 9, 7, 5, 3, 1, 2, 3],
+        }
+    )
+    out = (
+        grouped_spearman(rd.from_pandas(df.astype({"x": "int64", "y": "int64"})), ["g"], "x", "y")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [5, 4, 3]
+    # num/(sqrt(dx)*sqrt(dy)) is the SQL-twin expression shape; for
+    # perfect correlation it lands 1 ulp off 1.0 (sqrt(d)**2 != d)
+    assert abs(out["spearman"].iloc[0] - 1.0) < 1e-12
+    assert abs(out["spearman"].iloc[1] + 1.0) < 1e-12
+    assert np.isnan(out["spearman"].iloc[2])
+
+    # ties: average ranks; cross-check against pandas corr of ranks
+    tdf = pd.DataFrame(
+        {
+            "g": ["t"] * 6,
+            "x": [1, 1, 2, 3, 3, 4],
+            "y": [2, 1, 5, 5, 4, 9],
+        }
+    ).astype({"x": "int64", "y": "int64"})
+    got = grouped_spearman(rd.from_pandas(tdf), ["g"], "x", "y").to_pandas()
+    rx = tdf["x"].rank(method="average")
+    ry = tdf["y"].rank(method="average")
+    exp = np.corrcoef(rx, ry)[0, 1]
+    assert abs(got["spearman"].iloc[0] - exp) < 1e-12
