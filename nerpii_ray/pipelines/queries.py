@@ -6461,6 +6461,54 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "events_user_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ), i AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d
+    ), s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak
+      FROM i GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+    """,
+)
+def events_user_streaks(sf_dir: str):
+    """Gaps-and-islands (stages/window.consecutive_streaks): longest run
+    of consecutive active DAYS per user plus the distinct active-day
+    count — the engagement-streak shape.  Events collapse to distinct
+    (user, epoch-day) in the kernel, islands break on day-gap ≠ 1, one
+    co-location total; the SQL twin is the day − ROW_NUMBER() island
+    idiom."""
+    from nerpii_ray.stages.window import consecutive_streaks
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "day": (
+                    b["ts"].astype("datetime64[us]").astype("int64")
+                    // 86_400_000_000
+                ).astype("int64"),
+            }
+        ).drop_duplicates()
+
+    return consecutive_streaks(
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"], "day"
+    )
+
+
+@register(
     "events_dau",
     """
     SELECT date_trunc('day', ts) AS day,

@@ -641,3 +641,62 @@ def max_concurrent_intervals(
         return pd.DataFrame({"max_concurrent": pd.array([m], dtype="int64")})
 
     return tree_aggregate(maxima, root_max, root_max)
+
+
+def consecutive_streaks(
+    ds,
+    keys: list[str],
+    day_col: str,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Gaps-and-islands: per key, the LONGEST run of consecutive
+    ``day_col`` values plus the distinct active-day count — the
+    engagement-streak primitive.  ``day_col`` is an int64 ordinal (epoch
+    days); duplicates within a day collapse first, so event volume per
+    day never matters.
+
+    One keyed co-location; the in-bucket kernel is fully vectorized:
+    sort unique (key, day), break where the key changes or the day gap
+    ≠ 1, label islands with a cumulative sum, and size them with one
+    groupby — the SQL twin is the classic ``day − ROW_NUMBER()`` island
+    idiom.  Output: keys…, longest_streak:int64, active_days:int64.
+    Per-key state past the co-location is O(distinct days); salt is
+    never needed (runs are key-local by construction).
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    keys = list(keys)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            g[keys + [day_col]]
+            .drop_duplicates()
+            .sort_values(keys + [day_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if not len(u):
+            out = u[keys].copy()
+            out["longest_streak"] = pd.Series(dtype="int64")
+            out["active_days"] = pd.Series(dtype="int64")
+            return out
+        key_change = u[keys].ne(u[keys].shift()).any(axis=1).to_numpy()
+        day = u[day_col].to_numpy(np.int64)
+        gap = np.concatenate([[True], np.diff(day) != 1])
+        rid = np.cumsum(key_change | gap)
+        runs = (
+            u.assign(_rid=rid)
+            .groupby(keys + ["_rid"], sort=False, observed=True)
+            .size()
+            .reset_index(name="_streak")
+        )
+        res = (
+            runs.groupby(keys, sort=False, observed=True)["_streak"]
+            .agg(longest_streak="max", active_days="sum")
+            .reset_index()
+        )
+        res["longest_streak"] = res["longest_streak"].astype("int64")
+        res["active_days"] = res["active_days"].astype("int64")
+        return res
+
+    return keyed_partition_apply(ds, keys, kernel, num_buckets, path)

@@ -2718,3 +2718,32 @@ def test_grouped_spearman():
     ry = tdf["y"].rank(method="average")
     exp = np.corrcoef(rx, ry)[0, 1]
     assert abs(got["spearman"].iloc[0] - exp) < 1e-12
+
+
+def test_consecutive_streaks():
+    from nerpii_ray.stages.window import consecutive_streaks
+
+    df = pd.DataFrame(
+        {
+            # u1: days 1,2,3, 7,8 + a duplicate day -> longest 3, active 5
+            # u2: single day -> 1/1; u3: all consecutive -> 4/4
+            "u": [1, 1, 1, 1, 1, 1, 2, 3, 3, 3, 3],
+            "day": [1, 2, 3, 7, 8, 2, 42, 10, 11, 12, 13],
+        }
+    ).astype("int64")
+    out = (
+        consecutive_streaks(rd.from_pandas(df), ["u"], "day")
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert out["longest_streak"].tolist() == [3, 1, 4]
+    assert out["active_days"].tolist() == [5, 1, 4]
+
+    # adjacent users' runs must not bridge: u4 ends day 20, u5 starts 21
+    df2 = pd.DataFrame({"u": [4, 4, 5, 5], "day": [19, 20, 21, 22]}).astype(
+        "int64"
+    )
+    out2 = (
+        consecutive_streaks(rd.from_pandas(df2), ["u"], "day")
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert out2["longest_streak"].tolist() == [2, 2]
