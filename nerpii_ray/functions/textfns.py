@@ -122,3 +122,33 @@ def stable_hash64_np(values: pd.Series) -> np.ndarray:
         dtype=np.uint64,
         count=len(values),
     )
+
+
+def hash_split_labels(
+    values: pd.Series,
+    fractions: "list[tuple[str, float]]",
+    salt: str = "split1",
+) -> pd.Series:
+    """Deterministic dataset-split assignment: each key draws a uniform
+    integer in [0, 1e6) from md5("salt:key") (first 8 digest bytes
+    big-endian — identical to SQL's
+    ``CAST('0x' || substr(md5(...), 1, 16) AS UBIGINT) % 1000000``) and
+    lands in the first split whose cumulative ppm threshold exceeds the
+    draw; the LAST split takes the remainder.  Content-keyed, so the
+    assignment is stable under retries, re-batching, resume, and adding
+    new rows never reshuffles old ones — the train/val/test contract a
+    training pipeline needs.
+
+    ``fractions``: ordered [(label, fraction)] for every split BUT the
+    remainder label, plus the remainder last with fraction None.
+    """
+    draws = (
+        stable_hash64_np(salt + ":" + values.astype(str))
+        % np.uint64(1_000_000)
+    ).astype(np.int64)
+    labels = np.full(len(values), fractions[-1][0], dtype=object)
+    cum = 0
+    for label, frac in fractions[:-1]:
+        lo, cum = cum, cum + int(round(frac * 1_000_000))
+        labels[(draws >= lo) & (draws < cum)] = label
+    return pd.Series(labels, index=values.index, dtype="object")

@@ -6461,6 +6461,47 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "doc_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN draw < 100000 THEN 'test'
+                WHEN draw < 200000 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split1:' || CAST(doc_id AS VARCHAR)),
+                                  1, 16)) AS UBIGINT) % 1000000 AS draw
+      FROM documents
+    )
+    """,
+)
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split
+    (functions/textfns.hash_split_labels): every document draws its
+    split from md5 of its own key — stable under retries, re-batching,
+    resume, and corpus growth (new docs never move old ones), which is
+    the assignment contract a training pipeline needs.  10% test, 10%
+    val, remainder train; pure map stage, no shuffle, and the SQL twin
+    replays the identical md5 integer arithmetic."""
+    from nerpii_ray.functions.textfns import hash_split_labels
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "split": hash_split_labels(
+                    b["doc_id"],
+                    [("test", 0.1), ("val", 0.1), ("train", None)],
+                ),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+@register(
     "events_user_streaks",
     """
     WITH d AS (

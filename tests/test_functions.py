@@ -155,3 +155,21 @@ def test_trailing_url_does_not_swallow_next_text():
     assert (2, "LOCATION", "Chicago") in set(
         zip(out["row"], out["entity"], out["surface"])
     )
+
+
+def test_hash_split_labels():
+    import pandas as pd
+    import numpy as np
+    from nerpii_ray.functions.textfns import hash_split_labels
+
+    keys = pd.Series(range(2000)).astype(str)
+    s = hash_split_labels(keys, [("test", 0.1), ("val", 0.1), ("train", None)])
+    frac = s.value_counts(normalize=True)
+    assert set(s.unique()) == {"train", "val", "test"}
+    assert abs(frac["test"] - 0.1) < 0.03 and abs(frac["val"] - 0.1) < 0.03
+    # stability: same key -> same split regardless of batch slicing
+    s2 = hash_split_labels(keys.iloc[500:600], [("test", 0.1), ("val", 0.1), ("train", None)])
+    assert (s2.to_numpy() == s.iloc[500:600].to_numpy()).all()
+    # different salt reshuffles
+    s3 = hash_split_labels(keys, [("test", 0.1), ("val", 0.1), ("train", None)], salt="other")
+    assert (s3 != s).any()
