@@ -6461,6 +6461,46 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "doc_dup_ngram_stats",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2] AS gram
+      FROM docs, UNNEST(generate_series(1, len(toks) - 2)) AS t(i)
+      WHERE len(toks) >= 3
+    ), c AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram
+    ), s AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(cnt) AS BIGINT) AS top_count
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(s.n_distinct, 0) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(s.top_count, 0) AS BIGINT) AS top_count
+    FROM docs d LEFT JOIN s USING (doc_id)
+    """,
+)
+def doc_dup_ngram_stats(sf_dir: str):
+    """Repetition quality signals (stages/textstats.dup_ngram_stats),
+    the Gopher-rules shape: per doc the total / distinct / most-repeated
+    token 3-gram counts as exact integers — the duplicate-3-gram and
+    top-3-gram fraction gates derive downstream without a float in the
+    operator.  One text pass, no shuffle; the SQL twin enumerates the
+    same grams with \\x1f-joined tokens (injective: \\x1f is not a word
+    char)."""
+    from nerpii_ray.stages.textstats import dup_ngram_stats
+
+    return dup_ngram_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+@register(
     "doc_split_assign",
     """
     SELECT doc_id,

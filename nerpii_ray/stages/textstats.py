@@ -591,3 +591,48 @@ def chunk_token_windows(
         )
 
     return docs_ds.map_batches(fn, batch_format="pandas")
+
+
+def dup_ngram_stats(
+    docs_ds,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Repetition quality signals (the Gopher-rules shape): per document
+    the total token ``n``-gram count, the DISTINCT n-gram count, and the
+    multiplicity of the single most-repeated n-gram — all exact
+    integers, so the duplicate-n-gram fraction and top-n-gram fraction
+    gates derive downstream without any float leaving the operator.
+
+    Pure map stage over the text scan (no shuffle at any scale): tokens
+    are ``\\w+`` over lowered text (the corpus-wide tokenizer), grams
+    hash locally per doc.  Empty/short docs emit zeros.  Output:
+    id_col, n_ngrams:int64, n_distinct:int64, top_count:int64.
+    """
+    from collections import Counter
+
+    word_re = re.compile(r"\w+")
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        ids, tot, dis, top = [], [], [], []
+        for did, t in zip(b[id_col], b[text_col]):
+            toks = word_re.findall(str(t).lower()) if t is not None else []
+            ids.append(did)
+            if len(toks) < n:
+                tot.append(0); dis.append(0); top.append(0)
+                continue
+            c = Counter(zip(*(toks[i:] for i in range(n))))
+            tot.append(len(toks) - n + 1)
+            dis.append(len(c))
+            top.append(max(c.values()))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "n_ngrams": pd.Series(tot, dtype="int64"),
+                "n_distinct": pd.Series(dis, dtype="int64"),
+                "top_count": pd.Series(top, dtype="int64"),
+            }
+        )
+
+    return docs_ds.map_batches(stats, batch_format="pandas", batch_size=4096)

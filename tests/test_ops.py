@@ -2747,3 +2747,26 @@ def test_consecutive_streaks():
         .to_pandas().sort_values("u").reset_index(drop=True)
     )
     assert out2["longest_streak"].tolist() == [2, 2]
+
+
+def test_dup_ngram_stats():
+    from nerpii_ray.stages.textstats import dup_ngram_stats
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c a b c a b c",   # 7 grams, 3 distinct, top 3
+                "one two three four",  # 2 grams, 2 distinct, top 1
+                "short one",           # < 3 tokens -> zeros
+                None,                  # null text -> zeros
+            ],
+        }
+    )
+    out = (
+        dup_ngram_stats(rd.from_pandas(df))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_ngrams"].tolist() == [7, 2, 0, 0]
+    assert out["n_distinct"].tolist() == [3, 2, 0, 0]
+    assert out["top_count"].tolist() == [3, 1, 0, 0]
