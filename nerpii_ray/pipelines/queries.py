@@ -6461,6 +6461,62 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "events_value_twap",
+    """
+    WITH b AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), l AS (
+      SELECT user_id, cents,
+             LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+               AS dt
+      FROM b
+    ), s AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+             CAST(SUM(dt) AS BIGINT) AS total_dt_us,
+             SUM(CAST(cents AS HUGEINT) * CAST(dt AS HUGEINT)) AS swv
+      FROM l WHERE dt IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, total_dt_us,
+           CASE WHEN total_dt_us > 0
+                THEN CAST(swv AS DOUBLE) / CAST(total_dt_us AS DOUBLE)
+                ELSE NULL END AS twap
+    FROM s
+    """,
+)
+def events_value_twap(sf_dir: str):
+    """Time-weighted average (stages/window.time_weighted_avg): each
+    event's value in cents holds until the user's next event, so the
+    per-user mean weights by µs holding time — the TWAP shape from
+    market data, equally the session-dwell weighting shape.  Exact
+    cents×µs products ride as object ints through one co-location;
+    one double division at the end matches the HUGEINT twin
+    bit-for-bit."""
+    from nerpii_ray.stages.window import time_weighted_avg
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "cents": np.round(b["value"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return time_weighted_avg(
+        ds.map_batches(prep, batch_format="pandas"),
+        key="user_id", ts_col="ts_us", val_col="cents",
+        order_col="event_id",
+    )
+
+
+@register(
     "doc_dup_ngram_stats",
     """
     WITH docs AS (

@@ -700,3 +700,73 @@ def consecutive_streaks(
         return res
 
     return keyed_partition_apply(ds, keys, kernel, num_buckets, path)
+
+
+def time_weighted_avg(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    order_col: str,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Time-weighted average per key (the TWAP shape): each observation
+    holds its integer value until the key's next observation, so the
+    average weights values by their µs holding time — Σ(value·Δt)/Σ(Δt)
+    over the n−1 intervals.  Keys with a single observation emit
+    nothing (no interval); an all-tied key (ΣΔt = 0) emits NaN,
+    matching the SQL twin's NULL.
+
+    One keyed co-location; in-bucket the kernel sorts by (key, ts,
+    order_col) — order_col breaks ts ties deterministically, though a
+    tied pair only ever contributes a zero weight — diffs once, and
+    carries Σ(value·Δt) as OBJECT Python ints (cents × µs products
+    overflow int64 at realistic spans; same discipline as
+    ``agg.grouped_corr``).  The single float is produced by ONE double
+    division at the end, so the HUGEINT SQL twin (LEAD(t) − t per row,
+    exact sums, one division) matches bit-for-bit.  Output: key,
+    n_intervals:int64, total_dt_us:int64, twap:float64.
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts_col, order_col], kind="mergesort")
+        u = g[key].to_numpy()
+        t = g[ts_col].to_numpy(np.int64)
+        c = g[val_col].to_numpy(np.int64)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype=g[key].dtype),
+                    "n_intervals": pd.Series(dtype="int64"),
+                    "total_dt_us": pd.Series(dtype="int64"),
+                    "twap": pd.Series(dtype="float64"),
+                }
+            )
+        same = u[1:] == u[:-1]
+        iu = u[:-1][same]
+        dt = (t[1:] - t[:-1])[same]
+        cv = c[:-1][same]
+        prod = pd.Series(
+            [int(a) * int(b) for a, b in zip(cv, dt)], dtype="object"
+        )
+        df = pd.DataFrame({key: iu, "_dt": dt, "_p": prod})
+        s = (
+            df.groupby(key, sort=False, observed=True)
+            .agg(
+                n_intervals=("_dt", "size"),
+                total_dt_us=("_dt", "sum"),
+                _swv=("_p", "sum"),
+            )
+            .reset_index()
+        )
+        s["n_intervals"] = s["n_intervals"].astype("int64")
+        s["total_dt_us"] = s["total_dt_us"].astype("int64")
+        s["twap"] = [
+            float(int(a)) / float(int(b)) if int(b) > 0 else float("nan")
+            for a, b in zip(s["_swv"], s["total_dt_us"])
+        ]
+        return s.drop(columns=["_swv"])
+
+    return keyed_partition_apply(ds, [key], kernel, num_buckets, path)

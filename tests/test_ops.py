@@ -2770,3 +2770,39 @@ def test_dup_ngram_stats():
     assert out["n_ngrams"].tolist() == [7, 2, 0, 0]
     assert out["n_distinct"].tolist() == [3, 2, 0, 0]
     assert out["top_count"].tolist() == [3, 1, 0, 0]
+
+
+def test_time_weighted_avg():
+    from nerpii_ray.stages.window import time_weighted_avg
+
+    # u1: value 10 held 4us, value 20 held 1us -> (40+20)/5 = 12
+    # u2: single event -> no row; u3: tied ts -> total_dt 0 -> NaN
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 3, 3],
+            "t": [0, 4, 5, 9, 7, 7],
+            "v": [10, 20, 99, 5, 1, 2],
+            "o": [1, 2, 3, 4, 5, 6],
+        }
+    ).astype("int64")
+    out = (
+        time_weighted_avg(rd.from_pandas(df), "k", "t", "v", "o")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 3]
+    assert out["n_intervals"].tolist() == [2, 1]
+    assert out["total_dt_us"].tolist() == [5, 0]
+    assert out["twap"].iloc[0] == 12.0
+    assert np.isnan(out["twap"].iloc[1])
+
+    # overflow guard: cents*dt far past int64 must stay exact
+    big = pd.DataFrame(
+        {
+            "k": [9, 9, 9],
+            "t": [0, 2**45, 2**46],
+            "v": [2**40, 2**40, 0],
+            "o": [1, 2, 3],
+        }
+    ).astype("int64")
+    got = time_weighted_avg(rd.from_pandas(big), "k", "t", "v", "o").to_pandas()
+    assert got["twap"].iloc[0] == float(2**40)
