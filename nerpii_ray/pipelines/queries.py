@@ -6461,6 +6461,48 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "doc_jaccard_pairs_exact",
+    """
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS th
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             '\\w+')) AS t
+            FROM documents)
+    ), cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok a JOIN tok b ON a.th = b.th AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           FLOOR(CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM inter JOIN cnt ca ON ca.doc_id = id_a
+               JOIN cnt cb ON cb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / CAST(ca.n + cb.n - c AS DOUBLE) >= 0.7
+    """,
+)
+def doc_jaccard_pairs_exact(sf_dir: str):
+    """EXACT set-similarity self-join
+    (stages/dedup.prefix_filter_jaccard_pairs): all document pairs with
+    token-set Jaccard ≥ 0.7 via the AllPairs prefix filter (Bayardo et
+    al., WWW'07) — zero recall loss, no bucket column, never all-pairs:
+    only each doc's ``n − ⌈θn⌉ + 1`` rarest-ordered prefix tokens are
+    indexed, candidates length-filter in integer ppm arithmetic, and
+    the verify is an exact sorted-array intersection.  The SQL twin is
+    the full brute-force join (feasible at oracle scale), so the check
+    certifies the FULL-parameter operator, not a scaled-down variant."""
+    from nerpii_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7
+    )
+
+
+@register(
     "events_value_twap",
     """
     WITH b AS (

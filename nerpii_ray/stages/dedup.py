@@ -1534,3 +1534,268 @@ def token_ed1_pairs(
         cand, ["key", "pos"], pair_kernel, num_buckets, path
     )
     return tree_dedup(pairs, ["tok_a", "tok_b"])
+
+
+# ------------------------------------------- exact set-similarity self-join
+def prefix_filter_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_bucket: int = 4096,
+):
+    """EXACT token-set Jaccard pairs ≥ ``threshold`` via the AllPairs
+    prefix filter (Bayardo, Ma & Srikant, WWW'07) — the exact
+    complement to ``minhash_lsh_pairs`` (approximate) and
+    ``ngram_jaccard_pairs`` (bucketed): no bucket column, no recall
+    loss, never all-pairs.
+
+    Prefix filter: fix any global total order on tokens; a pair with
+    J ≥ θ MUST share a token inside each side's first
+    ``n − ⌈θn⌉ + 1`` tokens (if all |∩| ≥ ⌈θ·n⌉ common tokens sat in
+    the ⌈θn⌉−1 suffix, there'd be too few slots), so only PREFIX
+    tokens are indexed and everything else never shuffles.  The order
+    here is the md5-64 token hash itself — universal, known to every
+    worker with NO df census pass and NO vocabulary broadcast
+    (df-ascending ordering shrinks buckets further at the cost of one
+    census + a keyed join; swap in when token skew demands it).
+    ⌈θn⌉ is computed in exact integer arithmetic (θ as ppm rational),
+    so float rounding can never shorten a prefix and break recall.
+
+    Physical plan (one text pass + three keyed exchanges — the
+    ``minhash_lsh_pairs`` shape):
+      1. scan: per doc, the distinct-token int64 hash array, sorted —
+         prefix rows (tok, doc, n) plus ONE set row carrying the full
+         sorted array as bytes (the exact-verify analog of a minhash
+         signature);
+      2. E1 (tok): within-bucket pairing + the length filter
+         ``min·10⁶ ≥ ppm·max`` (J ≥ θ ⇒ θ·max ≤ min), buckets past
+         ``max_bucket`` keep smallest ids and LOG the drop;
+      3. E2 (jid) / E3 (id_a, id_b): each pair half picks up its doc's
+         set bytes, halves meet, cross-token dedup, exact
+         ``np.intersect1d`` — J = |∩|/|∪| ≥ θ.  Small inputs take the
+         one-task root path.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; jaccard rounded
+    half-away to 1e-6 AFTER the threshold test, both replayed exactly
+    by the brute-force SQL twin (same md5 token hashes, same one
+    double division).
+    """
+    import ray
+    import ray.data as rd
+
+    from nerpii_ray.stages.agg import ROOT_THRESHOLD_DEFAULT
+    from nerpii_ray.stages.exchange import hash_exchange_aggregate
+
+    tn = int(round(threshold * 1_000_000))
+    td = 1_000_000
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "jaccard": pd.Series(dtype="float64")}
+    )
+
+    def scan(b: pd.DataFrame) -> pd.DataFrame:
+        ids, tsets = [], []
+        for did, t in zip(b[id_col], b[text_col]):
+            toks = (
+                set(_TOKEN_RE.findall(str(t).lower()))
+                if t is not None else set()
+            )
+            if toks:
+                ids.append(int(did))
+                tsets.append(toks)
+        cols = {
+            "k": pd.Series(dtype="int64"), "tok": pd.Series(dtype="int64"),
+            "doc": pd.Series(dtype="int64"), "n": pd.Series(dtype="int64"),
+            "setb": pd.Series(dtype="object"),
+        }
+        if not ids:
+            out = pd.DataFrame(cols)
+            out["setb"] = out["setb"].astype(object)
+            return out
+        vocab = sorted(set().union(*tsets))
+        hs = stable_hash64_np(pd.Series(vocab)).view(np.int64)
+        hmap = dict(zip(vocab, hs))
+        ks, toks_c, docs_c, ns_c, setb_c = [], [], [], [], []
+        for did, toks in zip(ids, tsets):
+            th = np.sort(np.fromiter(
+                (hmap[t] for t in toks), dtype=np.int64, count=len(toks)
+            ))
+            n = len(th)
+            p = n - ((tn * n + td - 1) // td) + 1
+            for v in th[:p]:
+                ks.append(0); toks_c.append(int(v))
+                docs_c.append(did); ns_c.append(n); setb_c.append(b"")
+            ks.append(1); toks_c.append(0)
+            docs_c.append(did); ns_c.append(n); setb_c.append(th.tobytes())
+        return pd.DataFrame(
+            {"k": pd.Series(ks, dtype="int64"),
+             "tok": pd.Series(toks_c, dtype="int64"),
+             "doc": pd.Series(docs_c, dtype="int64"),
+             "n": pd.Series(ns_c, dtype="int64"),
+             "setb": pd.Series(setb_c, dtype="object")}
+        )
+
+    scanned = ds.map_batches(
+        scan, batch_format="pandas", batch_size=2048
+    ).materialize()
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64")}
+        )
+        if df.empty:
+            return out
+        sizes = df.groupby("tok", sort=False)["tok"].transform("size")
+        multi = df[sizes > 1]
+        if multi.empty:
+            return out
+        trunc_buckets, trunc_pairs = _bucket_truncation_stats(
+            multi.groupby("tok", sort=False).size().to_numpy(), max_bucket
+        )
+        if trunc_buckets:
+            _LOG.warning(
+                "prefix_filter_jaccard_pairs: truncated %d hot bucket(s) "
+                "at max_bucket=%d — %d candidate pair(s) dropped (raise "
+                "max_bucket, or switch to df-ascending token order)",
+                trunc_buckets, max_bucket, trunc_pairs,
+            )
+        ia, ib = [], []
+        for _, g in multi.groupby("tok", sort=False):
+            g = g.sort_values("doc").head(max_bucket)
+            ids = g["doc"].to_numpy()
+            ns = g["n"].to_numpy()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mn = np.minimum(ns[iu], ns[ju])
+            mx = np.maximum(ns[iu], ns[ju])
+            keep = mn * td >= tn * mx
+            ia.append(ids[iu][keep])
+            ib.append(ids[ju][keep])
+        if not ia:
+            return out
+        return pd.DataFrame(
+            {"id_a": np.concatenate(ia).astype("int64"),
+             "id_b": np.concatenate(ib).astype("int64")}
+        ).drop_duplicates()
+
+    def exact_jaccard(sa: bytes, sb: bytes) -> float:
+        a = np.frombuffer(sa, dtype=np.int64)
+        b = np.frombuffer(sb, dtype=np.int64)
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        return inter / (a.size + b.size - inter)
+
+    def finalize(cand: pd.DataFrame, set_of) -> pd.DataFrame:
+        if cand.empty:
+            return empty.copy()
+        jac = np.array(
+            [exact_jaccard(set_of(a), set_of(b))
+             for a, b in zip(cand["id_a"], cand["id_b"])]
+        )
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {"id_a": cand.loc[keep, "id_a"].to_numpy().astype("int64"),
+             "id_b": cand.loc[keep, "id_b"].to_numpy().astype("int64"),
+             "jaccard": [math.floor(j * 1e6 + 0.5) / 1e6 for j in jac[keep]]}
+        ).astype({"jaccard": "float64"})
+
+    n_rows = scanned.count()
+    if n_rows <= ROOT_THRESHOLD_DEFAULT:
+        sdf = scanned.to_pandas()
+        cand = cand_pairs(sdf.loc[sdf["k"] == 0, ["tok", "doc", "n"]])
+        sets = sdf.loc[sdf["k"] == 1, ["doc", "setb"]]
+        set_map = dict(zip(sets["doc"], sets["setb"]))
+        out = finalize(cand, set_map.__getitem__)
+        return rd.from_pandas(out if len(out) else empty)
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    num_buckets = int(min(max(8, ncpu), max(2, n_rows // 1_000_000 + 1)))
+    prefix_rows = scanned.map_batches(
+        lambda b: b.loc[b["k"] == 0, ["tok", "doc", "n"]],
+        batch_format="pandas",
+    )
+    cand_ds = hash_exchange_aggregate(
+        prefix_rows,
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=["tok"],
+        num_buckets=num_buckets,
+        finish_fn=cand_pairs,
+        as_dataset=True,
+    )
+
+    def mk_halves(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.concat(
+            [b.assign(jid=b["id_a"]), b.assign(jid=b["id_b"])],
+            ignore_index=True,
+        )
+        h["setb"] = b""
+        return h[["jid", "id_a", "id_b", "setb"]]
+
+    def mk_set_rows(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.loc[b["k"] == 1, ["doc", "setb"]]
+        return pd.DataFrame(
+            {"jid": s["doc"].astype("int64"),
+             "id_a": np.int64(-1), "id_b": np.int64(-1), "setb": s["setb"]}
+        )
+
+    def attach_set(df: pd.DataFrame) -> pd.DataFrame:
+        sets = df.loc[df["id_a"] < 0, ["jid", "setb"]]
+        halves = df.loc[df["id_a"] >= 0, ["jid", "id_a", "id_b"]]
+        m = halves.merge(sets, on="jid", how="inner")
+        return m[["jid", "id_a", "id_b", "setb"]]
+
+    def score_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return empty.copy()
+        a = (
+            df.loc[df["jid"] == df["id_a"], ["id_a", "id_b", "setb"]]
+            .drop_duplicates(["id_a", "id_b"])
+        )
+        b = (
+            df.loc[df["jid"] == df["id_b"], ["id_a", "id_b", "setb"]]
+            .drop_duplicates(["id_a", "id_b"])
+        )
+        m = a.merge(b, on=["id_a", "id_b"], suffixes=("_a", "_b"))
+        if m.empty:
+            return empty.copy()
+        cand = m[["id_a", "id_b"]].reset_index(drop=True)
+        jac = np.array(
+            [exact_jaccard(sa, sb) for sa, sb in zip(m["setb_a"], m["setb_b"])]
+        )
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {"id_a": cand.loc[keep, "id_a"].to_numpy().astype("int64"),
+             "id_b": cand.loc[keep, "id_b"].to_numpy().astype("int64"),
+             "jaccard": [math.floor(j * 1e6 + 0.5) / 1e6 for j in jac[keep]]}
+        ).astype({"jaccard": "float64"})
+
+    set_ds = scanned.map_batches(mk_set_rows, batch_format="pandas")
+    halves_ds = cand_ds.map_batches(mk_halves, batch_format="pandas")
+    joined = hash_exchange_aggregate(
+        set_ds.union(halves_ds),
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=["jid"],
+        num_buckets=num_buckets,
+        finish_fn=attach_set,
+        as_dataset=True,
+    )
+    scored = hash_exchange_aggregate(
+        joined,
+        partial_fn=lambda b: b,
+        merge_fn=lambda df: df,
+        keys=["id_a", "id_b"],
+        num_buckets=num_buckets,
+        finish_fn=score_pairs,
+        as_dataset=True,
+    )
+    return scored.map_batches(
+        lambda b: b[["id_a", "id_b", "jaccard"]].astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
+        if len(b)
+        else empty.copy(),
+        batch_format="pandas",
+    )

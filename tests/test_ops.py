@@ -2806,3 +2806,59 @@ def test_time_weighted_avg():
     ).astype("int64")
     got = time_weighted_avg(rd.from_pandas(big), "k", "t", "v", "o").to_pandas()
     assert got["twap"].iloc[0] == float(2**40)
+
+
+def test_prefix_filter_jaccard_pairs():
+    import re as _re
+    from itertools import combinations
+
+    from nerpii_ray.stages import agg
+    from nerpii_ray.stages.dedup import prefix_filter_jaccard_pairs
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words entirely here"),
+        (5, "words entirely different completely here now"),  # near-dup of 4
+        (6, ""),            # empty -> never pairs
+        (7, None),          # null  -> never pairs
+        (8, "zz yy xx"),
+    ]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    # brute-force expected pairs over token sets
+    tokre = _re.compile(r"\w+")
+    sets = {i: set(tokre.findall(str(t).lower())) for i, t in docs if t}
+    exp = set()
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if sa and sb and len(sa & sb) / len(sa | sb) >= 0.5:
+            exp.add((a, b))
+
+    out = (
+        prefix_filter_jaccard_pairs(rd.from_pandas(df), threshold=0.5)
+        .to_pandas()
+    )
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == exp
+    assert (out["jaccard"] >= 0.5).all()
+    # exact dup scores exactly 1.0
+    j13 = out.set_index(["id_a", "id_b"])["jaccard"]
+    assert j13[(1, 3)] == 1.0
+
+    # forced exchange path must equal the small path bit-for-bit
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1
+    try:
+        out2 = (
+            prefix_filter_jaccard_pairs(
+                rd.from_pandas(df).repartition(3), threshold=0.5
+            )
+            .to_pandas()
+        )
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+    a = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = out2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
