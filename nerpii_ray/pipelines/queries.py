@@ -6461,6 +6461,59 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "orders_price_zscore",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS HUGEINT) AS x
+      FROM orders
+    ), s AS (
+      SELECT o_orderpriority, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS s1, SUM(x * x) AS s2
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderkey, c.o_orderpriority,
+           CASE WHEN (n * s2 - s1 * s1) > 0
+                THEN CAST(n * c.x - s1 AS DOUBLE)
+                     / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                ELSE NULL END AS z
+    FROM c JOIN s USING (o_orderpriority)
+    """,
+)
+def orders_price_zscore(sf_dir: str):
+    """Per-row z-score normalization (stages/agg.grouped_zscore), the
+    feature-scaling map: every order's price standardized against its
+    priority class — two passes, exact integer moments reduced through
+    the combiner tree, constants shipped in the map closure, numerator
+    ``n·x − Σx`` exact per row and ONE float division, so the HUGEINT
+    twin matches bit-for-bit."""
+    from nerpii_ray.stages.agg import grouped_zscore
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_orderpriority": b["o_orderpriority"].astype(str),
+                "x": np.round(b["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    out = grouped_zscore(
+        ds.map_batches(prep, batch_format="pandas"), ["o_orderpriority"], "x"
+    )
+    return out.map_batches(
+        lambda b: b[["o_orderkey", "o_orderpriority", "z"]],
+        batch_format="pandas",
+    )
+
+
+@register(
     "doc_jaccard_pairs_exact",
     """
     WITH tok AS (

@@ -450,6 +450,54 @@ def grouped_sorted_concat(
     return tree_aggregate(ds, keep, keep, final_fn=finish)
 
 
+def _exact_sums_partial(keys: list, value_col: str):
+    """Per-batch (n, Σx, Σx²) partial with GENUINE object dtype (not
+    int64): pandas then sums with Python big-ints inside
+    groupby().sum().  A ``.map(int)`` column is inferred int64 and a
+    group's Σx² silently wraps past 2^63 (~1e5 rows of 1e7-cent values
+    — reached by lineitem at sf1) while the HUGEINT SQL twin stays
+    exact."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b[value_col]
+        df = pd.DataFrame({**{k: b[k] for k in keys}})
+        df["n"] = pd.Series([1] * len(df), index=df.index, dtype="object")
+        df["s1"] = pd.Series(
+            [int(x) for x in v], index=df.index, dtype="object"
+        )
+        df["s2"] = pd.Series(
+            [int(x) * int(x) for x in v], index=df.index, dtype="object"
+        )
+        return (
+            df.groupby(keys, sort=False, observed=True)[["n", "s1", "s2"]]
+            .sum()
+            .reset_index()
+        )
+
+    return partial
+
+
+def _exact_sums_merge(keys: list):
+    """Merge level for the (n, Σx, Σx²) tree — re-coerces to object
+    Python ints: partials ride Ray blocks between tree levels and a
+    format conversion could hand back int64 columns whose further sums
+    would wrap."""
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("n", "s1", "s2"):
+            df[c] = pd.Series(
+                [int(x) for x in df[c]], index=df.index, dtype="object"
+            )
+        return (
+            df.groupby(keys, sort=False, observed=True)[["n", "s1", "s2"]]
+            .sum()
+            .reset_index()
+        )
+
+    return merge
+
+
 def grouped_moments(
     ds,
     keys: Sequence[str],
@@ -472,42 +520,8 @@ def grouped_moments(
     mean (DOUBLE), var_pop (DOUBLE).
     """
     keys = list(keys)
-
-    def default_partial(b: pd.DataFrame) -> pd.DataFrame:
-        v = b[value_col]
-        df = pd.DataFrame({**{k: b[k] for k in keys}})
-        # GENUINE object dtype (not int64): pandas then sums with Python
-        # big-ints inside groupby().sum().  A `.map(int)` column is
-        # inferred int64 and a group's Σx² silently wraps past 2^63
-        # (~1e5 rows of 1e7-cent values — reached by lineitem at sf1)
-        # while the HUGEINT SQL twin stays exact.
-        df["n"] = pd.Series([1] * len(df), index=df.index, dtype="object")
-        df["s1"] = pd.Series(
-            [int(x) for x in v], index=df.index, dtype="object"
-        )
-        df["s2"] = pd.Series(
-            [int(x) * int(x) for x in v], index=df.index, dtype="object"
-        )
-        return (
-            df.groupby(keys, sort=False, observed=True)[["n", "s1", "s2"]]
-            .sum()
-            .reset_index()
-        )
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        # re-coerce to object Python ints: partials ride Ray blocks
-        # between tree levels and a format conversion could hand back
-        # int64 columns whose further sums would wrap
-        df = df.copy()
-        for c in ("n", "s1", "s2"):
-            df[c] = pd.Series(
-                [int(x) for x in df[c]], index=df.index, dtype="object"
-            )
-        return (
-            df.groupby(keys, sort=False, observed=True)[["n", "s1", "s2"]]
-            .sum()
-            .reset_index()
-        )
+    default_partial = _exact_sums_partial(keys, value_col)
+    merge = _exact_sums_merge(keys)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1392,3 +1406,60 @@ def grouped_spearman(
         return out
 
     return corr.map_batches(finish, batch_format="pandas")
+
+
+def grouped_zscore(ds, keys: Sequence[str], x_col: str):
+    """Per-row population z-score within its group — the feature-scaling
+    map — in TWO passes with nothing group-sized ever centralized:
+
+      1. the exact (n, Σx, Σx²) combiner tree (object Python ints, the
+         ``grouped_moments`` discipline) reduces to ≤|groups| rows —
+         the bounded-key contract — which the driver folds into a
+         constants table shipped inside the map closure;
+      2. one map pass computes ``z = (n·x − Σx) / √(n·Σx² − (Σx)²)``:
+         the numerator is an EXACT integer per row and the division is
+         the single float step, so the HUGEINT SQL twin
+         (``CAST(n*x - s1 AS DOUBLE) / SQRT(CAST(… AS DOUBLE))``)
+         matches bit-for-bit.  (The algebra: (x−μ)/σ_pop with μ=Σx/n,
+         σ=√(n·Σx²−Σx²)/n — the n's cancel.)  Zero-variance groups
+         (incl. singletons) emit NaN, matching SQL NULL.
+
+    Rows of groups absent from pass 1 cannot exist (same input); the
+    numerator stays in numpy int64 while ``n·max|x|+|Σx| < 2^62`` and
+    falls back to exact object ints past it.  Output: all input
+    columns plus ``z:float64``.
+    """
+    import math
+
+    keys = list(keys)
+    raw = tree_aggregate(
+        ds, _exact_sums_partial(keys, x_col), _exact_sums_merge(keys)
+    ).take_all()
+    consts = {}
+    for r in raw:
+        k = tuple(r[c] for c in keys)
+        n, s1, s2 = int(r["n"]), int(r["s1"]), int(r["s2"])
+        consts[k] = (n, s1, n * s2 - s1 * s1)
+
+    def zmap(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        z = np.full(len(b), np.nan, dtype=np.float64)
+        x = b[x_col].to_numpy()
+        for k, idx in b.groupby(keys, sort=False, observed=True).indices.items():
+            kk = k if isinstance(k, tuple) else (k,)
+            n, s1, d = consts[kk]
+            if d <= 0:
+                continue
+            xs = x[idx]
+            root = math.sqrt(float(d))
+            if n * int(np.abs(xs).max()) + abs(s1) < 2**62:
+                num = (n * xs.astype(np.int64) - s1).astype(np.float64)
+            else:
+                num = np.array(
+                    [float(n * int(v) - s1) for v in xs], dtype=np.float64
+                )
+            z[idx] = num / root
+        b["z"] = z
+        return b
+
+    return ds.map_batches(zmap, batch_format="pandas")

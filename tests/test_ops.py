@@ -2862,3 +2862,37 @@ def test_prefix_filter_jaccard_pairs():
     a = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     b = out2.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_grouped_zscore():
+    from nerpii_ray.stages.agg import grouped_zscore
+
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 2 + ["c"],
+            "x": [2, 4, 6, 8, 5, 5, 42],
+        }
+    ).astype({"x": "int64"})
+    out = (
+        grouped_zscore(rd.from_pandas(df).repartition(3), ["g"], "x")
+        .to_pandas().sort_values(["g", "x"]).reset_index(drop=True)
+    )
+    # group a: mean 5, var_pop 5 -> z = (x-5)/sqrt(5)
+    a = out[out["g"] == "a"]["z"].to_numpy()
+    exp = (np.array([2, 4, 6, 8]) - 5) / np.sqrt(5.0)
+    assert np.allclose(a, exp, atol=1e-12)
+    # zero variance (b) and singleton (c) -> NaN
+    assert np.isnan(out[out["g"] == "b"]["z"]).all()
+    assert np.isnan(out[out["g"] == "c"]["z"]).all()
+
+    # big-int fallback: values past the int64-product guard stay exact
+    big = pd.DataFrame({"g": ["z"] * 3, "x": [2**61, -(2**61), 0]}).astype(
+        {"x": "int64"}
+    )
+    got = grouped_zscore(rd.from_pandas(big), ["g"], "x").to_pandas()
+    zs = np.sort(got["z"].to_numpy())
+    n, s1 = 3, 0
+    d = n * (2 * (2**61) ** 2) - 0
+    import math
+    e = float(n * 2**61) / math.sqrt(float(d))
+    assert np.allclose(zs, [-e, 0.0, e], rtol=0, atol=0)
