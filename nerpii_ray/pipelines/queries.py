@@ -6461,6 +6461,53 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "embedding_knn_self",
+    """
+    WITH f AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+               AS fv
+      FROM embeddings
+    ), tok AS (
+      SELECT vec_id, i, fv[i] AS v
+      FROM f, UNNEST(generate_series(1, len(fv))) AS t(i)
+    ), norms AS (
+      SELECT vec_id, SUM(v * v) AS nn FROM tok GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS d
+      FROM tok a JOIN tok b ON a.i = b.i AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT qid AS vec_id, nid AS nbr_id, cos_sim, rank FROM (
+      SELECT qid, nid,
+             CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+                                  * sqrt(CAST(nb.nn AS DOUBLE))) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(d AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE))
+                        * sqrt(CAST(nb.nn AS DOUBLE))) DESC, nid
+             ) AS BIGINT) AS rank
+      FROM dots JOIN norms na ON na.vec_id = qid
+                JOIN norms nb ON nb.vec_id = nid
+    ) WHERE rank <= 3
+    """,
+)
+def embedding_knn_self(sf_dir: str):
+    """Exact k-NN self-join (stages/similarity.knn_self_join): every
+    vector's top-3 cosine neighbors, ties to the smaller id — the
+    rerank / dedup-candidate stage of a similarity pipeline.  Fixed-
+    point int64 Gram products against a once-broadcast matrix, one
+    double division last, so the SQL twin (same ``floor(v·2^20)``
+    arithmetic) reproduces values AND tie order bit-for-bit."""
+    from nerpii_ray.stages.similarity import knn_self_join
+
+    return knn_self_join(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=3
+    )
+
+
+@register(
     "orders_price_zscore",
     """
     WITH c AS (

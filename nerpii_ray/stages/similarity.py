@@ -364,3 +364,75 @@ def kmeans(
         batch_format="pandas",
     )
     return assigned, cents
+
+
+def knn_self_join(
+    ds,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1 << 20,
+):
+    """Exact k-nearest-neighbor SELF-join by cosine: for every vector,
+    its top-``k`` most similar OTHER vectors, ties to the smaller
+    neighbor id.  The srp_dup_pairs exactness discipline makes it
+    hash-oracle-able: vectors fixed-point as ``floor(v·2^20)`` int64,
+    Gram products exact in int64, and the one double division
+    ``dot/(√nn_a·√nn_b)`` last — the SQL twin replays the identical
+    arithmetic, so even the tie ORDER is bit-stable.
+
+    Physical plan: the fixed-point matrix broadcasts ONCE (``ray.put``,
+    read per task — never re-shipped per batch) and each batch runs one
+    integer matmul against it: exact all-pairs scoring streams the
+    probe side and never shuffles.  Contract: the corpus-sized build
+    side must fit a worker heap — this is the exact small-corpus /
+    rerank-stage form; past that, bucket by IVF cell
+    (``ivf_topk``-style: score only within probed cells) and accept
+    approximate recall.  Output: (id_col, nbr_id, cos_sim, rank).
+    """
+    import ray
+
+    mat = ds.to_pandas()
+    ids = mat[id_col].to_numpy(np.int64)
+    F = np.floor(
+        np.stack(
+            [np.asarray(v, dtype=np.float64) for v in mat[vec_col]]
+        ) * scale
+    ).astype(np.int64)
+    order = np.argsort(ids)
+    ids, F = ids[order], F[order]
+    nn = (F * F).sum(axis=1)
+    ref = ray.put((ids, F, nn))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        aids, AF, ann = ray.get(ref)
+        bids = b[id_col].to_numpy(np.int64)
+        BF = np.floor(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+            ) * scale
+        ).astype(np.int64)
+        bnn = (BF * BF).sum(axis=1)
+        G = (BF @ AF.T).astype(np.float64)
+        cos = G / (np.sqrt(bnn.astype(np.float64))[:, None]
+                   * np.sqrt(ann.astype(np.float64))[None, :])
+        cos[bids[:, None] == aids[None, :]] = -np.inf  # exclude self
+        outq, outn, outc, outr = [], [], [], []
+        for r in range(len(bids)):
+            # top-k by (cos desc, id asc): lexsort is ascending, so
+            # negate cos; aids is already ascending for the tiebreak
+            ordr = np.lexsort((aids, -cos[r]))[:k]
+            outq.extend([bids[r]] * len(ordr))
+            outn.extend(aids[ordr])
+            outc.extend(cos[r][ordr])
+            outr.extend(range(1, len(ordr) + 1))
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(outq, dtype="int64"),
+                "nbr_id": pd.Series(outn, dtype="int64"),
+                "cos_sim": pd.Series(outc, dtype="float64"),
+                "rank": pd.Series(outr, dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=4096)

@@ -2896,3 +2896,32 @@ def test_grouped_zscore():
     import math
     e = float(n * 2**61) / math.sqrt(float(d))
     assert np.allclose(zs, [-e, 0.0, e], rtol=0, atol=0)
+
+
+def test_knn_self_join():
+    from nerpii_ray.stages.similarity import knn_self_join
+
+    # 2-D vectors with known geometry: 1 and 2 identical direction,
+    # 3 orthogonal-ish, 4 opposite
+    df = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [
+                [1.0, 0.0], [2.0, 0.0], [0.0, 1.0], [-1.0, 0.0],
+            ],
+        }
+    )
+    out = (
+        knn_self_join(rd.from_pandas(df), k=2)
+        .to_pandas().sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    )
+    assert len(out) == 8
+    # vec 1's nearest is 2 (cos 1), then 3 (cos 0)
+    r1 = out[out["vec_id"] == 1]
+    assert r1["nbr_id"].tolist() == [2, 3]
+    assert abs(r1["cos_sim"].iloc[0] - 1.0) < 1e-9
+    # vec 3 ties between 1,2 (cos 0) and 4 (cos 0): smaller ids win
+    r3 = out[out["vec_id"] == 3]
+    assert r3["nbr_id"].tolist() == [1, 2]
+    # no self matches anywhere
+    assert (out["vec_id"] != out["nbr_id"]).all()
