@@ -6461,6 +6461,62 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "events_active_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS s,
+             CAST(epoch_us(ts) AS BIGINT) + 3600000000 AS e
+      FROM events
+    ), o AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ), b AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS iid
+      FROM o
+    ), isl AS (
+      SELECT user_id, iid, MAX(e) - MIN(s) AS len
+      FROM b GROUP BY user_id, iid
+    )
+    SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered,
+           CAST(COUNT(*) AS BIGINT) AS n_islands
+    FROM isl GROUP BY user_id
+    """,
+)
+def events_active_coverage(sf_dir: str):
+    """Interval-union coverage (stages/window.interval_union_length):
+    each event opens a 1-hour activity window; per user, the UNION
+    length of those overlapping windows (total active time,
+    double-count-free) and the merged-island count — the uptime /
+    coverage primitive beside peak concurrency.  One co-location; the
+    in-bucket merge is the vectorized cummax-island kernel the SQL
+    twin replays with a running MAX window."""
+    from nerpii_ray.stages.window import interval_union_length
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def mk_iv(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "s_start": s,
+                "s_end": s + 3_600_000_000,
+            }
+        )
+
+    return interval_union_length(
+        ds.map_batches(mk_iv, batch_format="pandas"), ["user_id"]
+    )
+
+
+@register(
     "embedding_knn_self",
     """
     WITH f AS (

@@ -770,3 +770,66 @@ def time_weighted_avg(
         return s.drop(columns=["_swv"])
 
     return keyed_partition_apply(ds, [key], kernel, num_buckets, path)
+
+
+def interval_union_length(
+    intervals_ds,
+    keys: list[str],
+    start_col: str = "s_start",
+    end_col: str = "s_end",
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Per-key UNION length of (possibly overlapping) intervals — total
+    covered time, double-count-free: the coverage/uptime primitive that
+    complements ``max_concurrent_intervals`` (global peak) and
+    ``session_table`` (the interval source).  Closed-open convention:
+    an interval covers [start, end), so zero-length intervals add
+    nothing and touching intervals merge seamlessly.
+
+    One keyed co-location; in-bucket the classic merge is fully
+    vectorized: sort by (key, start), running cummax of ends per key,
+    an island breaks where start > cummax(prev ends) — the same
+    ``day − ROW_NUMBER()`` family as ``consecutive_streaks``, in
+    continuous time.  SQL twin: cummax window + island groupby.
+    Output: keys…, covered:int64 (Σ per-island max(end)−min(start)),
+    n_islands:int64.
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    keys = list(keys)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(keys + [start_col, end_col], kind="mergesort")
+        if not len(g):
+            out = g[keys].copy()
+            out["covered"] = pd.Series(dtype="int64")
+            out["n_islands"] = pd.Series(dtype="int64")
+            return out
+        s = g[start_col].to_numpy(np.int64)
+        e = g[end_col].to_numpy(np.int64)
+        kc = g[keys].ne(g[keys].shift()).any(axis=1).to_numpy()
+        # running cummax of e within key runs
+        run = np.cumsum(kc) - 1
+        emax = pd.Series(e).groupby(run).cummax().to_numpy()
+        prev = np.concatenate([[np.iinfo(np.int64).min], emax[:-1]])
+        brk = kc | (s > prev)
+        iid = np.cumsum(brk)
+        isl = (
+            pd.DataFrame({**{k: g[k].to_numpy() for k in keys},
+                          "_iid": iid, "_s": s, "_e": emax})
+            .groupby(keys + ["_iid"], sort=False, observed=True)
+            .agg(_lo=("_s", "min"), _hi=("_e", "max"))
+            .reset_index()
+        )
+        isl["_len"] = isl["_hi"] - isl["_lo"]
+        out = (
+            isl.groupby(keys, sort=False, observed=True)
+            .agg(covered=("_len", "sum"), n_islands=("_len", "size"))
+            .reset_index()
+        )
+        out["covered"] = out["covered"].astype("int64")
+        out["n_islands"] = out["n_islands"].astype("int64")
+        return out
+
+    return keyed_partition_apply(intervals_ds, keys, kernel, num_buckets, path)

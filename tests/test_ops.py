@@ -2925,3 +2925,25 @@ def test_knn_self_join():
     assert r3["nbr_id"].tolist() == [1, 2]
     # no self matches anywhere
     assert (out["vec_id"] != out["nbr_id"]).all()
+
+
+def test_interval_union_length():
+    from nerpii_ray.stages.window import interval_union_length
+
+    df = pd.DataFrame(
+        {
+            # k1: [0,10) ∪ [5,20) merge -> 20; [30,35) separate -> 5
+            # k2: touching [0,5) [5,9) merge -> 9 (one island)
+            # k3: contained [0,100) ⊃ [10,20) -> 100
+            # k4: zero-length [7,7) -> 0 covered, 1 island
+            "k": [1, 1, 1, 2, 2, 3, 3, 4],
+            "s_start": [0, 5, 30, 0, 5, 0, 10, 7],
+            "s_end": [10, 20, 35, 5, 9, 100, 20, 7],
+        }
+    ).astype("int64")
+    out = (
+        interval_union_length(rd.from_pandas(df), ["k"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["covered"].tolist() == [25, 9, 100, 0]
+    assert out["n_islands"].tolist() == [2, 1, 1, 1]
