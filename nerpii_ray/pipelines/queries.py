@@ -6461,6 +6461,47 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "lineitem_price_mad",
+    """
+    WITH c AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem
+    ), m AS (
+      SELECT g, quantile_disc(x, 0.5) AS med FROM c GROUP BY g
+    ), d AS (
+      SELECT c.g, ABS(c.x - m.med) AS dv FROM c JOIN m USING (g)
+    )
+    SELECT g AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(quantile_disc(dv, 0.5) AS BIGINT) AS mad
+    FROM d GROUP BY g
+    """,
+)
+def lineitem_price_mad(sf_dir: str):
+    """Median absolute deviation (stages/agg.grouped_mad): the robust
+    scale statistic per return flag — two exact discrete-quantile
+    passes over the domain-bounded value-histogram tree, medians
+    shipped in the second pass's closure, integers end to end."""
+    from nerpii_ray.stages.agg import grouped_mad
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].astype(str),
+                "x": np.round(
+                    b["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    return grouped_mad(
+        ds.map_batches(prep, batch_format="pandas"), ["l_returnflag"], "x"
+    )
+
+
+@register(
     "events_active_coverage",
     """
     WITH iv AS (

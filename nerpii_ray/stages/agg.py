@@ -1463,3 +1463,46 @@ def grouped_zscore(ds, keys: Sequence[str], x_col: str):
         return b
 
     return ds.map_batches(zmap, batch_format="pandas")
+
+
+def grouped_mad(ds, keys: Sequence[str], x_col: str):
+    """Median absolute deviation per group — the robust-scale statistic
+    beside variance — as TWO exact discrete-quantile passes:
+
+      1. per-group discrete median through the value-histogram tree
+         (``grouped_quantile_disc``: one row per distinct (group,
+         value) moves, DuckDB ``quantile_disc(0.5)`` semantics) — the
+         ≤|groups| medians ship in the second pass's map closure;
+      2. per-row ``|x − med|`` (exact int64), then the SAME histogram
+         tree picks the deviation median.
+
+    All-integer end to end, so the twin
+    (``quantile_disc(ABS(x − med), 0.5)``) matches exactly; both the
+    histogram roots are domain-bounded, never row-bounded.  Output:
+    keys…, n:int64, mad:int64.
+    """
+    keys = list(keys)
+    med_rows = grouped_quantile_disc(
+        ds, keys, x_col, [0.5], ["med"]
+    ).take_all()
+    meds = {tuple(r[c] for c in keys): int(r["med"]) for r in med_rows}
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        out = b[keys].copy()
+        d = np.empty(len(b), dtype=np.int64)
+        x = b[x_col].to_numpy(np.int64)
+        for k, idx in b.groupby(keys, sort=False, observed=True).indices.items():
+            kk = k if isinstance(k, tuple) else (k,)
+            d[idx] = np.abs(x[idx] - meds[kk])
+        out["_dev"] = d
+        return out
+
+    out = grouped_quantile_disc(
+        ds.map_batches(dev, batch_format="pandas"), keys, "_dev",
+        [0.5], ["mad"],
+    )
+    return out.map_batches(
+        lambda b: b.astype({"n": "int64", "mad": "int64"})
+        if len(b) else b,
+        batch_format="pandas",
+    )

@@ -2947,3 +2947,20 @@ def test_interval_union_length():
     )
     assert out["covered"].tolist() == [25, 9, 100, 0]
     assert out["n_islands"].tolist() == [2, 1, 1, 1]
+
+
+def test_grouped_mad():
+    from nerpii_ray.stages.agg import grouped_mad
+
+    # g=a values [1,2,4,100]: disc median (ceil(.5*4)=2nd) = 2;
+    # devs [1,0,2,98] sorted [0,1,2,98] -> disc median = 1
+    # g=b single value -> med=7, dev 0 -> mad 0
+    df = pd.DataFrame(
+        {"g": ["a", "a", "a", "a", "b"], "x": [1, 2, 4, 100, 7]}
+    ).astype({"x": "int64"})
+    out = (
+        grouped_mad(rd.from_pandas(df).repartition(2), ["g"], "x")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [4, 1]
+    assert out["mad"].tolist() == [1, 0]
