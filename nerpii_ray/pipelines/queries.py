@@ -6461,6 +6461,79 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "events_prev_purchase_1h",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id,
+           COALESCE(CASE WHEN epoch_us(e.ts) - epoch_us(p.ts)
+                              <= 3600000000
+                         THEN p.cents END, -1) AS prev_purchase_1h_cents
+    FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts > p.ts
+    """,
+)
+def events_prev_purchase_1h(sf_dir: str):
+    """Tolerance-bounded as-of join (``asof_join(tolerance=1h)``): the
+    strictly prior purchase only when it happened within the last hour
+    — the staleness-bounded lookup shape (a quote older than the bound
+    is no quote).  The as-of match is by definition the nearest
+    qualifying row, so the SQL twin is the plain ASOF JOIN with
+    out-of-tolerance matches NULLed."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import asof_join
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def to_us(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["ts"] = b["ts"].astype("datetime64[us]").astype("int64")
+        return b
+
+    ev_us = ev.map_batches(to_us, batch_format="pandas")
+    left = ev_us.map_batches(
+        lambda b: b[["event_id", "user_id", "ts"]], batch_format="pandas"
+    )
+
+    def purchase_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[b["event_type"] == "purchase"]
+        df = pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype("int64"),
+                "ts": p["ts"],
+                "prev_purchase_1h_cents": np.round(
+                    p["value"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return _max_by_user_ts(df)
+
+    right = tree_aggregate(
+        ev_us, purchase_partial, _max_by_user_ts, keys=["user_id", "ts"]
+    )
+    joined = asof_join(
+        left, right, key="user_id", ts="ts", strict=True, path="exchange",
+        tolerance=3_600_000_000,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "prev_purchase_1h_cents": b["prev_purchase_1h_cents"]
+                .fillna(-1)
+                .astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+@register(
     "lineitem_price_mad",
     """
     WITH c AS (

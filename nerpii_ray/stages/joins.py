@@ -160,6 +160,7 @@ def asof_join(
     suffix: str = "_r",
     path: str = "auto",
     direction: str = "backward",
+    tolerance=None,
 ):
     """As-of join: each left row picks the right row of the same
     ``key`` with the greatest ``ts`` ≤ (or < when ``strict``) its own —
@@ -167,7 +168,12 @@ def asof_join(
     own — nulls when none qualifies.  ``direction="nearest"`` picks the
     row minimizing ``|Δts|`` with ties going to the PRIOR row (replay in
     SQL as ``ROW_NUMBER() OVER (... ORDER BY ABS(l.ts - r.ts), r.ts) =
-    1`` over the exploded equi-join).  Matches DuckDB
+    1`` over the exploded equi-join).  ``tolerance`` (same units as
+    ``ts``) rejects matches with ``|Δts| > tolerance`` — and since the
+    as-of match is by definition the nearest qualifying row, the SQL
+    replay is just the plain as-of join with out-of-tolerance matches
+    NULLed (``CASE WHEN l.ts - r.ts <= tol THEN … END``).  Matches
+    DuckDB
     ``ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts`` (``>`` when
     strict; ``<=``/``<`` for forward), which is the SQL-oracle twin.
 
@@ -248,7 +254,7 @@ def asof_join(
             rgn["__rts"] = rgn[ts]
             kw = dict(
                 on=ts, by=key, allow_exact_matches=not strict,
-                suffixes=("", suffix),
+                suffixes=("", suffix), tolerance=tolerance,
             )
             bwd = pd.merge_asof(lg, rgn, direction="backward", **kw)
             fwd = pd.merge_asof(lg, rgn, direction="forward", **kw)
@@ -268,6 +274,7 @@ def asof_join(
             direction=direction,
             allow_exact_matches=not strict,
             suffixes=("", suffix),
+            tolerance=tolerance,
         )
         return out.reset_index(drop=True)
 

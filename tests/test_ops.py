@@ -2964,3 +2964,28 @@ def test_grouped_mad():
     )
     assert out["n"].tolist() == [4, 1]
     assert out["mad"].tolist() == [1, 0]
+
+
+def test_asof_join_tolerance():
+    from nerpii_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 1], "ts": [10, 50, 100]}).astype("int64")
+    right = pd.DataFrame(
+        {"k": [1, 1], "ts": [8, 90], "x": [80, 900]}
+    ).astype("int64")
+    # backward, tolerance 5: ts=10 matches 8 (gap 2); ts=50's nearest
+    # prior is 8 (gap 42) -> rejected; ts=100 matches 90 (gap 10) -> rejected
+    out = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  key="k", ts="ts", tolerance=5)
+        .to_pandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert out["x"].fillna(-1).tolist() == [80.0, -1.0, -1.0]
+    # nearest with tolerance: ts=50 nearest is 90 (gap 40) vs 8 (gap 42),
+    # tolerance 41 admits only the forward one
+    out2 = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                  key="k", ts="ts", direction="nearest", tolerance=41)
+        .to_pandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert out2["x"].fillna(-1).tolist() == [80.0, 900.0, 900.0]
