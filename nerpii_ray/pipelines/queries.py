@@ -6461,6 +6461,103 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "lineitem_qty_weighted_avg_price",
+    """
+    WITH c AS (
+      SELECT l_returnflag, CAST(l_quantity AS HUGEINT) AS w,
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS v
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(w) AS sw, SUM(w * v) AS swv
+      FROM c GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CASE WHEN sw != 0
+                THEN CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE)
+                ELSE NULL END AS wmean
+    FROM s
+    """,
+)
+def lineitem_qty_weighted_avg_price(sf_dir: str):
+    """Weighted mean (stages/agg.grouped_weighted_mean): average price
+    in cents weighted by quantity per return flag — exact (Σw, Σw·v)
+    object-int partials through the combiner tree, one double division
+    at the root, bit-stable against the HUGEINT twin."""
+    from nerpii_ray.stages.agg import grouped_weighted_mean
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"].astype(str),
+                "w": b["l_quantity"].to_numpy().astype("int64"),
+                "v": np.round(
+                    b["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    return grouped_weighted_mean(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_returnflag"], "v", "w",
+    )
+
+
+def _throttle_sql(gap_us: int, steps: int) -> str:
+    # greedy debounce unrolled as chained per-key MINs (the funnel /
+    # BFS staged-CTE pattern): kept(i+1) = per-user MIN t ≥ kept(i)+gap.
+    # steps must bound span//gap + 1; events span 30 days, gap 3 days.
+    ctes = ["k0 AS (SELECT user_id, MIN(t) AS t FROM b GROUP BY user_id)"]
+    for i in range(1, steps):
+        ctes.append(
+            f"k{i} AS (SELECT b.user_id, MIN(b.t) AS t FROM b "
+            f"JOIN k{i-1} p ON b.user_id = p.user_id "
+            f"AND b.t >= p.t + {gap_us} GROUP BY b.user_id)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM k{i}" for i in range(steps))
+    return f"""
+    WITH b AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+    ), {", ".join(ctes)}
+    SELECT user_id, t AS kept_ts_us FROM ({union})
+    """
+
+
+@register("events_throttle_3d", _throttle_sql(259_200_000_000, 12))
+def events_throttle_3d(sf_dir: str):
+    """Greedy per-key debounce/throttle (stages/window.debounce): keep
+    an event only when ≥3 days have passed since the user's previous
+    KEPT event — the duplicate-suppression / contact-frequency-cap
+    shape.  The anchor is data-dependent (a kept row, not the previous
+    raw row), so no window function expresses it; the SQL twin unrolls
+    the greedy recurrence as 12 chained per-user MIN CTEs (span/gap
+    bounds the depth), the staged-MIN pattern from the funnel and BFS
+    twins."""
+    from nerpii_ray.stages.window import debounce
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "kept_ts_us": b["ts"].astype("datetime64[us]").astype(
+                    "int64"
+                ),
+            }
+        )
+
+    return debounce(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id"], "kept_ts_us", 259_200_000_000,
+    )
+
+
+@register(
     "events_prev_purchase_1h",
     """
     WITH p AS (

@@ -1506,3 +1506,61 @@ def grouped_mad(ds, keys: Sequence[str], x_col: str):
         if len(b) else b,
         batch_format="pandas",
     )
+
+
+def grouped_weighted_mean(
+    ds, keys: Sequence[str], val_col: str, weight_col: str
+):
+    """Weighted mean per group — Σ(w·v)/Σw — with the exact-big-int
+    discipline: (Σw, Σwv) ride the combiner tree as object Python ints
+    (w·v products wrap int64 at realistic scales) and the ONE double
+    division happens at the root, so the HUGEINT SQL twin matches
+    bit-for-bit.  Zero total weight → NaN (SQL NULL).  Output:
+    keys…, n:int64, wmean:float64.
+    """
+    keys = list(keys)
+    state = ["n", "sw", "swv"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        w = [int(x) for x in b[weight_col]]
+        v = [int(x) for x in b[val_col]]
+        df = pd.DataFrame({**{k: b[k] for k in keys}})
+        idx = df.index
+        df["n"] = pd.Series([1] * len(df), index=idx, dtype="object")
+        df["sw"] = pd.Series(w, index=idx, dtype="object")
+        df["swv"] = pd.Series(
+            [a * c for a, c in zip(w, v)], index=idx, dtype="object"
+        )
+        return (
+            df.groupby(keys, sort=False, observed=True)[state]
+            .sum()
+            .reset_index()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in state:
+            df[c] = pd.Series(
+                [int(x) for x in df[c]], index=df.index, dtype="object"
+            )
+        return (
+            df.groupby(keys, sort=False, observed=True)[state]
+            .sum()
+            .reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = {k: pd.Series(dtype="object") for k in keys}
+            cols.update(n=pd.Series(dtype="int64"),
+                        wmean=pd.Series(dtype="float64"))
+            return pd.DataFrame(cols)
+        out = df[keys].copy()
+        out["n"] = df["n"].map(int).astype("int64")
+        out["wmean"] = [
+            float(int(a)) / float(int(b)) if int(b) != 0 else float("nan")
+            for a, b in zip(df["swv"], df["sw"])
+        ]
+        return out.reset_index(drop=True)
+
+    return tree_aggregate(ds, partial, merge, final_fn=finish)

@@ -833,3 +833,49 @@ def interval_union_length(
         return out
 
     return keyed_partition_apply(intervals_ds, keys, kernel, num_buckets, path)
+
+
+def debounce(
+    ds,
+    keys: list[str],
+    ts_col: str,
+    min_gap_us: int,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Per-key DEBOUNCE: keep a row only if the key's previous KEPT row
+    is at least ``min_gap_us`` older — the telemetry / duplicate-event
+    suppression shape.  Note the contract is against the previously
+    KEPT row (a burst of rapid events collapses to its first), which is
+    the streaming debounce semantics; the LAG-against-previous-RAW-row
+    variant would re-admit every other row of a burst.
+
+    One keyed co-location; the in-bucket kernel walks each key's sorted
+    timestamps once in numpy (greedy anchor scan — a cumsum cannot
+    express the data-dependent anchor, but the loop is per-ROW numpy
+    scalar work only inside a burst window, and per-key rows live in
+    one bucket by construction).  Ties on ts break by stable input
+    order after a (keys, ts) mergesort.  All input columns pass
+    through.
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    keys = list(keys)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return g
+        g = g.sort_values(keys + [ts_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        kc = g[keys].ne(g[keys].shift()).any(axis=1).to_numpy()
+        t = g[ts_col].to_numpy(np.int64)
+        keep = np.zeros(len(g), dtype=bool)
+        anchor = 0
+        for i in range(len(g)):
+            if kc[i] or t[i] - anchor >= min_gap_us:
+                keep[i] = True
+                anchor = t[i]
+        return g[keep].reset_index(drop=True)
+
+    return keyed_partition_apply(ds, keys, kernel, num_buckets, path)

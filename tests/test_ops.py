@@ -2989,3 +2989,50 @@ def test_asof_join_tolerance():
         .to_pandas().sort_values("ts").reset_index(drop=True)
     )
     assert out2["x"].fillna(-1).tolist() == [80.0, 900.0, 900.0]
+
+
+def test_debounce():
+    from nerpii_ray.stages.window import debounce
+
+    # k=1 at t 0,5,9,20: greedy gap 10 keeps 0 and 20 (5 and 9 are
+    # within 10 of the KEPT anchor 0 — the LAG-vs-raw variant would
+    # wrongly keep 20 only if measured against 9)
+    df = pd.DataFrame(
+        {"k": [1, 1, 1, 1, 2], "t": [0, 5, 9, 20, 3]}
+    ).astype("int64")
+    out = (
+        debounce(rd.from_pandas(df), ["k"], "t", 10)
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    assert list(zip(out["k"], out["t"])) == [(1, 0), (1, 20), (2, 3)]
+    # chain: 0,10,20 with gap 10 keeps all (>= comparison)
+    df2 = pd.DataFrame({"k": [9] * 3, "t": [0, 10, 20]}).astype("int64")
+    out2 = debounce(rd.from_pandas(df2), ["k"], "t", 10).to_pandas()
+    assert sorted(out2["t"]) == [0, 10, 20]
+
+
+def test_grouped_weighted_mean():
+    from nerpii_ray.stages.agg import grouped_weighted_mean
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "b", "z"],
+            "v": [10, 20, 7, 5],
+            "w": [1, 3, 2, 0],
+        }
+    ).astype({"v": "int64", "w": "int64"})
+    out = (
+        grouped_weighted_mean(rd.from_pandas(df).repartition(2), ["g"], "v", "w")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [2, 1, 1]
+    assert out["wmean"].iloc[0] == 70.0 / 4.0
+    assert out["wmean"].iloc[1] == 7.0
+    assert np.isnan(out["wmean"].iloc[2])  # zero total weight
+
+    # exactness past int64: w*v products beyond 2^63 stay exact
+    big = pd.DataFrame(
+        {"g": ["x"] * 2, "v": [2**40, 2**40], "w": [2**30, 2**30]}
+    ).astype({"v": "int64", "w": "int64"})
+    got = grouped_weighted_mean(rd.from_pandas(big), ["g"], "v", "w").to_pandas()
+    assert got["wmean"].iloc[0] == float(2**40)
