@@ -6461,6 +6461,64 @@ def orders_count_distribution(sf_dir: str):
 
 
 @register(
+    "orders_first_shipment",
+    """
+    SELECT l_orderkey, ship_day, l_linenumber, n FROM (
+      SELECT l_orderkey,
+             CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)
+               AS ship_day,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_shipdate ASC, l_linenumber ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def orders_first_shipment(sf_dir: str):
+    """Per-key ARGMIN (the grouped_argmax tree on a negated value):
+    each order's EARLIEST shipment — first-touch attribution shape —
+    plus the order's item count; never more than one candidate row per
+    key per block moves."""
+    from nerpii_ray.stages.agg import grouped_argmax
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_linenumber"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["l_shipdate"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "neg_day": -day.astype("int64"),
+                "l_linenumber": b["l_linenumber"].astype("int64"),
+            }
+        )
+
+    out = grouped_argmax(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["l_orderkey"], "neg_day", "l_linenumber",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].astype("int64"),
+                "ship_day": (-b["neg_day"]).astype("int64"),
+                "l_linenumber": b["l_linenumber"].astype("int64"),
+                "n": b["n"].astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+@register(
     "lineitem_qty_weighted_avg_price",
     """
     WITH c AS (
