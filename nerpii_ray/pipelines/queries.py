@@ -7787,6 +7787,264 @@ def events_latest_per_user(sf_dir: str):
 # changes.
 # ---------------------------------------------------------------------------
 
+@register(
+    "customer_k_anonymity",
+    """
+    WITH g AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+             CAST(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS in_debt,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment, in_debt,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT bal_band) AS BIGINT) AS l_div,
+           CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS BIGINT)
+             AS k_anon
+    FROM g GROUP BY c_nationkey, c_mktsegment, in_debt
+    """,
+)
+def customer_k_anonymity(sf_dir: str):
+    """Privacy-profiling k-anonymity / l-diversity audit, the table-level
+    complement of the reference's per-column PII detection
+    (named_entity_recognizer.py's analyze step tells you WHICH columns
+    are quasi-identifiers; this tells you whether their value
+    combinations re-identify).  Quasi-identifier = (nation, market
+    segment, in-debt flag); sensitive attribute = the $1000 balance
+    band.  Emits each QI group's size, its l-diversity (distinct
+    sensitive values) and the k>=5 anonymity flag.  One combiner tree
+    over (QI, band) — the intermediate is vocabulary-sized (nations x
+    segments x 2 x ~11 bands), so the single-root finish holds at any
+    data scale."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(
+        sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    qi_band = ["c_nationkey", "c_mktsegment", "in_debt", "bal_band"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bal = b["c_acctbal"].to_numpy()
+        d = pd.DataFrame(
+            {
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "c_mktsegment": b["c_mktsegment"].astype(str),
+                "in_debt": (bal < 0).astype("int64"),
+                "bal_band": np.floor(bal / 1000.0).astype("int64"),
+            }
+        )
+        return (
+            d.groupby(qi_band, as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(qi_band, as_index=False)["n"].sum()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(
+            ["c_nationkey", "c_mktsegment", "in_debt"], as_index=False
+        ).agg(group_size=("n", "sum"), l_div=("bal_band", "nunique"))
+        g["group_size"] = g["group_size"].astype("int64")
+        g["l_div"] = g["l_div"].astype("int64")
+        g["k_anon"] = (g["group_size"] >= 5).astype("int64")
+        return g
+
+    return tree_aggregate(ds, partial, merge, final_fn=finish)
+
+
+@register(
+    "events_daily_gapfill",
+    """
+    WITH d AS (
+      SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS dy
+      FROM events
+    ), c AS (
+      SELECT user_id, dy, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY user_id, dy
+    ), span AS (
+      SELECT user_id, MIN(dy) AS lo, MAX(dy) AS hi FROM d GROUP BY user_id
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS dy FROM span
+    )
+    SELECT s.user_id, s.dy, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN c USING (user_id, dy)
+    """,
+)
+def events_daily_gapfill(sf_dir: str):
+    """Calendar gap-fill resample: every user's daily event count over a
+    dense day spine from their first to last active day, missing days
+    zero-filled — the shape feature stores and forecasting pipelines
+    need before any rolling kernel can assume regular spacing.  The
+    data-sized work is one combiner tree down to (user, day) counts;
+    the spine expansion runs per key-complete partition as
+    np.repeat/arange vectors (no Python loop, no driver-side spine).
+    Output is bounded by users x calendar span, not by event count."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        dy = (
+            b["ts"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        d = pd.DataFrame(
+            {"user_id": b["user_id"].astype("int64"), "dy": dy}
+        )
+        return (
+            d.groupby(["user_id", "dy"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(["user_id", "dy"], as_index=False)["n"].sum()
+
+    counts = tree_aggregate(ds, partial, merge, keys=["user_id", "dy"])
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "dy": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                }
+            )
+        g = g.sort_values(["user_id", "dy"], kind="mergesort")
+        spans = g.groupby("user_id", as_index=False).agg(
+            lo=("dy", "min"), hi=("dy", "max")
+        )
+        lens = (spans["hi"] - spans["lo"] + 1).to_numpy()
+        starts = np.zeros(len(spans), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        idx = np.arange(int(lens.sum()), dtype=np.int64)
+        off = idx - np.repeat(starts, lens)
+        out = pd.DataFrame(
+            {
+                "user_id": np.repeat(spans["user_id"].to_numpy(), lens),
+                "dy": np.repeat(spans["lo"].to_numpy(), lens) + off,
+            }
+        )
+        out = out.merge(
+            g.rename(columns={"n": "n_events"}),
+            on=["user_id", "dy"],
+            how="left",
+        )
+        out["n_events"] = out["n_events"].fillna(0).astype("int64")
+        return out
+
+    return keyed_partition_apply(counts, ["user_id"], expand)
+
+
+@register(
+    "doc_incremental_dedup",
+    r"""
+    WITH k AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(coalesce(text, '')), '\w+'))),
+               chr(31))) AS ck
+      FROM documents
+    ), old AS (
+      SELECT ck, MIN(doc_id) AS first_old,
+             CAST(COUNT(*) AS BIGINT) AS n_old
+      FROM k WHERE doc_id % 5 <> 0 GROUP BY ck
+    ), new AS (
+      SELECT doc_id, ck FROM k WHERE doc_id % 5 = 0
+    )
+    SELECT n.doc_id, o.first_old, o.n_old
+    FROM new n JOIN old o USING (ck)
+    """,
+)
+def doc_incremental_dedup(sf_dir: str):
+    """Incremental crawl dedup: flag each NEW-shard document (doc_id %
+    5 == 0 stands in for the fresh crawl) whose normalized content key
+    already exists in the OLD corpus, with the earliest old doc and the
+    old multiplicity.  The key is normalize-then-hash (md5 of the
+    sorted distinct token set) — the RefinedWeb-style 'fuzzy exact'
+    key that survives token reordering and repetition, unlike the raw
+    md5(text) of doc_exact_dedup.  One text pass computes the keys
+    (materialized once for both sides), the old side reduces through
+    the cardinality-aware tree to (key, first, count), and the new
+    side meets it in the keyed-exchange hash join — no broadcast of a
+    corpus-sized key set at any scale."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    tok = re.compile(r"\w+")
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("")
+        # sorted-distinct-set join is inherently per-document; the md5
+        # is the same accepted per-value cost as every hash-oracled op
+        cks = [
+            "\x1f".join(sorted(set(tok.findall(t.lower()))))
+            for t in texts
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "ck": md5_of_strings(pd.Series(cks, dtype="object")),
+            }
+        )
+
+    keys = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(keyed, batch_format="pandas")
+        .materialize()  # ~50 bytes/doc; serves both split consumers
+    )
+
+    def side(new: bool):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            is_new = b["doc_id"] % 5 == 0
+            return b.loc[is_new if new else ~is_new]
+
+        return fn
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("ck", as_index=False).agg(
+            first_old=("doc_id", "min"), n_old=("doc_id", "size")
+        )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("ck", as_index=False).agg(
+            first_old=("first_old", "min"), n_old=("n_old", "sum")
+        )
+
+    old = tree_aggregate(
+        keys.map_batches(side(False), batch_format="pandas"),
+        partial,
+        merge,
+        keys=["ck"],
+    )
+    new = keys.map_batches(side(True), batch_format="pandas")
+    joined = partitioned_hash_join(new, old, on=["ck"], how="inner")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # inner join guarantees no nulls; re-pin int64 after align
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "first_old": b["first_old"].astype("int64"),
+                "n_old": b["n_old"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
