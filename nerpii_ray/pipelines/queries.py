@@ -8045,6 +8045,280 @@ def doc_incremental_dedup(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+@register(
+    "orders_pareto_abc",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), w AS (
+      SELECT o_orderkey, o_orderpriority, cents,
+             SUM(cents) OVER (PARTITION BY o_orderpriority
+                              ORDER BY cents DESC, o_orderkey) AS cum,
+             SUM(cents) OVER (PARTITION BY o_orderpriority) AS tot
+      FROM o
+    )
+    SELECT o_orderkey, o_orderpriority, cents,
+           CAST(cum * 10000 // tot AS BIGINT) AS cum_share_bp,
+           CASE WHEN cum * 10000 // tot <= 8000 THEN 'A'
+                WHEN cum * 10000 // tot <= 9500 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM w
+    """,
+)
+def orders_pareto_abc(sf_dir: str):
+    """Pareto / ABC classification: each order's cumulative revenue
+    share (basis points) within its priority class, values descending,
+    classed A (first 80 % of revenue), B (to 95 %), C (tail).  The
+    grouped running SUM uses the global_row_number range-partition
+    plan, generalized to (group, bucket): equi-width value buckets,
+    one grouped sum to (group, bucket) cents totals, driver cumsums
+    that groups x buckets table into per-bucket offsets (never data),
+    and complete (group, bucket) partitions cumsum locally — no
+    per-group single-node sort, so a priority class larger than any
+    worker still streams.  Share arithmetic upgrades to Python ints
+    when cum * 10000 would overflow int64."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    NB = 64
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_orderpriority": b["o_orderpriority"].astype(str),
+                "cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    base = ds.map_batches(cents, batch_format="pandas")
+
+    def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"),
+                 "hi": pd.Series(dtype="int64")}
+            )
+        v = b["cents"].to_numpy()
+        return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
+
+    def bounds_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {"lo": [int(df["lo"].min())], "hi": [int(df["hi"].max())]}
+        )
+
+    bounds = tree_aggregate(base, bounds_partial, bounds_merge).take_all()
+    if not bounds:
+        raise ValueError("orders_pareto_abc: empty input")
+    lo, hi = int(bounds[0]["lo"]), int(bounds[0]["hi"])
+    span = hi - lo + 1
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_bkt"] = (b["cents"].to_numpy() - lo) * NB // span
+        return b
+
+    withb = base.map_batches(bucketize, batch_format="pandas")
+
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"o_orderpriority": pd.Series(dtype=object),
+                 "_bkt": pd.Series(dtype="int64"),
+                 "s": pd.Series(dtype="int64")}
+            )
+        return (
+            b.groupby(["o_orderpriority", "_bkt"], sort=False,
+                      observed=True)["cents"]
+            .sum().rename("s").reset_index()
+        )
+
+    gb = grouped_sum(
+        withb, ["o_orderpriority", "_bkt"], ["s"],
+        partial_fn=sum_partial, adaptive=False,
+    ).to_pandas()  # groups x NB rows — driver-sized by construction
+    gb = gb.sort_values(["o_orderpriority", "_bkt"],
+                        ascending=[True, False])
+    csum = gb.groupby("o_orderpriority", sort=False)["s"].cumsum()
+    offsets = {
+        (g, int(k)): int(c) - int(s)
+        for g, k, s, c in zip(gb["o_orderpriority"], gb["_bkt"],
+                              gb["s"], csum)
+    }
+    totals = gb.groupby("o_orderpriority")["s"].sum().astype(object)
+    totals = {g: int(t) for g, t in totals.items()}
+    big = any(t > (2**63 - 1) // 10000 for t in totals.values())
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["o_orderkey", "o_orderpriority", "cents",
+                "cum_share_bp", "abc"]
+        if not len(g):
+            return pd.DataFrame(
+                {c: pd.Series(
+                    dtype="int64" if c in
+                    ("o_orderkey", "cents", "cum_share_bp") else object)
+                 for c in cols}
+            )
+        g = g.sort_values(
+            ["o_orderpriority", "_bkt", "cents", "o_orderkey"],
+            ascending=[True, False, False, True], kind="mergesort",
+        )
+        loc = g.groupby(["o_orderpriority", "_bkt"], sort=False,
+                        observed=True)["cents"].cumsum()
+        off = np.fromiter(
+            (offsets[(p, int(k))]
+             for p, k in zip(g["o_orderpriority"], g["_bkt"])),
+            dtype=np.int64, count=len(g),
+        )
+        tot = np.fromiter(
+            (totals[p] for p in g["o_orderpriority"]),
+            dtype=np.int64, count=len(g),
+        )
+        cum = loc.to_numpy() + off
+        if big:  # exact object-int path past the int64 ceiling
+            bp = np.array(
+                [int(c) * 10000 // int(t) for c, t in zip(cum, tot)],
+                dtype="int64",
+            )
+        else:
+            bp = cum * 10000 // tot
+        out = pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_orderpriority": g["o_orderpriority"].to_numpy(),
+                "cents": g["cents"].to_numpy(),
+                "cum_share_bp": bp,
+            }
+        )
+        out["abc"] = np.where(bp <= 8000, "A",
+                              np.where(bp <= 9500, "B", "C"))
+        return out
+
+    return keyed_partition_apply(
+        withb, ["o_orderpriority", "_bkt"], kernel
+    )
+
+
+@register(
+    "doc_curation_funnel",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks,
+             md5(array_to_string(list_sort(list_distinct(
+               regexp_extract_all(lower(coalesce(text, '')), '\w+'))),
+               chr(31))) AS ck
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             len(list_distinct(toks)) * 10000 // len(toks) AS ratio_bp,
+             MIN(doc_id) OVER (PARTITION BY ck) AS first_doc
+      FROM t
+    ), lab AS (
+      SELECT CASE WHEN n_tok < 20 THEN 'short'
+                  WHEN ratio_bp < 3500 THEN 'repetitive'
+                  WHEN doc_id <> first_doc THEN 'dup'
+                  ELSE 'kept' END AS stage
+      FROM s
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM lab GROUP BY stage
+    """,
+)
+def doc_curation_funnel(sf_dir: str):
+    """Corpus-curation yield report: every document is attributed to
+    the FIRST quality gate it fails — too short (< 20 tokens),
+    repetitive (distinct-token ratio < 35 %), duplicate (not the first
+    occurrence of its normalized content key) — or 'kept'.  The
+    pipeline-health number a training-data run reads before anything
+    else.  One text pass emits (n_tok, ratio, ck) per doc; the ck →
+    first-doc attribution is the one data-sized keyed aggregate (same
+    tree as doc_incremental_dedup); the stage label is a vectorized
+    select and the report a 4-row combiner tree."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    tok = re.compile(r"\w+")
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("")
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        n_dis = np.empty(len(texts), dtype=np.int64)
+        cks = []
+        for i, t in enumerate(texts):
+            ts = tok.findall(t.lower())
+            n_tok[i] = len(ts)
+            dis = set(ts)
+            n_dis[i] = len(dis)
+            cks.append("\x1f".join(sorted(dis)))
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_tok": n_tok,
+                "ratio_bp": n_dis * 10000 // np.maximum(n_tok, 1),
+                "ck": md5_of_strings(pd.Series(cks, dtype="object")),
+            }
+        )
+
+    stats_ds = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(stats, batch_format="pandas")
+        .materialize()  # ~60 bytes/doc; two consumers below
+    )
+
+    def first_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("ck", as_index=False).agg(
+            first_doc=("doc_id", "min")
+        )
+
+    def first_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("ck", as_index=False).agg(
+            first_doc=("first_doc", "min")
+        )
+
+    firsts = tree_aggregate(
+        stats_ds.map_batches(
+            lambda b: b[["ck", "doc_id"]], batch_format="pandas"
+        ),
+        first_partial, first_merge, keys=["ck"],
+    )
+    joined = partitioned_hash_join(
+        stats_ds, firsts, on=["ck"], how="inner"
+    )
+
+    def label_counts(b: pd.DataFrame) -> pd.DataFrame:
+        stage = np.where(
+            b["n_tok"] < 20, "short",
+            np.where(
+                b["ratio_bp"] < 3500, "repetitive",
+                np.where(b["doc_id"] != b["first_doc"], "dup", "kept"),
+            ),
+        )
+        return (
+            pd.DataFrame({"stage": stage, "n_docs": np.int64(1)})
+            .groupby("stage", as_index=False)["n_docs"].sum()
+        )
+
+    def count_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("stage", as_index=False)["n_docs"].sum()
+
+    return tree_aggregate(joined, label_counts, count_merge)
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
