@@ -8319,6 +8319,222 @@ def doc_curation_funnel(sf_dir: str):
     return tree_aggregate(joined, label_counts, count_merge)
 
 
+@register(
+    "nation_pair_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS BIGINT) AS revenue_micents
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS HUGEINT)) AS vol
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1998-01-01'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_pair_volume(sf_dir: str):
+    """TPC-H Q7 shape — cross-border volume between a nation pair by
+    shipment year, planned by side size like local_supplier_volume
+    (Q5): nation collapses to a driver dict; the two-nation supplier
+    map broadcasts and PRE-FILTERS lineitem inside the scan (with the
+    shipdate range predicate); customer pre-filters to the pair before
+    the orders⋈customer keyed join; lineitem⋈orders is the second
+    keyed join; the directed-pair predicate (supplier and customer in
+    DIFFERENT nations of the pair) is a vectorized post-join filter;
+    revenue reduces as exact integer micents to a ≤ 2x2xyears root."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import broadcast_join, partitioned_hash_join
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    pair = ("NATION_1", "NATION_2")
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = nation[nation["n_name"].isin(pair)]
+    nat_keys = set(nat["n_nationkey"].astype(int))
+    nat_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nat_keys)].rename(
+        columns={"s_suppkey": "l_suppkey"}
+    )
+
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda b: b[b["c_nationkey"].isin(nat_keys)].rename(
+            columns={"c_custkey": "o_custkey"}
+        ),
+        batch_format="pandas",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    oc = partitioned_hash_join(
+        orders, cust, on=["o_custkey"], num_buckets=16, path="exchange"
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "l_orderkey": b["o_orderkey"].astype("int64"),
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        keep = (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+        b = b[keep]
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype(
+            "int64"
+        )
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "l_orderkey": b["l_orderkey"].to_numpy(),
+                "l_suppkey": b["l_suppkey"].to_numpy(),
+                "l_year": b["l_shipdate"].dt.year.to_numpy().astype(
+                    "int64"
+                ),
+                "micents": cents * (100 - disc),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+         "l_discount"],
+    ).map_batches(li_prep, batch_format="pandas")
+    li = broadcast_join(li, sup, on=["l_suppkey"])  # adds s_nationkey
+
+    joined = partitioned_hash_join(
+        li, oc, on=["l_orderkey"], num_buckets=16, path="exchange"
+    ).map_batches(
+        # directed pair: different nations on the two sides; re-pin
+        # dtypes (empty exchange buckets degrade ints to float64)
+        lambda b: pd.DataFrame(
+            {
+                "s_nationkey": b["s_nationkey"].astype("int64"),
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "l_year": b["l_year"].astype("int64"),
+                "micents": b["micents"].astype("int64"),
+            }
+        ).loc[
+            lambda d: d["s_nationkey"].to_numpy()
+            != d["c_nationkey"].to_numpy()
+        ],
+        batch_format="pandas",
+    )
+
+    rev = grouped_sum(
+        joined, ["s_nationkey", "c_nationkey", "l_year"], ["micents"],
+        adaptive=False,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "supp_nation": b["s_nationkey"].astype("int64").map(
+                    nat_name
+                ),
+                "cust_nation": b["c_nationkey"].astype("int64").map(
+                    nat_name
+                ),
+                "l_year": b["l_year"].astype("int64"),
+                "revenue_micents": b["micents"].astype("int64"),
+            }
+        )
+
+    out = rev.map_batches(finish, batch_format="pandas").materialize()
+    if out.count() == 0:  # keep the schema when the pair has no trade
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series(dtype=object),
+                "cust_nation": pd.Series(dtype=object),
+                "l_year": pd.Series(dtype="int64"),
+                "revenue_micents": pd.Series(dtype="int64"),
+            }
+        )
+    return out
+
+
+@register(
+    "events_value_winsorized",
+    """
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), q AS (
+      SELECT event_type,
+             quantile_disc(cents, 0.01) AS lo,
+             quantile_disc(cents, 0.99) AS hi
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents,
+           CAST(CASE WHEN cents < lo THEN lo
+                     WHEN cents > hi THEN hi
+                     ELSE cents END AS BIGINT) AS w_cents,
+           CAST(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END
+                AS BIGINT) AS clipped
+    FROM c JOIN q USING (event_type)
+    """,
+)
+def events_value_winsorized(sf_dir: str):
+    """Fit-then-transform winsorization: exact per-type p01/p99 cut
+    points (grouped_quantile_disc — the sort-free value-count tree)
+    broadcast into a second clipping scan; each row keeps its raw and
+    clipped cents plus a clipped flag.  The fitted table is
+    group-cardinality-sized, so the feature-standardization pattern
+    (fit small, broadcast, transform wide) holds at any data scale."""
+    from nerpii_ray.stages.agg import grouped_quantile_disc
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents_counts(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": b["event_type"],
+                "cents": np.round(b["value"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+        return (
+            df.groupby(["event_type", "cents"], sort=False, observed=True)
+            .size().rename("cnt").reset_index()
+        )
+
+    fit = grouped_quantile_disc(
+        ds, ["event_type"], "cents", [0.01, 0.99], ["lo", "hi"],
+        partial_fn=cents_counts,
+    ).to_pandas()  # one row per event_type
+    lo_map = dict(zip(fit["event_type"], fit["lo"].astype("int64")))
+    hi_map = dict(zip(fit["event_type"], fit["hi"].astype("int64")))
+
+    def clip(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        lo = b["event_type"].map(lo_map).to_numpy(dtype=np.int64)
+        hi = b["event_type"].map(hi_map).to_numpy(dtype=np.int64)
+        w = np.clip(cents, lo, hi)
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"].astype(str),
+                "cents": cents,
+                "w_cents": w,
+                "clipped": (w != cents).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
