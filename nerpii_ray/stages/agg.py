@@ -1193,7 +1193,7 @@ def grouped_gini(
     return keyed_partition_apply(counts, keys, gini)
 
 
-def hll_registers(ds, key_col: str, prep_fn=None):
+def hll_registers(ds, key_col: str, prep_fn=None, group_cols=None):
     """HyperLogLog register table over a key column — the
     constant-memory COUNT DISTINCT sketch complementing the KMV
     bottom-k in ``distinct_count_sketch`` (KMV keeps k hashes; HLL
@@ -1213,6 +1213,9 @@ def hll_registers(ds, key_col: str, prep_fn=None):
     """
     from nerpii_ray.functions.textfns import stable_hash64_np
 
+    gcols = list(group_cols) if group_cols else []
+    gb_keys = gcols + ["register"]
+
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         h = stable_hash64_np(b[key_col].astype(str))
         reg = (h >> np.uint64(56)).astype(np.int64)
@@ -1226,15 +1229,19 @@ def hll_registers(ds, key_col: str, prep_fn=None):
             v[big] >>= np.uint64(s)
         bl += (v > 0).astype(np.int64)
         out = pd.DataFrame({"register": reg, "max_rank": 57 - bl})
+        for c in gcols:  # one sketch per group: ≤ groups x 256 rows
+            out[c] = b[c].to_numpy()
         return (
-            out.groupby("register", sort=False)["max_rank"]
+            out.groupby(gb_keys, sort=False, observed=True)["max_rank"]
             .max()
             .reset_index()
         )
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
         return (
-            df.groupby("register", sort=False)["max_rank"]
+            df.groupby(gb_keys, sort=False, observed=True)["max_rank"]
             .max()
             .reset_index()
         )

@@ -154,12 +154,16 @@ def rolling_time_count(
     num_buckets: int | None = None,
     path: str = "auto",
     _bias_cap: int = 1 << 62,
+    sum_col: str | None = None,
 ):
     """Sliding time window: for every event, the count of same-key events
     with ``ts`` in ``[ts - window, ts]`` — SQL's ``COUNT(*) OVER
     (PARTITION BY key ORDER BY ts RANGE BETWEEN <window> PRECEDING AND
     CURRENT ROW)``, including CURRENT ROW's ts-peers per the RANGE frame
-    rule.
+    rule.  With ``sum_col`` set (an int64 column, cents discipline) the
+    output is the window SUM of that column instead of the count — the
+    rank difference becomes a prefix-sum difference at the same two
+    ``searchsorted`` indices.
 
     Per-key co-location via ``keyed_partition_apply`` (one hash shuffle,
     B heap-bounded buckets); inside a bucket the kernel is two
@@ -197,6 +201,11 @@ def rolling_time_count(
         base = np.zeros(len(starts), dtype=np.int64)
         if len(starts) > 1:
             base[1:] = np.cumsum(gap[:-1])
+        vals = (
+            g[sum_col].to_numpy().astype(np.int64)
+            if sum_col is not None
+            else None
+        )
         n = np.empty(len(user), dtype=np.int64)
         # int64 headroom guard for the cumulative bias (parameter so
         # tests can force the multi-slice path — real ns-bounded
@@ -214,9 +223,14 @@ def rolling_time_count(
                 - np.repeat(seg_first[s0:s1], seg_len[s0:s1])
                 + np.repeat(rebased[s0:s1], seg_len[s0:s1])
             )
-            n[lo:hi] = np.searchsorted(
-                biased, biased, side="right"
-            ) - np.searchsorted(biased, biased - win_us, side="left")
+            right = np.searchsorted(biased, biased, side="right")
+            left = np.searchsorted(biased, biased - win_us, side="left")
+            if vals is None:
+                n[lo:hi] = right - left
+            else:  # prefix-sum difference at the same frame indices
+                csum = np.zeros(hi - lo + 1, dtype=np.int64)
+                np.cumsum(vals[lo:hi], out=csum[1:])
+                n[lo:hi] = csum[right] - csum[left]
             s0 = s1
         return pd.DataFrame({id_col: g[id_col].to_numpy(), out_col: n})
 

@@ -1467,6 +1467,47 @@ def test_rolling_time_count_bias_slice_guard():
     )
 
 
+def test_rolling_time_sum_matches_pandas_and_slices():
+    """``sum_col`` turns the rank difference into a prefix-sum
+    difference at the same frame indices: pin it against a pandas
+    per-user O(n²) reference (RANGE frame, ties included) and against
+    the forced multi-slice path."""
+    from nerpii_ray.stages.window import rolling_time_count
+
+    rng = np.random.default_rng(41)
+    n = 500
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "user_id": rng.integers(0, 20, n),
+            "ts": pd.to_datetime("2021-06-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "cents": rng.integers(-500, 500, n).astype("int64"),
+        }
+    )
+    ds = rd.from_pandas(ev)
+    out = (
+        rolling_time_count(ds, window_sec=3600, sum_col="cents",
+                           out_col="s")
+        .to_pandas().set_index("event_id")["s"]
+    )
+    sliced = (
+        rolling_time_count(ds, window_sec=3600, sum_col="cents",
+                           out_col="s", _bias_cap=10**12)
+        .to_pandas().set_index("event_id")["s"]
+    )
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    for i in range(n):
+        mask = (
+            (ev["user_id"] == ev["user_id"][i])
+            & (us >= us[i] - 3600 * 10**6)
+            & (us <= us[i])
+        )
+        want = int(ev.loc[mask, "cents"].sum())
+        assert out[i] == want
+        assert sliced[i] == want
+
+
 def test_grouped_corr_zero_variance_yields_null():
     """Degenerate groups (single row, or zero variance in x or y) must
     yield corr = NULL/NaN like DuckDB's corr(), not ZeroDivisionError
