@@ -8618,6 +8618,52 @@ def events_type_user_hll(sf_dir: str):
     )
 
 
+@register(
+    "embedding_top_component",
+    """
+    WITH q AS (
+      SELECT vec_id, i AS dim,
+             CAST(ROUND(embedding[i] * 1000) AS HUGEINT) AS q
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+    ), dims AS (SELECT DISTINCT dim FROM q),
+    v0 AS (SELECT dim, CAST(1000 AS HUGEINT) AS v FROM dims),
+    u1 AS (SELECT vec_id, SUM(q.q * v0.v) AS u
+           FROM q JOIN v0 USING (dim) GROUP BY vec_id),
+    w1 AS (SELECT dim, SUM(q.q * u1.u) AS w
+           FROM q JOIN u1 USING (vec_id) GROUP BY dim),
+    m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+    v1 AS (SELECT dim, (w * 1000) // (SELECT m FROM m1) AS v FROM w1),
+    u2 AS (SELECT vec_id, SUM(q.q * v1.v) AS u
+           FROM q JOIN v1 USING (dim) GROUP BY vec_id),
+    w2 AS (SELECT dim, SUM(q.q * u2.u) AS w
+           FROM q JOIN u2 USING (vec_id) GROUP BY dim),
+    m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+    v2 AS (SELECT dim, (w * 1000) // (SELECT m FROM m2) AS v FROM w2),
+    sg AS (SELECT CASE WHEN (SELECT v FROM v2
+                             ORDER BY ABS(v) DESC, dim LIMIT 1) < 0
+                  THEN -1 ELSE 1 END AS s)
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(v * (SELECT s FROM sg) AS BIGINT) AS comp
+    FROM v2
+    """,
+)
+def embedding_top_component(sf_dir: str):
+    """Dominant principal direction (uncentered) of the embedding
+    matrix by fixed-point integer power iteration
+    (stages/similarity.power_iteration_top_component) — the spectral
+    analysis family alongside k-means and ANN.  Two iterations, each
+    ONE streaming pass (u = Ev inline per batch, d-row object-int
+    partials of w = Eᵀu through the tree, driver rescale by
+    truncating division to match DuckDB ``//``); the SQL twin unrolls
+    both iterations over the unnested (vec_id, dim, q) triples and the
+    result is hash-exact like doc_pagerank."""
+    from nerpii_ray.stages.similarity import power_iteration_top_component
+
+    return power_iteration_top_component(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    )
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",

@@ -436,3 +436,83 @@ def knn_self_join(
         )
 
     return ds.map_batches(score, batch_format="pandas", batch_size=4096)
+
+
+def power_iteration_top_component(
+    ds,
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    iters: int = 2,
+):
+    """Dominant singular direction of the (uncentered) embedding matrix
+    by FIXED-POINT power iteration — the spectral sibling of
+    pagerank_fp (stages/graph.py): float matvecs are merge-order-
+    dependent and could never hash-match an oracle, so the operator is
+    DEFINED in exact integer arithmetic.
+
+    Components quantize to ``round(e * scale)`` ints.  Each iteration
+    is ONE streaming pass: every batch computes its rows' projections
+    u = E v inline (int64 matmul against the broadcast 64-int vector)
+    and emits a d-row partial of w = Eᵀ u as PYTHON ints; partials
+    merge through the tree with object-int sums (the moments-op
+    overflow discipline), and the driver rescales v ← trunc-div(w ·
+    scale, max|w|) — TRUNCATING division, matching DuckDB's ``//``.
+    Driver state is d ints per iteration; nothing data-sized leaves
+    the tree.  The sign is canonicalized so the largest-|component|
+    dimension (smallest index on ties) is positive.
+    """
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    first = ds.take(1)
+    if not first:
+        return pd.DataFrame(
+            {"dim": pd.Series(dtype="int64"),
+             "comp": pd.Series(dtype="int64")}
+        )
+    d = len(first[0][vec_col])
+    v = [scale] * d  # v0: every component = 1.0 in fixed point
+
+    def trunc_div(a: int, b: int) -> int:
+        # DuckDB // truncates toward zero; Python floors — match DuckDB
+        return -((-a) // b) if a < 0 else a // b
+
+    for _ in range(iters):
+        def partial(b: pd.DataFrame, v_now=tuple(v)) -> pd.DataFrame:
+            E = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in b[vec_col]]
+            )
+            Q = np.round(E * scale).astype(np.int64)
+            u = Q @ np.asarray(v_now, dtype=np.int64)
+            w = Q.T @ u  # int64-safe per batch; object ints for merge
+            return pd.DataFrame(
+                {
+                    "dim": np.arange(1, d + 1, dtype=np.int64),
+                    "w": pd.Series([int(x) for x in w], dtype=object),
+                }
+            )
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            return (
+                df.groupby("dim", as_index=False)["w"]
+                .agg(lambda s: sum(int(x) for x in s))
+            )
+
+        wt = tree_aggregate(ds, partial, merge).to_pandas()
+        wt = wt.sort_values("dim")
+        w = [int(x) for x in wt["w"]]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [trunc_div(x * scale, m) for x in w]
+
+    j = max(range(d), key=lambda i: (abs(v[i]), -i))
+    if v[j] < 0:
+        v = [-x for x in v]
+    return pd.DataFrame(
+        {
+            "dim": pd.Series(range(1, d + 1), dtype="int64"),
+            "comp": pd.Series(v, dtype="int64"),
+        }
+    )

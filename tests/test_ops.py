@@ -1508,6 +1508,30 @@ def test_rolling_time_sum_matches_pandas_and_slices():
         assert sliced[i] == want
 
 
+def test_power_iteration_tracks_svd_direction():
+    """The fixed-point integer power iteration must approximate the
+    true dominant right-singular vector — |cos| >= 0.95 against numpy
+    SVD on a matrix with a planted strong direction."""
+    from nerpii_ray.stages.similarity import power_iteration_top_component
+
+    rng = np.random.default_rng(7)
+    d = 16
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    coef = rng.normal(size=(300, 1)) * 3.0
+    E = coef * direction + rng.normal(size=(300, d)) * 0.2
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(300), "embedding": list(E.astype(np.float32))}
+        )
+    )
+    out = power_iteration_top_component(ds, iters=4)
+    v = out.sort_values("dim")["comp"].to_numpy(dtype=np.float64)
+    v /= np.linalg.norm(v)
+    top = np.linalg.svd(E, full_matrices=False)[2][0]
+    assert abs(float(v @ top)) >= 0.95
+
+
 def test_grouped_corr_zero_variance_yields_null():
     """Degenerate groups (single row, or zero variance in x or y) must
     yield corr = NULL/NaN like DuckDB's corr(), not ZeroDivisionError
