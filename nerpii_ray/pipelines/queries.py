@@ -8664,6 +8664,218 @@ def embedding_top_component(sf_dir: str):
     )
 
 
+@register(
+    "events_seasonal_anomaly",
+    """
+    WITH c AS (
+      SELECT event_id,
+             CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS dow,
+             CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), b AS (
+      SELECT dow, hr, CAST(COUNT(*) AS BIGINT) AS n_bucket,
+             CAST(SUM(cents) AS BIGINT) AS sum_bucket
+      FROM c GROUP BY dow, hr
+    )
+    SELECT c.event_id, c.dow, c.hr, c.cents, b.n_bucket, b.sum_bucket
+    FROM c JOIN b USING (dow, hr)
+    WHERE c.cents * b.n_bucket > 3 * b.sum_bucket
+    """,
+)
+def events_seasonal_anomaly(sf_dir: str):
+    """Seasonal-baseline anomaly detection: flag events whose value
+    exceeds 3x the mean of their (ISO day-of-week, hour) calendar
+    cell.  The threshold compares in EXACT integers by
+    cross-multiplication (cents * n_bucket > 3 * sum_bucket — no
+    float mean, so the oracle hashes bit-exact).  The baseline is a
+    <= 168-row combiner-tree aggregate broadcast into a second
+    filtering scan — fit-small / transform-wide, nothing data-sized
+    moves."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": b["event_id"].astype("int64"),
+                "dow": (b["ts"].dt.dayofweek + 1).astype("int64"),
+                "hr": b["ts"].dt.hour.astype("int64"),
+                "cents": np.round(b["value"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    base = _read(sf_dir, "events", ["ts", "value"])
+
+    def bucket_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "dow": (b["ts"].dt.dayofweek + 1).astype("int64"),
+                "hr": b["ts"].dt.hour.astype("int64"),
+                "cents": np.round(b["value"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+        g = d.groupby(["dow", "hr"], as_index=False).agg(
+            n_bucket=("cents", "size"), sum_bucket=("cents", "sum")
+        )
+        return g
+
+    def bucket_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(["dow", "hr"], as_index=False).agg(
+            n_bucket=("n_bucket", "sum"), sum_bucket=("sum_bucket", "sum")
+        )
+
+    buckets = tree_aggregate(base, bucket_partial, bucket_merge).to_pandas()
+    n_map = {
+        (int(d), int(h)): int(n)
+        for d, h, n in zip(buckets["dow"], buckets["hr"],
+                           buckets["n_bucket"])
+    }
+    s_map = {
+        (int(d), int(h)): int(s)
+        for d, h, s in zip(buckets["dow"], buckets["hr"],
+                           buckets["sum_bucket"])
+    }
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        d = prep(b)
+        keys = list(zip(d["dow"], d["hr"]))
+        n = np.fromiter((n_map[k] for k in keys), dtype=np.int64,
+                        count=len(d))
+        s = np.fromiter((s_map[k] for k in keys), dtype=np.int64,
+                        count=len(d))
+        keep = d["cents"].to_numpy() * n > 3 * s
+        out = d.loc[keep].copy()
+        out["n_bucket"] = n[keep]
+        out["sum_bucket"] = s[keep]
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+@register(
+    "events_type_drift",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM c
+    ), binned AS (
+      SELECT event_type,
+             LEAST((cents - (SELECT lo FROM bounds)) * 10
+                   // ((SELECT hi FROM bounds)
+                       - (SELECT lo FROM bounds) + 1), 9) AS bin
+      FROM c
+    ), per_type AS (
+      SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM binned GROUP BY event_type, bin
+    ), totals AS (
+      SELECT event_type, CAST(SUM(ct) AS BIGINT) AS nt FROM per_type
+      GROUP BY event_type
+    ), gbl AS (
+      SELECT bin, CAST(SUM(ct) AS BIGINT) AS gb FROM per_type GROUP BY bin
+    ), nn AS (
+      SELECT CAST(SUM(ct) AS BIGINT) AS n FROM per_type
+    ), grid AS (
+      SELECT t.event_type, g.bin, t.nt, g.gb,
+             COALESCE(p.ct, 0) AS ct
+      FROM totals t CROSS JOIN gbl g
+      LEFT JOIN per_type p
+        ON p.event_type = t.event_type AND p.bin = g.bin
+    )
+    SELECT event_type, CAST(MAX(nt) AS BIGINT) AS n,
+           CAST(SUM(ABS(ct * (SELECT n FROM nn) - gb * nt)) AS BIGINT)
+             AS l1_scaled
+    FROM grid GROUP BY event_type
+    """,
+)
+def events_type_drift(sf_dir: str):
+    """Distribution-drift audit: each event type's value histogram vs
+    the corpus histogram as an EXACT integer L1 distance — Σ_bins
+    |ct_bin·N − gb_bin·n_type| over 10 equi-width cent bins (common
+    denominator N·n_type left unapplied so the metric is hash-exact;
+    larger = more drifted).  The train/serve skew check a feature
+    pipeline runs per segment.  One bounds pass (two scalars), one
+    (type, bin) combiner tree, then a types x 10 driver-side grid —
+    the data is scanned twice and nothing data-sized moves."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"),
+                 "hi": pd.Series(dtype="int64")}
+            )
+        c = np.round(b["value"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({"lo": [int(c.min())], "hi": [int(c.max())]})
+
+    def bounds_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {"lo": [int(df["lo"].min())], "hi": [int(df["hi"].max())]}
+        )
+
+    bounds = tree_aggregate(ds, bounds_partial, bounds_merge).take_all()
+    if not bounds:
+        return pd.DataFrame(
+            {"event_type": pd.Series(dtype=object),
+             "n": pd.Series(dtype="int64"),
+             "l1_scaled": pd.Series(dtype="int64")}
+        )
+    lo, hi = int(bounds[0]["lo"]), int(bounds[0]["hi"])
+    span = hi - lo + 1
+
+    def bin_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(b["value"].to_numpy() * 100).astype("int64")
+        d = pd.DataFrame(
+            {
+                "event_type": b["event_type"].astype(str),
+                "bin": np.minimum((c - lo) * 10 // span, 9),
+            }
+        )
+        return (
+            d.groupby(["event_type", "bin"], as_index=False)
+            .size().rename(columns={"size": "ct"})
+        )
+
+    def bin_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(["event_type", "bin"], as_index=False)["ct"].sum()
+
+    pt = tree_aggregate(ds, bin_partial, bin_merge).to_pandas()
+    # types x 10 grid on the driver — aggregate-sized by construction
+    N = int(pt["ct"].sum())
+    gb = pt.groupby("bin")["ct"].sum()
+    out = []
+    for et, g in pt.groupby("event_type"):
+        nt = int(g["ct"].sum())
+        ct = dict(zip(g["bin"].astype(int), g["ct"].astype(int)))
+        l1 = sum(
+            abs(int(ct.get(int(b), 0)) * N - int(gb[b]) * nt)
+            for b in gb.index
+        )
+        out.append((et, nt, l1))
+    return pd.DataFrame(
+        {
+            "event_type": [o[0] for o in out],
+            "n": pd.Series([o[1] for o in out], dtype="int64"),
+            "l1_scaled": pd.Series([o[2] for o in out], dtype="int64"),
+        }
+    )
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
