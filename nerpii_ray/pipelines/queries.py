@@ -8876,6 +8876,182 @@ def events_type_drift(sf_dir: str):
     )
 
 
+@register(
+    "events_running_distinct_types",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_of_type
+      FROM events
+    )
+    SELECT event_id,
+           CAST(SUM(first_of_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_distinct_types
+    FROM f
+    """,
+)
+def events_running_distinct_types(sf_dir: str):
+    """Running DISTINCT count — per event, how many distinct event
+    types its user has produced up to and including it (exploration
+    breadth over time; COUNT(DISTINCT) OVER, which SQL engines
+    disallow, decomposed into a first-occurrence flag + running sum).
+    One co-location by user; in-bucket the flag is a vectorized
+    ``duplicated()`` over (user, type) and the running count a grouped
+    cumsum — both C kernels, deterministic via the (ts, event_id)
+    tiebreak."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "n_distinct_types": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        first = (~g.duplicated(["user_id", "event_type"])).astype(
+            "int64"
+        )
+        run = first.groupby(g["user_id"].to_numpy()).cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype("int64"),
+                "n_distinct_types": run.to_numpy(),
+            }
+        )
+
+    return keyed_partition_apply(ds, ["user_id"], kernel)
+
+
+@register(
+    "customer_rfm",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+               AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS money
+      FROM orders GROUP BY o_custkey
+    ), q AS (
+      SELECT quantile_disc(last_day, [0.25, 0.5, 0.75]) AS rq,
+             quantile_disc(freq,     [0.25, 0.5, 0.75]) AS fq,
+             quantile_disc(money,    [0.25, 0.5, 0.75]) AS mq
+      FROM m
+    )
+    SELECT o_custkey, last_day, freq, money,
+           CAST(100 * (CASE WHEN last_day <= rq[1] THEN 1
+                            WHEN last_day <= rq[2] THEN 2
+                            WHEN last_day <= rq[3] THEN 3 ELSE 4 END)
+              + 10 * (CASE WHEN freq <= fq[1] THEN 1
+                           WHEN freq <= fq[2] THEN 2
+                           WHEN freq <= fq[3] THEN 3 ELSE 4 END)
+              +      (CASE WHEN money <= mq[1] THEN 1
+                           WHEN money <= mq[2] THEN 2
+                           WHEN money <= mq[3] THEN 3 ELSE 4 END)
+                AS BIGINT) AS rfm
+    FROM m, q
+    """,
+)
+def customer_rfm(sf_dir: str):
+    """RFM customer scoring: per-customer recency (last order day),
+    frequency, integer-cent monetary, each cut at EXACT quartile
+    thresholds (quantile_disc semantics, threshold-compare so ties are
+    deterministic — no NTILE rank ambiguity) into a 3-digit RFM code.
+    Plan: one combiner tree to the per-customer metric table, exact
+    quartiles of each metric via the sort-free value-count tree on
+    that output, then the 9 broadcast cut points classify in a final
+    vectorized pass — fit small, transform wide."""
+    from nerpii_ray.stages.agg import grouped_quantile_disc, tree_aggregate
+
+    ds = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            b["o_orderdate"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        d = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "last_day": day,
+                "freq": np.int64(1),
+                "money": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return d.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), freq=("freq", "sum"),
+            money=("money", "sum"),
+        )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), freq=("freq", "sum"),
+            money=("money", "sum"),
+        )
+
+    metrics = tree_aggregate(
+        ds, partial, merge, keys=["o_custkey"]
+    ).materialize()  # customer-sized; serves 3 quantile fits + classify
+
+    cuts = {}
+    for col in ("last_day", "freq", "money"):
+        def vc(b: pd.DataFrame, c=col) -> pd.DataFrame:
+            d = pd.DataFrame({"k": np.int64(0), "v": b[c].astype("int64")})
+            return (
+                d.groupby(["k", "v"], as_index=False)
+                .size().rename(columns={"size": "cnt"})
+            )
+
+        q = grouped_quantile_disc(
+            metrics, ["k"], "v", [0.25, 0.5, 0.75],
+            ["q1", "q2", "q3"], partial_fn=vc,
+        ).to_pandas()
+        cuts[col] = (int(q["q1"][0]), int(q["q2"][0]), int(q["q3"][0]))
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        def score(vals, c):
+            v = vals.to_numpy()
+            return (
+                1
+                + (v > c[0]).astype("int64")
+                + (v > c[1]).astype("int64")
+                + (v > c[2]).astype("int64")
+            )
+
+        out = pd.DataFrame(
+            {
+                "o_custkey": b["o_custkey"].astype("int64"),
+                "last_day": b["last_day"].astype("int64"),
+                "freq": b["freq"].astype("int64"),
+                "money": b["money"].astype("int64"),
+            }
+        )
+        out["rfm"] = (
+            100 * score(out["last_day"], cuts["last_day"])
+            + 10 * score(out["freq"], cuts["freq"])
+            + score(out["money"], cuts["money"])
+        )
+        return out
+
+    return metrics.map_batches(classify, batch_format="pandas")
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
