@@ -9052,6 +9052,176 @@ def customer_rfm(sf_dir: str):
     return metrics.map_batches(classify, batch_format="pandas")
 
 
+@register(
+    "promo_disjunct_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS HUGEINT)))
+                AS BIGINT) AS revenue_micents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size <= 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_size >= 40 AND l_quantity >= 40)
+    """,
+)
+def promo_disjunct_revenue(sf_dir: str):
+    """TPC-H Q19 shape — revenue under an OR-of-ANDs predicate mixing
+    dimension attributes (brand, size) with fact attributes
+    (quantity).  Plan: part rows satisfying ANY group's dimension half
+    broadcast as a partkey → (brand-class bitmask) map — the
+    dimension pre-filter shrinks the broadcast to candidate parts
+    only; each lineitem batch resolves the full disjunction
+    vectorized inside the scan (no join shuffle at all) and emits
+    exact integer micents partials."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.dedup import _FetchedBroadcast
+    from nerpii_ray.stages.taskcache import worker_cached
+    import ray as _ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    g1 = (part["p_brand"] == "Brand#1") & (part["p_size"] <= 10)
+    g2 = (part["p_brand"] == "Brand#2") & (part["p_size"] <= 20)
+    g3 = part["p_size"] >= 40
+    mask = pd.Series(
+        g1.to_numpy().astype(np.int64)
+        | (g2.to_numpy().astype(np.int64) << 1)
+        | (g3.to_numpy().astype(np.int64) << 2)
+    )
+    cand = part.loc[mask > 0, ["p_partkey"]].copy()
+    cand["m"] = mask[mask > 0].to_numpy()
+    bits_ref = _ray.put(
+        dict(zip(cand["p_partkey"].astype(int), cand["m"].astype(int)))
+    )
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame, *, bits=bits_ref) -> pd.DataFrame:
+        bm = worker_cached(_FetchedBroadcast, ref=bits).value
+        m = (
+            b["l_partkey"].astype("int64").map(bm).fillna(0)
+            .astype("int64").to_numpy()
+        )
+        qty = b["l_quantity"].to_numpy()
+        keep = (
+            ((m & 1 > 0) & (qty >= 1) & (qty <= 20))
+            | ((m & 2 > 0) & (qty >= 10) & (qty <= 30))
+            | ((m & 4 > 0) & (qty >= 40))
+        )
+        cents = np.round(
+            b["l_extendedprice"].to_numpy()[keep] * 100
+        ).astype("int64")
+        disc = np.round(b["l_discount"].to_numpy()[keep] * 100).astype(
+            "int64"
+        )
+        mic = cents * (100 - disc)
+        return pd.DataFrame(
+            {
+                "n_items": pd.Series([int(keep.sum())], dtype=object),
+                "revenue_micents": pd.Series(
+                    [int(mic.sum())], dtype=object
+                ),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {
+                "n_items": pd.Series(
+                    [sum(int(x) for x in df["n_items"])], dtype=object
+                ),
+                "revenue_micents": pd.Series(
+                    [sum(int(x) for x in df["revenue_micents"])],
+                    dtype=object,
+                ),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_items": df["n_items"].astype("int64"),
+                "revenue_micents": df["revenue_micents"].astype("int64"),
+            }
+        )
+
+    return tree_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        lambda b: b, merge, final_fn=finish,
+    )
+
+
+@register(
+    "orders_top2_priority_others",
+    """
+    WITH a AS (
+      SELECT o_orderpriority AS seg, o_orderpriority,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderpriority
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderpriority)
+               AS rn
+      FROM a
+    )
+    SELECT CASE WHEN rn <= 2 THEN o_orderpriority ELSE 'OTHER' END
+             AS bucket,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(SUM(n) AS BIGINT) AS n
+    FROM r GROUP BY bucket
+    """,
+)
+def orders_top2_priority_others(sf_dir: str):
+    """Top-N + OTHER rollup — the reporting shape that keeps the two
+    biggest revenue buckets named and folds the long tail into one
+    'OTHER' row (deterministic rank: cents DESC, key ASC).  The
+    data-sized work is one grouped-sum combiner tree; ranking and the
+    conditional re-aggregation happen on the group-cardinality table
+    at the root."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "o_orderpriority": b["o_orderpriority"].astype(str),
+                "cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+                "n": np.int64(1),
+            }
+        )
+        return d.groupby("o_orderpriority", as_index=False).agg(
+            cents=("cents", "sum"), n=("n", "sum")
+        )
+
+    agg = grouped_sum(
+        ds, ["o_orderpriority"], ["cents", "n"], partial_fn=prep,
+        adaptive=False,
+    ).to_pandas()  # group-cardinality rows
+    agg = agg.sort_values(
+        ["cents", "o_orderpriority"], ascending=[False, True]
+    ).reset_index(drop=True)
+    agg["bucket"] = np.where(
+        np.arange(len(agg)) < 2, agg["o_orderpriority"], "OTHER"
+    )
+    out = agg.groupby("bucket", as_index=False).agg(
+        cents=("cents", "sum"), n=("n", "sum")
+    )
+    out["cents"] = out["cents"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
