@@ -9222,6 +9222,178 @@ def orders_top2_priority_others(sf_dir: str):
     return out
 
 
+@register(
+    "embedding_dim_stats",
+    """
+    WITH q AS (
+      SELECT i AS dim,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS HUGEINT) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_fp,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_fp,
+           CAST(MIN(v) AS BIGINT) AS min_fp,
+           CAST(MAX(v) AS BIGINT) AS max_fp
+    FROM q GROUP BY dim
+    """,
+)
+def embedding_dim_stats(sf_dir: str):
+    """Per-dimension feature-normalization stats over the embedding
+    matrix — the fit half of corpus-level standardization (count, sum,
+    sum-of-squares, min, max per dimension, values fixed-point at
+    1e-6 via floor(x·1e6 + 0.5) — half-up on BOTH sides, sidestepping
+    numpy's half-to-even vs SQL's half-away ROUND divergence; the
+    float32 column is widened to double before the multiply on both
+    sides too, since DuckDB multiplies FLOAT in single precision).
+    One streaming pass: each batch stacks its vectors, emits a
+    d-row partial (object-int sums — a 1e10-vector corpus overflows
+    int64 sumsq), and partials merge through the bounded d-row tree.
+    The twin unnests (vec_id, dim, v) triples and aggregates in
+    HUGEINT."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        E = np.stack(
+            [np.asarray(x, dtype=np.float64) for x in b["embedding"]]
+        )
+        Q = np.floor(E * 1_000_000 + 0.5).astype(np.int64)
+        d = Q.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, d + 1, dtype=np.int64),
+                "n": np.int64(len(Q)),
+                "sum_fp": pd.Series(
+                    [int(x) for x in Q.sum(axis=0)], dtype=object
+                ),
+                # int64-safe per batch for unit-scale embeddings
+                # (|v| ≤ ~1e6 → v² ≤ 1e12, × 65536 rows ≤ 7e16);
+                # object ints take over in the merge tree
+                "sumsq_fp": pd.Series(
+                    [int(x) for x in np.einsum("ij,ij->j", Q, Q)],
+                    dtype=object,
+                ),
+                "min_fp": Q.min(axis=0),
+                "max_fp": Q.max(axis=0),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby("dim", as_index=False).agg(
+            n=("n", "sum"),
+            sum_fp=("sum_fp", lambda s: sum(int(x) for x in s)),
+            sumsq_fp=("sumsq_fp", lambda s: sum(int(x) for x in s)),
+            min_fp=("min_fp", "min"),
+            max_fp=("max_fp", "max"),
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values("dim").reset_index(drop=True)
+        for c in ("dim", "n", "sum_fp", "sumsq_fp", "min_fp", "max_fp"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return tree_aggregate(ds, partial, merge, final_fn=finish)
+
+
+@register(
+    "orders_column_profile",
+    """
+    SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                AS BIGINT)
+    FROM orders
+    """,
+)
+def orders_column_profile(sf_dir: str):
+    """Data-quality column profile — the Dataset-scale analogue of the
+    reference's pandas ``profile_table`` (nerpii's dataset profiling
+    entry point): per column, row count, null count and EXACT distinct
+    cardinality.  One scan emits per-batch partials of (count, nulls,
+    distinct-value set partials); distincts reduce through the
+    cardinality-aware dedup tree PER COLUMN (money in cents so float
+    identity is well-defined), then a 3-row report assembles on the
+    driver.  Swap the exact distinct for `hll_registers` /
+    `distinct_count_sketch` when a column's cardinality is data-sized
+    and an estimate suffices."""
+    from nerpii_ray.stages.agg import tree_aggregate, tree_dedup
+
+    ds = _read(
+        sf_dir, "orders",
+        ["o_custkey", "o_orderpriority", "o_totalprice"],
+    ).materialize()  # three distinct trees + one count pass share it
+
+    def counts_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(b)], dtype="int64"),
+                "null_ck": pd.Series(
+                    [int(b["o_custkey"].isna().sum())], dtype="int64"
+                ),
+                "null_pr": pd.Series(
+                    [int(b["o_orderpriority"].isna().sum())],
+                    dtype="int64",
+                ),
+                "null_tp": pd.Series(
+                    [int(b["o_totalprice"].isna().sum())], dtype="int64"
+                ),
+            }
+        )
+
+    def counts_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame({c: [int(df[c].sum())] for c in df.columns})
+
+    totals = tree_aggregate(ds, counts_partial, counts_merge).to_pandas()
+
+    def distinct_of(col, prep=None):
+        def p(b: pd.DataFrame, c=col) -> pd.DataFrame:
+            v = prep(b[c]) if prep else b[c]
+            return pd.DataFrame({"v": v}).dropna().drop_duplicates()
+
+        return int(
+            tree_dedup(ds, keys=["v"], partial_fn=p).count()
+        )
+
+    d_ck = distinct_of("o_custkey")
+    d_pr = distinct_of("o_orderpriority")
+    d_tp = distinct_of(
+        "o_totalprice",
+        prep=lambda s: np.round(s.to_numpy() * 100).astype("int64"),
+    )
+    n = int(totals["n"][0])
+    return pd.DataFrame(
+        {
+            "col": ["o_custkey", "o_orderpriority", "o_totalprice"],
+            "n": pd.Series([n, n, n], dtype="int64"),
+            "n_null": pd.Series(
+                [int(totals["null_ck"][0]), int(totals["null_pr"][0]),
+                 int(totals["null_tp"][0])],
+                dtype="int64",
+            ),
+            "n_distinct": pd.Series([d_ck, d_pr, d_tp], dtype="int64"),
+        }
+    )
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
