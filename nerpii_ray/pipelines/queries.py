@@ -9394,6 +9394,186 @@ def orders_column_profile(sf_dir: str):
     )
 
 
+@register(
+    "customers_above_nation_avg",
+    """
+    WITH c AS (
+      SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), a AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_nation,
+             CAST(SUM(cents) AS BIGINT) AS sum_nation
+      FROM c GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.cents, a.n_nation, a.sum_nation
+    FROM c JOIN a USING (c_nationkey)
+    WHERE c.cents * a.n_nation > a.sum_nation
+    """,
+)
+def customers_above_nation_avg(sf_dir: str):
+    """Decorrelated correlated subquery — customers whose balance
+    exceeds their OWN nation's average (the classic `WHERE x > (SELECT
+    AVG ... WHERE same key)` shape, decorrelated into one grouped
+    aggregate + one re-join).  The per-nation (n, sum) table is
+    nation-cardinality-sized and broadcasts into a second filtering
+    scan; the comparison cross-multiplies (cents · n > sum) so no
+    float average exists anywhere and the oracle hashes exactly."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "customer",
+               ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": b["c_custkey"].astype("int64"),
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "cents": np.round(b["c_acctbal"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+
+    def agg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = prep(b)
+        return d.groupby("c_nationkey", as_index=False).agg(
+            n_nation=("cents", "size"), sum_nation=("cents", "sum")
+        )
+
+    def agg_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("c_nationkey", as_index=False).agg(
+            n_nation=("n_nation", "sum"), sum_nation=("sum_nation", "sum")
+        )
+
+    avgs = tree_aggregate(ds, agg_partial, agg_merge).to_pandas()
+    n_map = dict(zip(avgs["c_nationkey"].astype(int),
+                     avgs["n_nation"].astype(int)))
+    s_map = dict(zip(avgs["c_nationkey"].astype(int),
+                     avgs["sum_nation"].astype(int)))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        d = prep(b)
+        n = d["c_nationkey"].map(n_map).to_numpy(dtype=np.int64)
+        s = d["c_nationkey"].map(s_map).to_numpy(dtype=np.int64)
+        keep = d["cents"].to_numpy() * n > s
+        out = d.loc[keep].copy()
+        out["n_nation"] = n[keep]
+        out["sum_nation"] = s[keep]
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+@register(
+    "embedding_cluster_purity",
+    """
+    WITH c AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl,
+             embedding AS cvec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT 4)
+    ), d AS (
+      SELECT e.vec_id, e.label, c.cl,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.cvec AS DOUBLE[])),
+                          c.cl) AS pick
+      FROM embeddings e CROSS JOIN c
+    ), asg AS (
+      SELECT vec_id, CAST(cl AS BIGINT) AS cluster,
+             CAST(label AS BIGINT) AS label
+      FROM d WHERE pick = 1
+    ), cnt AS (
+      SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS ct
+      FROM asg GROUP BY cluster, label
+    ), top AS (
+      SELECT cluster, label AS top_label, ct AS top_count,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY ct DESC, label) AS rn
+      FROM cnt
+    ), sz AS (
+      SELECT cluster, CAST(SUM(ct) AS BIGINT) AS n_cluster FROM cnt
+      GROUP BY cluster
+    )
+    SELECT s.cluster, s.n_cluster, t.top_label, t.top_count
+    FROM sz s JOIN top t ON s.cluster = t.cluster AND t.rn = 1
+    """,
+)
+def embedding_cluster_purity(sf_dir: str):
+    """Clustering evaluation — per-cluster purity against the labeled
+    ground truth: each k-means cluster's size, dominant true label and
+    its count (purity = Σ top_count / Σ n_cluster; emitted as exact
+    integers so the metric derives without a float anywhere).  Built
+    on the deterministic kmeans assignment core (n_iter=0, the
+    SQL-oracled path): assignment ⋈ labels on the keyed exchange, a
+    (cluster, label) count tree, and a per-cluster argmax with ties to
+    the smallest label."""
+    from nerpii_ray.stages.agg import grouped_argmax, tree_aggregate
+    from nerpii_ray.stages.joins import partitioned_hash_join
+    from nerpii_ray.stages.similarity import kmeans
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned, _ = kmeans(ds, k=4, n_iter=0)
+    labels = _read(sf_dir, "embeddings", ["vec_id", "label"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "vec_id": b["vec_id"].astype("int64"),
+                "label": b["label"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    pairs = partitioned_hash_join(assigned, labels, on=["vec_id"])
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "cluster": b["cluster"].astype("int64"),
+                "label": b["label"].astype("int64"),
+            }
+        )
+        return (
+            d.groupby(["cluster", "label"], as_index=False)
+            .size().rename(columns={"size": "ct"})
+        )
+
+    def cnt_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(["cluster", "label"], as_index=False)["ct"].sum()
+
+    cnt = tree_aggregate(pairs, cnt_partial, cnt_merge).materialize()
+    sizes = (
+        cnt.to_pandas().groupby("cluster", as_index=False)["ct"].sum()
+        .rename(columns={"ct": "n_cluster"})
+    )  # k rows
+
+    # per-cluster argmax over counts, ties to the SMALLEST label: rank
+    # by (ct, -label) so the grouped argmax keeps DuckDB's tie rule
+    prep = cnt.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "cluster": b["cluster"].astype("int64"),
+                "score": b["ct"].astype("int64") * 100000
+                - b["label"].astype("int64"),
+                "label": b["label"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    top = grouped_argmax(prep, ["cluster"], "score", "label").to_pandas()
+    top["top_count"] = (top["score"] + top["label"]) // 100000
+    out = sizes.merge(
+        top[["cluster", "label", "top_count"]], on="cluster"
+    ).rename(columns={"label": "top_label"})
+    for c in ("cluster", "n_cluster", "top_label", "top_count"):
+        out[c] = out[c].astype("int64")
+    return out[["cluster", "n_cluster", "top_label", "top_count"]]
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
