@@ -9081,17 +9081,32 @@ def promo_disjunct_revenue(sf_dir: str):
     from nerpii_ray.stages.taskcache import worker_cached
     import ray as _ray
 
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
-    g1 = (part["p_brand"] == "Brand#1") & (part["p_size"] <= 10)
-    g2 = (part["p_brand"] == "Brand#2") & (part["p_size"] <= 20)
-    g3 = part["p_size"] >= 40
-    mask = pd.Series(
-        g1.to_numpy().astype(np.int64)
-        | (g2.to_numpy().astype(np.int64) << 1)
-        | (g3.to_numpy().astype(np.int64) << 2)
+    def dim_mask(b: pd.DataFrame) -> pd.DataFrame:
+        g1 = (b["p_brand"] == "Brand#1") & (b["p_size"] <= 10)
+        g2 = (b["p_brand"] == "Brand#2") & (b["p_size"] <= 20)
+        g3 = b["p_size"] >= 40
+        m = (
+            g1.to_numpy().astype(np.int64)
+            | (g2.to_numpy().astype(np.int64) << 1)
+            | (g3.to_numpy().astype(np.int64) << 2)
+        )
+        keep = m > 0
+        return pd.DataFrame(
+            {
+                "p_partkey": b["p_partkey"].to_numpy()[keep],
+                "m": m[keep],
+            }
+        )
+
+    # the dimension filter runs DISTRIBUTED; only candidate keys reach
+    # the driver.  If a predicate group ever matches a data-sized slice
+    # of the dimension, swap this broadcast for partitioned_hash_join
+    # on l_partkey — the post-join disjunction below is unchanged.
+    cand = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .map_batches(dim_mask, batch_format="pandas")
+        .to_pandas()
     )
-    cand = part.loc[mask > 0, ["p_partkey"]].copy()
-    cand["m"] = mask[mask > 0].to_numpy()
     bits_ref = _ray.put(
         dict(zip(cand["p_partkey"].astype(int), cand["m"].astype(int)))
     )
