@@ -9589,6 +9589,138 @@ def embedding_cluster_purity(sf_dir: str):
     return out[["cluster", "n_cluster", "top_label", "top_count"]]
 
 
+@register(
+    "doc_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+'))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), nn AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (((SELECT n FROM nn) * 1000) // df.df) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * (((SELECT n FROM nn) * 1000) // df.df)
+                        DESC,
+                        tf.term) AS rn
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, CAST(score AS BIGINT) AS score,
+           CAST(rn AS BIGINT) AS rank
+    FROM scored WHERE rn <= 3
+    """,
+)
+def doc_top_terms(sf_dir: str):
+    """Per-document keyword extraction — each doc's top-3 most
+    distinguishing terms by an INTEGER tf-idf surrogate, score = tf ·
+    ⌊N·1000 / df⌋ (floor-quantized idf: deterministic, hash-exact,
+    ties → lexicographic term).  Plan: one text pass to (doc, term,
+    tf) partials reduced on the keyed tree; df reduces from the same
+    tf table; tf ⋈ df meet on a term-keyed exchange (df is
+    vocabulary-sized — never broadcast); the per-doc top-3 cut runs in
+    doc-keyed partitions AFTER scores are complete (the
+    doc_edge_degree_topk rule: never cut before the combine
+    finishes)."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    tok = re.compile(r"\w+")
+
+    def tf_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids, terms = [], []
+        for i, t in zip(b["doc_id"].astype("int64"),
+                        b["text"].fillna("")):
+            ts = tok.findall(t.lower())
+            ids.extend([i] * len(ts))
+            terms.extend(ts)
+        d = pd.DataFrame({"doc_id": ids, "term": terms})
+        if not len(d):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "term": pd.Series(dtype=object),
+                 "tf": pd.Series(dtype="int64")}
+            )
+        return (
+            d.groupby(["doc_id", "term"], as_index=False)
+            .size().rename(columns={"size": "tf"})
+        )
+
+    def tf_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(["doc_id", "term"], as_index=False)["tf"].sum()
+
+    tf = tree_aggregate(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        tf_partial, tf_merge, keys=["doc_id", "term"],
+    ).materialize()  # serves df reduction, N count and the join
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("term", as_index=False)
+            .size().rename(columns={"size": "df"})
+        )
+
+    def df_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("term", as_index=False)["df"].sum()
+
+    df = tree_aggregate(tf, df_partial, df_merge, keys=["term"])
+
+    from nerpii_ray.stages.agg import tree_dedup
+
+    n_docs = int(
+        tree_dedup(
+            tf.map_batches(
+                lambda b: b[["doc_id"]].drop_duplicates(),
+                batch_format="pandas",
+            ),
+            keys=["doc_id"],
+        ).count()
+    )
+
+    scored = partitioned_hash_join(tf, df, on=["term"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_id", "term", "tf", "score", "rank"]
+        if not len(g):
+            return pd.DataFrame(
+                {c: pd.Series(
+                    dtype=object if c == "term" else "int64")
+                 for c in cols}
+            )
+        tfv = g["tf"].astype("int64").to_numpy()
+        dfv = g["df"].astype("int64").to_numpy()
+        score = tfv * ((n_docs * 1000) // dfv)
+        d = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64").to_numpy(),
+                "term": g["term"].to_numpy(),
+                "tf": tfv,
+                "score": score,
+            }
+        )
+        d = d.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        d["rank"] = d.groupby("doc_id", sort=False).cumcount() + 1
+        return d[d["rank"] <= 3]
+
+    return keyed_partition_apply(scored, ["doc_id"], topk)
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
