@@ -9721,6 +9721,83 @@ def doc_top_terms(sf_dir: str):
     return keyed_partition_apply(scored, ["doc_id"], topk)
 
 
+@register(
+    "part_clustering_coeff",
+    """
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), corners AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    ), tri AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM corners
+      GROUP BY node
+    ), d AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(COALESCE(tri.tri, 0) AS BIGINT) AS tri,
+           CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS wedges
+    FROM d LEFT JOIN tri USING (node)
+    """,
+)
+def part_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient inputs per node of the part
+    co-purchase graph — each part's degree, exact triangle membership
+    count (stages/graph.node_triangle_counts: the wedge-closing plan
+    with centers carried, every closed wedge attributed to its three
+    corners) and wedge capacity deg·(deg−1)/2, all exact integers so
+    the coefficient tri/wedges derives without a float.  Community
+    tightness per node — the micro-level companion of the global
+    triangle count."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.graph import node_triangle_counts
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    edges = _copurchase_edges(sf_dir).materialize()  # two consumers
+    tri = node_triangle_counts(edges)
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"node": np.concatenate([b["u"].to_numpy(),
+                                     b["v"].to_numpy()])}
+        )
+        out["deg"] = np.int64(1)
+        return out.groupby("node", sort=False)["deg"].sum().reset_index()
+
+    deg = grouped_sum(
+        edges.map_batches(explode, batch_format="pandas"),
+        ["node"], ["deg"], partial_fn=lambda b: b,
+    )
+
+    joined = partitioned_hash_join(deg, tri, on=["node"], how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["deg"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "node": b["node"].astype("int64"),
+                "deg": d,
+                "tri": b["tri"].fillna(0).astype("int64"),
+                "wedges": (d * (d - 1) // 2).astype("int64"),
+            }
+        )
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",

@@ -502,3 +502,140 @@ def bfs_levels(
         frontier = fresh
 
     return labels
+
+
+def node_triangle_counts(
+    edges_ds,
+    u_col: str = "u",
+    v_col: str = "v",
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Per-NODE exact triangle counts over an undirected canonical
+    (u < v, distinct) edge list — the numerator of the local
+    clustering coefficient.  Same degree-oriented wedge-closing plan
+    as ``triangle_count`` (out-degrees bounded O(√m), wedge volume
+    O(m^1.5) under any hub skew) with one change: wedges carry their
+    CENTER, and every closed wedge attributes its triangle to all
+    three corners via a 3-row flat map into a keyed count tree.
+    Returns (node, tri) for nodes in ≥1 triangle; attach degrees and
+    LEFT-join zeros at the call site.
+    """
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [b[u_col].to_numpy(), b[v_col].to_numpy()]
+                )
+            }
+        )
+        out["deg"] = np.int64(1)
+        return out.groupby("node", sort=False)["deg"].sum().reset_index()
+
+    deg = grouped_sum(
+        edges_ds.map_batches(explode, batch_format="pandas"),
+        ["node"], ["deg"], partial_fn=lambda b: b,
+    )
+
+    e_u = partitioned_hash_join(
+        edges_ds,
+        deg.map_batches(
+            lambda b: b.rename(columns={"node": u_col, "deg": "du"}),
+            batch_format="pandas",
+        ),
+        on=[u_col], num_buckets=num_buckets, path=path,
+    )
+    e_uv = partitioned_hash_join(
+        e_u,
+        deg.map_batches(
+            lambda b: b.rename(columns={"node": v_col, "deg": "dv"}),
+            batch_format="pandas",
+        ),
+        on=[v_col], num_buckets=num_buckets, path=path,
+    )
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[u_col].astype("int64").to_numpy()
+        v = b[v_col].astype("int64").to_numpy()
+        du = b["du"].astype("int64").to_numpy()
+        dv = b["dv"].astype("int64").to_numpy()
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        return pd.DataFrame(
+            {
+                "src": np.where(fwd, u, v),
+                "dst": np.where(fwd, v, u),
+                "ddst": np.where(fwd, dv, du),
+            }
+        )
+
+    oriented = e_uv.map_batches(orient, batch_format="pandas")
+
+    def wedge_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {
+                    "center": pd.Series(dtype="int64"),
+                    "src": pd.Series(dtype="int64"),
+                    "dst": pd.Series(dtype="int64"),
+                }
+            )
+        p = g[["src", "dst", "ddst"]].merge(
+            g[["src", "dst", "ddst"]], on="src", suffixes=("_a", "_b")
+        )
+        keep = (p["ddst_a"] < p["ddst_b"]) | (
+            (p["ddst_a"] == p["ddst_b"]) & (p["dst_a"] < p["dst_b"])
+        )
+        p = p[keep]
+        return pd.DataFrame(
+            {
+                "center": p["src"].astype("int64").to_numpy(),
+                "src": p["dst_a"].astype("int64").to_numpy(),
+                "dst": p["dst_b"].astype("int64").to_numpy(),
+            }
+        )
+
+    wedges = keyed_partition_apply(
+        oriented, ["src"], wedge_kernel, num_buckets, path="exchange"
+    )
+
+    closed = partitioned_hash_join(
+        wedges,
+        oriented.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "src": b["src"].astype("int64"),
+                    "dst": b["dst"].astype("int64"),
+                    "is_edge": np.int64(1),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        on=["src", "dst"], num_buckets=num_buckets, path="exchange",
+    )
+
+    def corners(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="int64"),
+                 "tri": pd.Series(dtype="int64")}
+            )
+        nodes = np.concatenate(
+            [
+                b["center"].astype("int64").to_numpy(),
+                b["src"].astype("int64").to_numpy(),
+                b["dst"].astype("int64").to_numpy(),
+            ]
+        )
+        d = pd.DataFrame({"node": nodes, "tri": np.int64(1)})
+        return d.groupby("node", sort=False)["tri"].sum().reset_index()
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("node", as_index=False)["tri"].sum()
+
+    return tree_aggregate(closed, corners, merge, keys=["node"])
