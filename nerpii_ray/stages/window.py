@@ -334,6 +334,7 @@ def sequential_funnel(
     type_col: str = "event_type",
     num_buckets=None,
     path: str = "auto",
+    emit_times: bool = False,
 ):
     """General k-step ordered conversion funnel (VERDICT r4 #8 — the
     3-step ``events_funnel`` kernel parameterized by a step list): for
@@ -357,14 +358,17 @@ def sequential_funnel(
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
-            return pd.DataFrame(
-                {user_col: pd.Series(dtype="int64"),
-                 "funnel_stage": pd.Series(dtype="int64")}
-            )
+            base = {user_col: pd.Series(dtype="int64"),
+                    "funnel_stage": pd.Series(dtype="int64")}
+            if emit_times:
+                for i in range(1, len(steps) + 1):
+                    base[f"t{i}"] = pd.Series(dtype="int64")
+            return pd.DataFrame(base)
         users = pd.unique(g[user_col])
         stage = np.zeros(len(users), dtype=np.int64)
         users_s = pd.Series(users)
         prev = None  # min-ts of the previous stage, indexed by user
+        stage_mins = []  # per-stage min-ts Series (emit_times)
         for si, st in enumerate(steps):
             sub = g.loc[g[type_col] == st]
             if prev is not None:
@@ -375,9 +379,22 @@ def sequential_funnel(
                 break
             stage[users_s.isin(cur.index).to_numpy()] = si + 1
             prev = cur
-        return pd.DataFrame(
+            stage_mins.append(cur)
+        out = pd.DataFrame(
             {user_col: users_s.astype("int64"), "funnel_stage": stage}
         )
+        if emit_times:
+            # stage-i min timestamp per user as int64 microseconds,
+            # -1 where the user never reached the stage
+            for i in range(1, len(steps) + 1):
+                if i <= len(stage_mins):
+                    tv = users_s.map(stage_mins[i - 1])
+                    iv = tv.astype("datetime64[us]").astype("int64")
+                    iv[tv.isna()] = -1
+                    out[f"t{i}"] = iv.to_numpy()
+                else:
+                    out[f"t{i}"] = np.int64(-1)
+        return out
 
     return keyed_partition_apply(
         events_ds, [user_col], kernel, num_buckets, path
