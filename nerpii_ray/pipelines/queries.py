@@ -10027,6 +10027,96 @@ def orders_price_first_digit(sf_dir: str):
     return tree_aggregate(ds, partial, merge)
 
 
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ), n AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+               AS cents
+      FROM orders WHERE o_orderkey % 13 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           CAST(COALESCE(o.cents, -1) AS BIGINT) AS old_cents,
+           CAST(COALESCE(n.cents, -1) AS BIGINT) AS new_cents
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.cents <> n.cents
+    """,
+)
+def orders_snapshot_diff(sf_dir: str):
+    """Snapshot table diff (CDC reconciliation): rows added, removed
+    or value-changed between two versions of a keyed table — the
+    audit every incremental load runs; unchanged rows are dropped so
+    the diff is change-sized, not table-sized.  The two snapshots
+    derive deterministically from orders (%11 / %13 membership, %5
+    simulating a price update).  One source read materialized for
+    both sides, the bucket-local FULL OUTER join on key-complete
+    partitions (users_customers_full_join discipline), then a
+    vectorized classify-and-filter; absent sides encode as -1 so
+    every output column stays int64."""
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()  # one scan serves both snapshot filters
+
+    old = base.map_batches(
+        lambda b: b[b["o_orderkey"] % 11 != 0].rename(
+            columns={"cents": "old_cents"}
+        ),
+        batch_format="pandas",
+    )
+    new = base.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "new_cents": b["cents"]
+                + np.where(b["o_orderkey"] % 5 == 0, 100, 0),
+            }
+        )[(b["o_orderkey"] % 13 != 0).to_numpy()],
+        batch_format="pandas",
+    )
+
+    joined = partitioned_hash_join(
+        old, new, on=["o_orderkey"], how="outer"
+    )
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        oc, nc = b["old_cents"], b["new_cents"]
+        status = np.where(
+            oc.isna(), "added", np.where(nc.isna(), "removed", "changed")
+        )
+        keep = oc.isna() | nc.isna() | (oc != nc)
+        out = pd.DataFrame(
+            {
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "status": status,
+                "old_cents": oc.fillna(-1).astype("int64"),
+                "new_cents": nc.fillna(-1).astype("int64"),
+            }
+        )
+        return out[keep.to_numpy()]
+
+    return joined.map_batches(classify, batch_format="pandas")
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
