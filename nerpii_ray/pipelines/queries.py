@@ -10117,6 +10117,96 @@ def orders_snapshot_diff(sf_dir: str):
     return joined.map_batches(classify, batch_format="pandas")
 
 
+@register(
+    "orders_key_completeness",
+    """
+    WITH k AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 0
+    ), b AS (
+      SELECT MIN(k) AS lo, MAX(k) AS hi, MAX(k) - MIN(k) + 1 AS span
+      FROM k
+    ), present AS (
+      SELECT (k - (SELECT lo FROM b)) * 64 // (SELECT span FROM b)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS present
+      FROM k GROUP BY bucket
+    )
+    SELECT p.bucket,
+           CAST(((p.bucket + 1) * (SELECT span FROM b) + 63) // 64
+                - (p.bucket * (SELECT span FROM b) + 63) // 64
+                AS BIGINT) AS expected,
+           p.present,
+           CAST(((p.bucket + 1) * (SELECT span FROM b) + 63) // 64
+                - (p.bucket * (SELECT span FROM b) + 63) // 64
+                - p.present AS BIGINT) AS missing
+    FROM present p
+    """,
+)
+def orders_key_completeness(sf_dir: str):
+    """Key-completeness audit: expected vs present key counts per
+    equi-width bucket of the key range — the shard-loss / dropped-
+    partition screen an incremental loader runs (simulated loss:
+    o_orderkey % 7 rows withheld).  Expected per bucket is the CLOSED
+    FORM ⌈(b+1)·span/64⌉ − ⌈b·span/64⌉ (the count of integers x with
+    x·64//span = b) — no keyspace enumeration on either side, so the
+    audit costs one bounds pass + one bounded-key count tree at any
+    scale."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"]).map_batches(
+        lambda b: pd.DataFrame(
+            {"k": b["o_orderkey"].astype("int64")}
+        ).loc[lambda d: d["k"] % 7 != 0],
+        batch_format="pandas",
+    ).materialize()  # bounds pass + bucket pass share the filter scan
+
+    def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"),
+                 "hi": pd.Series(dtype="int64")}
+            )
+        v = b["k"].to_numpy()
+        return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
+
+    def bounds_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {"lo": [int(df["lo"].min())], "hi": [int(df["hi"].max())]}
+        )
+
+    bounds = tree_aggregate(ds, bounds_partial, bounds_merge).take_all()
+    if not bounds:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64")
+             for c in ("bucket", "expected", "present", "missing")}
+        )
+    lo, hi = int(bounds[0]["lo"]), int(bounds[0]["hi"])
+    span = hi - lo + 1
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bk = (b["k"].to_numpy() - lo) * 64 // span
+        return (
+            pd.DataFrame({"bucket": bk, "present": np.int64(1)})
+            .groupby("bucket", as_index=False)["present"].sum()
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby("bucket", as_index=False)["present"].sum()
+
+    out = tree_aggregate(ds, partial, merge).to_pandas()
+    bkt = out["bucket"].astype("int64")
+    exp = ((bkt + 1) * span + 63) // 64 - (bkt * span + 63) // 64
+    out["expected"] = exp.astype("int64")
+    out["present"] = out["present"].astype("int64")
+    out["missing"] = (out["expected"] - out["present"]).astype("int64")
+    out["bucket"] = bkt
+    return out[["bucket", "expected", "present", "missing"]]
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
