@@ -10207,6 +10207,138 @@ def orders_key_completeness(sf_dir: str):
     return out[["bucket", "expected", "present", "missing"]]
 
 
+@register(
+    "part_frequent_pairs",
+    """
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v
+    )
+    SELECT u, v, support FROM pairs WHERE support >= 2
+    """,
+)
+def part_frequent_pairs(sf_dir: str):
+    """Frequent-itemset pairs (market basket, A-priori support
+    counting): part pairs co-purchased in >= 2 distinct orders with
+    their support counts — the rule-mining primitive next to the
+    co-purchase graph queries (which dedup the same pair stream).
+    One order co-location emits each basket's pairs, a keyed count
+    tree sums support, and the threshold cuts AFTER the combine
+    completes (the doc_edge_degree_topk rule)."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype="int64"),
+                 "v": pd.Series(dtype="int64"),
+                 "support": pd.Series(dtype="int64")}
+            )
+        pp = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        p = pp.merge(pp, on="l_orderkey", suffixes=("_a", "_b"))
+        p = p[p["l_partkey_a"] < p["l_partkey_b"]]
+        d = pd.DataFrame(
+            {
+                "u": p["l_partkey_a"].astype("int64").to_numpy(),
+                "v": p["l_partkey_b"].astype("int64").to_numpy(),
+                "support": np.int64(1),
+            }
+        )
+        return d.groupby(["u", "v"], as_index=False)["support"].sum()
+
+    pairs = keyed_partition_apply(ds, ["l_orderkey"], pair_kernel)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby(["u", "v"], as_index=False)["support"].sum()
+
+    counted = tree_aggregate(pairs, lambda b: b, merge, keys=["u", "v"])
+    return counted.map_batches(
+        lambda b: b[b["support"] >= 2].astype(
+            {"u": "int64", "v": "int64", "support": "int64"}
+        ),
+        batch_format="pandas",
+    )
+
+
+@register(
+    "events_session_length_median",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts))
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), ses AS (
+      SELECT epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(quantile_disc(dur_us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_disc(dur_us, 0.9) AS BIGINT) AS p90_us
+    FROM ses
+    """,
+)
+def events_session_length_median(sf_dir: str):
+    """Session-duration distribution: exact median and p90 session
+    length (µs) over all 30-minute-gap sessions — the engagement
+    metric beside the session count table.  Reuses the mergeable
+    interval tree (window.session_table: one row per session, never
+    per event) and reduces durations through the sort-free
+    exact-quantile value-count tree."""
+    from nerpii_ray.stages.agg import grouped_quantile_disc
+    from nerpii_ray.stages.window import session_table
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ses = session_table(ds, gap_sec=1800)
+
+    def vc(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "k": np.int64(0),
+                "dur_us": (
+                    b["s_end"].astype("int64")
+                    - b["s_start"].astype("int64")
+                ),
+            }
+        )
+        return (
+            d.groupby(["k", "dur_us"], as_index=False)
+            .size().rename(columns={"size": "cnt"})
+        )
+
+    q = grouped_quantile_disc(
+        ses, ["k"], "dur_us", [0.5, 0.9], ["p50_us", "p90_us"],
+        partial_fn=vc,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_sessions": pd.Series([int(q["n"][0])], dtype="int64"),
+            "p50_us": pd.Series([int(q["p50_us"][0])], dtype="int64"),
+            "p90_us": pd.Series([int(q["p90_us"][0])], dtype="int64"),
+        }
+    )
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",
