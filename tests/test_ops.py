@@ -1532,6 +1532,58 @@ def test_power_iteration_tracks_svd_direction():
     assert abs(float(v @ top)) >= 0.95
 
 
+def test_node_triangle_counts_k4_plus_pendant():
+    """K4 (every node in C(3,2)=3 triangles) plus a pendant edge: the
+    four clique nodes count 3 each, the pendant node is absent (no
+    triangle membership)."""
+    from nerpii_ray.stages.graph import node_triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = pd.DataFrame(k4 + [(3, 9)], columns=["u", "v"]).astype("int64")
+    out = (
+        node_triangle_counts(rd.from_pandas(edges))
+        .to_pandas().set_index("node")["tri"].to_dict()
+    )
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_sequential_funnel_emit_times():
+    """emit_times carries each stage's min timestamp (µs) out of the
+    funnel kernel; unreached stages read -1."""
+    from nerpii_ray.stages.window import sequential_funnel
+
+    t0 = pd.Timestamp("2021-01-01")
+    ev = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_type": ["signup", "view", "purchase",
+                           "signup", "purchase", "view"],
+            "ts": [t0, t0 + pd.Timedelta(minutes=5),
+                   t0 + pd.Timedelta(minutes=9),
+                   t0, t0 + pd.Timedelta(minutes=1), t0],
+        }
+    )
+    out = (
+        sequential_funnel(
+            rd.from_pandas(ev), ["signup", "view", "purchase"],
+            emit_times=True,
+        )
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    us = int(t0.value // 1000)
+    assert out.loc[1, "funnel_stage"] == 3
+    assert out.loc[1, "t1"] == us
+    assert out.loc[1, "t2"] == us + 5 * 60 * 10**6
+    assert out.loc[1, "t3"] == us + 9 * 60 * 10**6
+    # user 2 skipped 'view': purchase cannot count, t2/t3 = -1
+    assert out.loc[2, "funnel_stage"] == 1
+    assert out.loc[2, "t1"] == us
+    assert out.loc[2, "t2"] == -1 and out.loc[2, "t3"] == -1
+    # user 3 never signed up
+    assert out.loc[3, "funnel_stage"] == 0
+    assert out.loc[3, "t1"] == -1
+
+
 def test_grouped_corr_zero_variance_yields_null():
     """Degenerate groups (single row, or zero variance in x or y) must
     yield corr = NULL/NaN like DuckDB's corr(), not ZeroDivisionError
