@@ -8127,7 +8127,9 @@ def orders_pareto_abc(sf_dir: str):
         b["_bkt"] = (b["cents"].to_numpy() - lo) * NB // span
         return b
 
-    withb = base.map_batches(bucketize, batch_format="pandas")
+    # pinned once: serves the (group, bucket) sums AND the ranking
+    # co-location (same discipline as global_row_number)
+    withb = base.map_batches(bucketize, batch_format="pandas").materialize()
 
     def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):

@@ -527,7 +527,12 @@ def global_row_number(
         )
         return b
 
-    withb = ds.map_batches(bucketize, batch_format="pandas")
+    # pin the bucketized projection ONCE: the counts tree and the
+    # ranking co-location both consume it, and the auto path would
+    # have materialized it anyway for the cardinality decision — this
+    # way the source is scanned twice total (bounds + bucketize), not
+    # re-executed per consumer
+    withb = ds.map_batches(bucketize, batch_format="pandas").materialize()
 
     def count_partial(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
