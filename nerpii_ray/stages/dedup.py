@@ -1350,13 +1350,13 @@ def ngram_novelty(
     text lives in one row, so per-doc distinct counts are exact within
     the batch — no tree needed for ``n_grams``); the gram → min-doc
     attribution is the one data-sized keyed aggregate (cardinality-aware
-    tree → keyed exchange past the root threshold); regrouping the
-    attribution by winner doc gives ``n_novel``; a partitioned hash join
-    stitches the two doc-keyed tables.  No broadcast of anything
+    tree → keyed exchange past the root threshold); the two doc-keyed
+    counts (distinct grams from the pair stream, won grams from the
+    attribution) union into ONE grouped sum — same key space, so no
+    join is needed to stitch them.  No broadcast of anything
     data-sized.
     """
     from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
-    from nerpii_ray.stages.joins import partitioned_hash_join
 
     def pairs_fn(b: pd.DataFrame) -> pd.DataFrame:
         """per-doc DISTINCT (doc, gram-md5) rows"""
@@ -1385,19 +1385,6 @@ def ngram_novelty(
     # object-store-resident/spillable, never driver-sized.
     pairs = docs_ds.map_batches(pairs_fn, batch_format="pandas",
                                 batch_size=4096).materialize()
-    # per-doc distinct gram counts derive from the SAME pair stream (a
-    # doc-keyed grouped count) — a second text pass would tokenize and
-    # md5 every gram twice
-    n_grams = grouped_sum(
-        pairs.map_batches(
-            lambda b: pd.DataFrame(
-                {id_col: b[id_col].astype("int64"),
-                 "n_grams": np.ones(len(b), dtype="int64")}
-            ),
-            batch_format="pandas",
-        ),
-        [id_col], ["n_grams"],
-    )
 
     def min_doc(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -1407,21 +1394,34 @@ def ngram_novelty(
         )
 
     firsts = tree_aggregate(pairs, min_doc, min_doc, keys=["g"])
-    novel = grouped_sum(
-        firsts.map_batches(
-            lambda b: pd.DataFrame(
+
+    # Both per-doc counts (distinct grams, won grams) are doc-keyed
+    # grouped SUMS — union the two count streams and settle them in ONE
+    # tree instead of two grouped_sums stitched by a hash join (the join
+    # added two more keyed executions for what a shared key space does
+    # for free; left-join semantics are preserved because every doc
+    # with grams contributes n_grams rows, and a doc that wins nothing
+    # simply sums n_novel to 0).
+    def count_cols(novel_flag: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            one = np.ones(len(b), dtype="int64")
+            return pd.DataFrame(
                 {id_col: b[id_col].astype("int64"),
-                 "n_novel": np.ones(len(b), dtype="int64")}
-            ),
-            batch_format="pandas",
+                 "n_grams": one * (1 - novel_flag),
+                 "n_novel": one * novel_flag}
+            )
+        return fn
+
+    counts = grouped_sum(
+        pairs.map_batches(count_cols(0), batch_format="pandas").union(
+            firsts.map_batches(count_cols(1), batch_format="pandas")
         ),
-        [id_col], ["n_novel"],
+        [id_col], ["n_grams", "n_novel"],
     )
-    out = partitioned_hash_join(n_grams, novel, on=[id_col], how="left")
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         ng = b["n_grams"].to_numpy(dtype=np.int64)
-        nv = b["n_novel"].fillna(0).to_numpy(dtype=np.int64)
+        nv = b["n_novel"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
             {
                 id_col: b[id_col].astype("int64"),
@@ -1431,7 +1431,7 @@ def ngram_novelty(
             }
         )
 
-    return out.map_batches(finish, batch_format="pandas")
+    return counts.map_batches(finish, batch_format="pandas")
 
 
 def token_ed1_pairs(
