@@ -10361,6 +10361,57 @@ _DRIVER_CERTIFIED = [
 ]
 
 
+@register(
+    "doc_span_dedup",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')), '\w+') AS toks
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(generate_series(1, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS pos,
+             toks
+      FROM base
+      WHERE len(toks) > 0
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             array_to_string(toks[(pos-1)*8+1 : LEAST(pos*8, len(toks))], ' ') AS span
+      FROM spans
+    ),
+    winners AS (
+      SELECT doc_id, pos, span
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(span)
+                                         ORDER BY doc_id, pos) AS rn
+            FROM keyed)
+      WHERE rn = 1
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM keyed GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(span, ' ' ORDER BY pos) AS clean_text
+      FROM winners GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_spans,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def doc_span_dedup(sf_dir: str):
+    """Exact span dedup (stages/dedup.span_dedup — Lee et al. 2022's
+    substring dedup over fixed 8-token spans): every distinct span is
+    owned by its smallest (doc, pos); each doc is reassembled from only
+    the spans it wins, so boilerplate repeated across otherwise-unique
+    docs is stripped once per corpus.  The SQL twin replays the
+    identical tokenization, md5 span keys, argmin attribution and
+    ordered reassembly."""
+    from nerpii_ray.stages.dedup import span_dedup
+
+    return span_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
@@ -10386,6 +10437,7 @@ _WINDOW_DEPRIORITIZED = [
 #: r01–r04 artifacts before the round-5 sweep.
 _R5_FRESH = [
     # --- never driver-certified (new in round 5) ---
+    "doc_span_dedup",
     "kg_nodes", "multimodal_decode_stats", "events_funnel4",
     "doc_dedup_keep_best", "doc_decontaminate", "doc_ngram_novelty",
     "customer_order_moving3", "events_next_gap", "orders_segment_share",

@@ -1434,6 +1434,131 @@ def ngram_novelty(
     return counts.map_batches(finish, batch_format="pandas")
 
 
+def span_dedup(
+    docs_ds,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact SPAN dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499 — the suffix-array
+    substring dedup re-expressed over fixed non-overlapping token
+    spans): each doc splits into consecutive ``span_tokens``-token
+    spans; every DISTINCT span (md5 key) is attributed to its
+    lexicographically-smallest containing (doc, pos); each doc is
+    reassembled from only the spans it wins.  Unlike whole-doc exact
+    dedup this removes repeated CONTENT inside otherwise-unique
+    documents — boilerplate, licenses, navigation chrome.
+
+    Plan: one text pass explodes (doc, pos, span, key) rows [pinned —
+    two consumers]; the key → argmin attribution is the one data-sized
+    keyed aggregate (``tree_dedup`` carrying the span text, keyed
+    exchange past the root threshold); per-doc totals and kept counts
+    union into ONE grouped-sum tree (the ``ngram_novelty`` fusion);
+    winners co-locate by doc for the ordered reassembly; a doc-keyed
+    hash join stitches counts to text — every post-explode row is
+    span-sized, nothing driver-sized.
+
+    Returns (id_col, n_spans:int64, n_kept:int64, clean_text:str);
+    docs whose every span is owned elsewhere keep n_kept=0 and empty
+    text.  Spans-per-doc must stay below 2^20 (the argmin ordinal is
+    ``doc_id * 2^20 + pos``) — 8M tokens/doc at the default width.
+    """
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    _POS_BITS = 20
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, spans = [], [], []
+        for did, t in zip(b[id_col], b[text_col]):
+            toks = _TOKEN_RE.findall(str(t).lower()) if t is not None else []
+            if not toks:
+                continue
+            n = (len(toks) + span_tokens - 1) // span_tokens
+            if n >= (1 << _POS_BITS):
+                raise ValueError(
+                    f"span_dedup: doc {did} has {n} spans ≥ 2^{_POS_BITS}"
+                )
+            ids.extend([did] * n)
+            poss.extend(range(1, n + 1))
+            spans.extend(
+                " ".join(toks[i * span_tokens:(i + 1) * span_tokens])
+                for i in range(n)
+            )
+        out = pd.DataFrame(
+            {
+                id_col: pd.Series(ids, dtype="int64"),
+                "pos": pd.Series(poss, dtype="int64"),
+                "span": pd.Series(spans, dtype="object"),
+            }
+        )
+        out["key"] = md5_of_strings(out["span"])
+        return out
+
+    exploded = docs_ds.map_batches(
+        explode, batch_format="pandas", batch_size=4096
+    ).materialize()
+
+    def win_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_ord"] = (
+            b[id_col].to_numpy(np.int64) * (1 << _POS_BITS)
+            + b["pos"].to_numpy(np.int64)
+        )
+        return b.sort_values("_ord", kind="stable").drop_duplicates("key")
+
+    winners = tree_dedup(
+        exploded, keys=["key"], partial_fn=win_partial, keep_min="_ord"
+    ).materialize()
+
+    def count_cols(kept_flag: int):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            one = np.ones(len(b), dtype="int64")
+            return pd.DataFrame(
+                {id_col: b[id_col].astype("int64"),
+                 "n_spans": one * (1 - kept_flag),
+                 "n_kept": one * kept_flag}
+            )
+        return fn
+
+    counts = grouped_sum(
+        exploded.map_batches(count_cols(0), batch_format="pandas").union(
+            winners.map_batches(count_cols(1), batch_format="pandas")
+        ),
+        [id_col], ["n_spans", "n_kept"],
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "clean_text": pd.Series(dtype="object")}
+            )
+        g = g.sort_values([id_col, "pos"], kind="stable")
+        agg = g.groupby(id_col, sort=False)["span"].agg(" ".join)
+        return pd.DataFrame(
+            {id_col: agg.index.to_numpy(np.int64),
+             "clean_text": agg.to_numpy()}
+        )
+
+    assembled = keyed_partition_apply(winners, [id_col], assemble)
+    out = partitioned_hash_join(counts, assembled, on=[id_col], how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].astype("int64"),
+                "n_spans": b["n_spans"].astype("int64"),
+                "n_kept": b["n_kept"].astype("int64"),
+                "clean_text": b["clean_text"].fillna("").astype("object"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def token_ed1_pairs(
     docs_ds,
     text_col: str = "text",

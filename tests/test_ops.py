@@ -2217,6 +2217,33 @@ def test_ngram_novelty():
     assert out["novelty_bp"].tolist() == [10000, 0, 2 * 10000 // 3]
 
 
+def test_span_dedup():
+    """Distinct 8-token spans attribute to the smallest (doc, pos): an
+    exact later copy keeps nothing, a doc repeating an old span plus a
+    new tail keeps only the tail, empty/None text drops out."""
+    from nerpii_ray.stages.dedup import span_dedup
+
+    s1 = "a b c d e f g h"          # doc 1 span 1
+    s2 = "i j k l m n o p"          # doc 1 span 2
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"{s1} {s2}",            # both spans novel
+            f"{s1} {s2}",            # exact copy → nothing kept
+            f"{s1} q r s",           # span1 old, tail "q r s" novel
+            "",                      # no tokens → no output row
+        ],
+    })
+    out = (
+        span_dedup(rd.from_pandas(docs))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_spans"].tolist() == [2, 2, 2]
+    assert out["n_kept"].tolist() == [2, 0, 1]
+    assert out["clean_text"].tolist() == [f"{s1} {s2}", "", "q r s"]
+
+
 def test_global_row_number():
     """Range-partitioned global ROW_NUMBER equals the single-node sort
     reference, on both the small root and the forced-exchange path."""
