@@ -1439,6 +1439,7 @@ def span_dedup(
     span_tokens: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    root_threshold: int | None = None,
 ):
     """Exact SPAN dedup (Lee et al. 2022, "Deduplicating Training Data
     Makes Language Models Better", arXiv:2107.06499 — the suffix-array
@@ -1510,7 +1511,8 @@ def span_dedup(
         return b.sort_values("_ord", kind="stable").drop_duplicates("key")
 
     winners = tree_dedup(
-        exploded, keys=["key"], partial_fn=win_partial, keep_min="_ord"
+        exploded, keys=["key"], partial_fn=win_partial, keep_min="_ord",
+        root_threshold=root_threshold,
     ).materialize()
 
     def count_cols(kept_flag: int):

@@ -2243,6 +2243,14 @@ def test_span_dedup():
     assert out["n_kept"].tolist() == [2, 0, 1]
     assert out["clean_text"].tolist() == [f"{s1} {s2}", "", "q r s"]
 
+    # forced-low root threshold must route the winners tree through the
+    # keyed exchange and land identically (house cross-path discipline)
+    forced = (
+        span_dedup(rd.from_pandas(docs).repartition(3), root_threshold=1)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(forced[out.columns], out)
+
 
 def test_global_row_number():
     """Range-partitioned global ROW_NUMBER equals the single-node sort
