@@ -10341,6 +10341,416 @@ def events_session_length_median(sf_dir: str):
     )
 
 
+_BITOP_TYPES = {"click": 0, "error": 1, "purchase": 2, "signup": 3,
+                "view": 4}
+
+
+@register(
+    "events_user_bitops",
+    """
+    WITH m AS (
+      SELECT user_id,
+             (CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                   WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                   WHEN 'view' THEN 16 ELSE 0 END) * 256
+             + (CAST(ROUND(value * 100) AS BIGINT) & 255) AS mask
+      FROM events
+    )
+    SELECT user_id,
+           CAST(BIT_OR(mask) AS BIGINT) AS bits_or,
+           CAST(BIT_AND(mask) AS BIGINT) AS bits_and,
+           CAST(BIT_XOR(mask) AS BIGINT) AS bits_xor
+    FROM m GROUP BY user_id
+    """,
+)
+def events_user_bitops(sf_dir: str):
+    """Grouped bitwise aggregates (stages/agg.grouped_bitops): per user,
+    the OR / AND / XOR reduction of a per-event flag mask (type one-hot
+    in the high byte, value-cents low byte) — union of flags seen,
+    flags common to every event, per-bit occurrence parity.  All three
+    ops are associative+commutative so partials collapse inside the
+    scan (``grouped_sum`` physical plan, reduceat-vectorized); DuckDB's
+    BIT_OR/BIT_AND/BIT_XOR replay them exactly (two's-complement ``&``
+    semantics match numpy's)."""
+    from nerpii_ray.stages.agg import grouped_bitops
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        idx = (
+            b["event_type"].map(_BITOP_TYPES).fillna(-1)
+            .to_numpy(dtype=np.int64)
+        )
+        tm = np.where(idx >= 0, np.int64(1) << np.maximum(idx, 0), 0)
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "mask": tm * 256 + (cents & 255),
+            }
+        )
+
+    return grouped_bitops(
+        _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+        ["user_id"], "mask", prep_fn=prep,
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           b.sum_qty
+    FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+               JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    line quantity exceeds 300, joined back to order + customer detail.
+    The HAVING filter runs on the cardinality-aware grouped-sum tree
+    (per-order partials collapse in the scan); the survivors are a
+    top-fraction result (~0.2 %% of orders), so they BROADCAST into the
+    orders scan and that small inner result broadcasts again into the
+    customer scan — no all-to-all shuffle anywhere."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].astype("int64"),
+                    "sum_qty": b["l_quantity"].to_numpy(np.int64),
+                }
+            )
+            .groupby("l_orderkey", sort=False, observed=True)["sum_qty"]
+            .sum().reset_index()
+        )
+
+    sums = grouped_sum(li, ["l_orderkey"], ["sum_qty"],
+                       partial_fn=qty_partial)
+    big = sums.map_batches(
+        lambda b: b[b["sum_qty"] > 300].reset_index(drop=True),
+        batch_format="pandas",
+    ).to_pandas()  # top-fraction filter: result-sized, ~0.2% of orders
+    big = big.rename(columns={"l_orderkey": "o_orderkey"})
+
+    ords = broadcast_join(
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        big, on=["o_orderkey"],
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "c_custkey": b["o_custkey"].astype("int64"),
+                "o_orderkey": b["o_orderkey"].astype("int64"),
+                "o_orderdate": b["o_orderdate"],
+                "total_cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+                "sum_qty": b["sum_qty"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+
+    return broadcast_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        ords, on=["c_custkey"],
+    ).map_batches(
+        lambda b: b.loc[:, ["c_custkey", "c_name", "o_orderkey",
+                            "o_orderdate", "total_cents", "sum_qty"]],
+        batch_format="pandas",
+    )
+
+
+@register(
+    "events_hopping_counts",
+    """
+    WITH x AS (
+      SELECT date_trunc('hour', ts) AS h,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ), w AS (
+      SELECT h AS window_start, c FROM x
+      UNION ALL
+      SELECT h - INTERVAL 1 HOUR, c FROM x
+    )
+    SELECT window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS value_cents
+    FROM w GROUP BY window_start
+    """,
+)
+def events_hopping_counts(sf_dir: str):
+    """Hopping-window aggregate (size 2 h, hop 1 h): every event lands
+    in the TWO hour-aligned windows covering it, so the partial
+    explodes each batch ×2 (window starts derived arithmetically —
+    floor-hour and floor-hour−1 h) and collapses inside the scan; only
+    (window, n, cents) combiner rows ride the tree.  The overlapping-
+    window dual of the tumbling ``events_hourly``; key count scales
+    with the time SPAN (not data), and the cardinality-aware root
+    handles either regime."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = b["ts"].dt.floor("h")
+        c = np.round(b["value"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame(
+            {
+                "window_start": pd.concat(
+                    [h, h - pd.Timedelta(hours=1)], ignore_index=True
+                ),
+                "n": np.int64(1),
+                "value_cents": np.concatenate([c, c]),
+            }
+        )
+        return (
+            df.groupby("window_start", sort=False, observed=True)[
+                ["n", "value_cents"]
+            ].sum().reset_index()
+        )
+
+    return grouped_sum(
+        ds, ["window_start"], ["n", "value_cents"], partial_fn=partial
+    )
+
+
+@register(
+    "ann_radius",
+    """
+    WITH f AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+               AS fv
+      FROM embeddings
+    ), tok AS (
+      SELECT vec_id, i, fv[i] AS v
+      FROM f, UNNEST(generate_series(1, len(fv))) AS t(i)
+    ), norms AS (
+      SELECT vec_id, SUM(v * v) AS nn FROM tok GROUP BY vec_id
+    ), q AS (
+      SELECT i, v FROM tok WHERE vec_id = 0
+    ), qn AS (
+      SELECT sqrt(CAST(SUM(v * v) AS DOUBLE)) AS qnn FROM q
+    ), dots AS (
+      SELECT a.vec_id, SUM(a.v * q.v) AS d
+      FROM tok a JOIN q ON a.i = q.i
+      WHERE a.vec_id <> 0
+      GROUP BY a.vec_id
+    )
+    SELECT vec_id,
+           CAST(d AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * qnn) AS cos_sim
+    FROM dots JOIN norms USING (vec_id), qn
+    WHERE CAST(d AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * qnn) >= 0.2
+    """,
+)
+def ann_radius(sf_dir: str):
+    """Radius / range similarity search (stages/similarity.
+    radius_search): every vector with cosine ≥ 0.2 to the broadcast
+    query vector (vec_id 0) — the score-cut dual of ``ann_topk``'s
+    rank cut.  Fixed-point int64 dot products, one double division
+    last (the ``knn_self_join`` exactness discipline), so the ≥
+    comparison and hence the result SET match the SQL twin
+    bit-for-bit.  Query ships once via ``ray.put``; scoring streams
+    the corpus with one integer matvec per batch, no shuffle."""
+    from nerpii_ray.stages.similarity import radius_search
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.map_batches(
+        lambda b: b[b["vec_id"] == 0].reset_index(drop=True),
+        batch_format="pandas",
+    ).to_pandas()  # one row: the broadcast query
+    qvec = np.asarray(qdf["embedding"].iloc[0], dtype=np.float64)
+    rest = emb.map_batches(
+        lambda b: b[b["vec_id"] != 0].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    return radius_search(rest, qvec, threshold=0.2)
+
+
+_LOGIT_WEIGHTS = {"bias": 1500, "w_stop": 120, "w_tok": -7}
+
+
+@register(
+    "doc_quality_logit",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                               '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(length(toks) AS BIGINT) AS n_tokens,
+             CAST(length(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','of','to','in','is','it','that','for',
+                 'on','with','as','at','by','or','be','this'], x)))
+                AS BIGINT) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(1500 + 120 * n_stop - 7 * n_tokens AS BIGINT)
+               AS logit_milli,
+           (1500 + 120 * n_stop - 7 * n_tokens) > 0 AS is_kept
+    FROM feat
+    """,
+)
+def doc_quality_logit(sf_dir: str):
+    """Broadcast linear-model scoring — the quality-classifier gate of
+    a training-data pipeline as batched inference: a fixed integer
+    weight vector ships ONCE via ``ray.put`` and every batch scores
+    with one vectorized dot product over the ``add_quality`` features
+    (milli-unit logits stay exact integers; the decision threshold is
+    an integer compare), so the SQL twin replays the model
+    term-by-term.  The shape under test is model shipping + per-batch
+    vectorized scoring — swap the linear layer for a real classifier
+    and the plumbing is unchanged."""
+    import ray
+
+    from nerpii_ray.stages.textstats import add_quality
+
+    wref = ray.put(dict(_LOGIT_WEIGHTS))
+
+    def score(b: pa.Table) -> pa.Table:
+        w = ray.get(wref)
+        q = add_quality(b)
+        logit = pc.add(
+            pa.scalar(w["bias"], type=pa.int64()),
+            pc.add(
+                pc.multiply(q["n_stop"], pa.scalar(w["w_stop"],
+                                                   type=pa.int64())),
+                pc.multiply(q["n_tokens"], pa.scalar(w["w_tok"],
+                                                     type=pa.int64())),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": q["doc_id"],
+                "logit_milli": logit,
+                "is_kept": pc.greater(logit, pa.scalar(0, type=pa.int64())),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+@register(
+    "doc_pack_blocks",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(list_filter(
+               regexp_split_to_array(coalesce(text, ''), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_toks
+      FROM documents
+    ), nz AS (
+      SELECT * FROM t WHERE n_toks > 0
+    ), c AS (
+      SELECT doc_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_tok
+      FROM nz
+    )
+    SELECT doc_id, n_toks, start_tok,
+           CAST(start_tok // 256 AS BIGINT) AS block_first,
+           CAST((start_tok + n_toks - 1) // 256 AS BIGINT) AS block_last
+    FROM c
+    """,
+)
+def doc_pack_blocks(sf_dir: str):
+    """Sequence packing (stages/window.pack_token_blocks): the corpus
+    laid end-to-end in doc_id order and cut into 256-token context
+    blocks — every document's global start token and first/last block,
+    computed by range-partitioned prefix sums (bucket token totals →
+    driver cumsums 64 scalars → in-bucket exclusive cumsum), never a
+    single-node sort.  The packed-pretraining layout step; the SQL
+    twin is one window SUM."""
+    from nerpii_ray.stages.window import pack_token_blocks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].astype("int64"),
+                "n_toks": b["text"].fillna("").str.split().str.len()
+                .fillna(0).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return pack_token_blocks(ds, "doc_id", "n_toks", capacity=256)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel: extra rounds past the fixpoint are no-ops
+    (peeling a fixpoint removes nothing), so any unroll depth ≥ the
+    actual convergence round count yields the fixpoint exactly."""
+    parts = [
+        """
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    prev_e = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    deg{i} AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM {prev_e}
+        UNION ALL SELECT v AS node FROM {prev_e}
+      ) GROUP BY node
+    ), alive{i} AS (
+      SELECT node FROM deg{i} WHERE deg >= {k}
+    ), e{i} AS (
+      SELECT u, v FROM {prev_e}
+      WHERE u IN (SELECT node FROM alive{i})
+        AND v IN (SELECT node FROM alive{i})
+    )""")
+        prev_e = f"e{i}"
+    parts.append(f"""
+    SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM {prev_e}
+        UNION ALL SELECT v AS node FROM {prev_e}
+      ) GROUP BY node
+    ) WHERE deg >= {k}""")
+    return "".join(parts)
+
+
+@register("part_kcore", _kcore_sql(k=60, rounds=4))
+def part_kcore(sf_dir: str):
+    """k-core decomposition (stages/graph.kcore, k=60) over the part
+    co-purchase graph: iteratively peel nodes with in-survivor degree
+    < k until fixpoint — the density filter beside BFS (traversal),
+    PageRank (value propagation) and connected components (global
+    structure).  Peeling is order-independent, so the SQL twin unrolls
+    4 peel rounds (≥ the observed convergence depth at test scales;
+    extra rounds are no-ops at the fixpoint)."""
+    from nerpii_ray.stages.graph import kcore
+
+    return kcore(_copurchase_edges(sf_dir), k=60)
+
+
 #: names green in a driver CORRECTNESS artifact through round 3
 _DRIVER_CERTIFIED = [
     "lineitem_pricing_summary", "top_orders", "orders_by_segment",

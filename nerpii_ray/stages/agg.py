@@ -1571,3 +1571,74 @@ def grouped_weighted_mean(
         return out.reset_index(drop=True)
 
     return tree_aggregate(ds, partial, merge, final_fn=finish)
+
+
+def grouped_bitops(
+    ds,
+    keys: Sequence[str],
+    mask_col: str,
+    prep_fn: Optional[Callable[[pd.DataFrame], pd.DataFrame]] = None,
+):
+    """Grouped bitwise OR / AND / XOR over an int64 mask column — the
+    flag-set reductions of a feature/bitmap pipeline (union of flags
+    seen, flags common to EVERY row, per-bit occurrence parity).  All
+    three ops are associative + commutative, so raw rows collapse to
+    (keys…, 3×int64) partials inside the scan and only combiner output
+    rides the cardinality-aware tree — the ``grouped_sum`` physical
+    plan exactly.
+
+    The per-block reduce is vectorized: stable-sort by key, group
+    starts from adjacent-inequality, then ONE ``np.bitwise_*.reduceat``
+    per op — no Python loop over groups.  ``prep_fn`` (optional) maps a
+    raw batch to (keys…, mask_col) rows first.
+
+    Output: keys…, bits_or, bits_and, bits_xor (all int64).
+    """
+    keys = list(keys)
+    cols = ["bits_or", "bits_and", "bits_xor"]
+    ops = {
+        "bits_or": np.bitwise_or,
+        "bits_and": np.bitwise_and,
+        "bits_xor": np.bitwise_xor,
+    }
+
+    def _typed_empty(df: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            k: (df[k].iloc[:0] if k in df.columns
+                else pd.Series(dtype="int64"))
+            for k in keys
+        }
+        out.update({c: pd.Series(dtype="int64") for c in cols})
+        return pd.DataFrame(out)
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _typed_empty(df)
+        sdf = df.sort_values(keys, kind="mergesort")
+        # appearance order == sorted order on a sorted frame, so the
+        # group codes are nondecreasing and reduceat segments are runs
+        codes = (
+            sdf.groupby(keys, sort=False, observed=True)
+            .ngroup()
+            .to_numpy(dtype=np.int64)
+        )
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        out = sdf.iloc[starts][keys].reset_index(drop=True)
+        for c in cols:
+            out[c] = ops[c].reduceat(
+                sdf[c].to_numpy(dtype=np.int64), starts
+            )
+        return out
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if prep_fn is not None:
+            b = prep_fn(b)
+        if b.empty:
+            return _typed_empty(b)
+        m = b[mask_col].to_numpy(dtype=np.int64)
+        df = pd.DataFrame({k: b[k].to_numpy() for k in keys})
+        for c in cols:
+            df[c] = m
+        return _reduce(df)
+
+    return tree_aggregate(ds, partial, _reduce, keys=keys)

@@ -639,3 +639,152 @@ def node_triangle_counts(
         return b.groupby("node", as_index=False)["tri"].sum()
 
     return tree_aggregate(closed, corners, merge, keys=["node"])
+
+
+def kcore(
+    edges_ds,
+    k: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    path: str = "auto",
+    max_rounds: int = 64,
+):
+    """k-core decomposition membership: iteratively peel nodes whose
+    degree among the SURVIVORS is < ``k`` until fixpoint; return every
+    surviving node with its in-core degree — the classic density filter
+    for co-occurrence graphs (spam-cluster mining, community seeds)
+    beside ``bfs_levels`` (traversal) and ``pagerank_fp`` (value
+    propagation).  Peeling is monotone and its result is independent of
+    removal order, so the answer is bit-identical on any partitioning
+    and a SQL twin can unroll the rounds (extra rounds past the
+    fixpoint are no-ops).
+
+    ``path`` — the ``pagerank_fp`` discipline:
+    * small/auto-under-threshold: ONE task runs the whole peel loop in
+      numpy over code-compressed endpoints (graph tables are
+      output-sized; the distributed form pays ~3 fixed-cost dataset
+      executions per round for the same answer);
+    * exchange/auto-past-threshold: per round, one grouped-sum degree
+      tree over the direction-doubled edges + two partitioned hash
+      semi-joins filtering edges to surviving endpoints — edges and
+      degree tables stay node/edge-sized datasets, never driver-sized.
+      Convergence is read from one driver scalar per round (surviving-
+      node count); RAISES after ``max_rounds`` rather than silently
+      returning a non-fixpoint (the ``connected_components``
+      discipline).
+
+    Returns (node:int64, deg:int64), deg = degree within the k-core.
+    """
+    from nerpii_ray.stages.agg import (
+        ROOT_THRESHOLD_DEFAULT,
+        grouped_sum,
+        tree_aggregate,
+    )
+
+    e = edges_ds.materialize()
+    if path == "auto":
+        path = "small" if e.count() <= ROOT_THRESHOLD_DEFAULT else "exchange"
+
+    empty = pd.DataFrame(
+        {"node": pd.Series(dtype="int64"), "deg": pd.Series(dtype="int64")}
+    )
+
+    if path == "small":
+
+        def whole(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return empty
+            u = df[u_col].to_numpy()
+            v = df[v_col].to_numpy()
+            nodes, codes = np.unique(
+                np.concatenate([u, v]), return_inverse=True
+            )
+            ui, vi = codes[: len(u)], codes[len(u):]
+            alive = np.ones(len(nodes), dtype=bool)
+            for _ in range(max_rounds):
+                m = alive[ui] & alive[vi]
+                deg = (
+                    np.bincount(ui[m], minlength=len(nodes))
+                    + np.bincount(vi[m], minlength=len(nodes))
+                )
+                rm = alive & (deg < k)
+                if not rm.any():
+                    keep = alive & (deg >= k)
+                    return pd.DataFrame(
+                        {
+                            "node": nodes[keep].astype("int64"),
+                            "deg": deg[keep].astype("int64"),
+                        }
+                    )
+                alive &= ~rm
+            raise RuntimeError(
+                f"kcore: no fixpoint after {max_rounds} rounds"
+            )
+
+        return e.repartition(1).map_batches(
+            whole, batch_format="pandas", batch_size=None
+        )
+
+    if path != "exchange":
+        raise ValueError(f"kcore: unknown path {path!r}")
+
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    edges = e.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "u": b[u_col].astype("int64").to_numpy(),
+                "v": b[v_col].astype("int64").to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+    prev_nodes = None
+
+    for _ in range(max_rounds):
+
+        def both(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [b["u"].to_numpy(), b["v"].to_numpy()]
+                    ).astype("int64"),
+                    "deg": np.int64(1),
+                }
+            )
+
+        deg = grouped_sum(
+            edges, ["node"], ["deg"], partial_fn=lambda b: both(b)
+            .groupby("node", as_index=False)["deg"].sum(),
+        ).materialize()
+        good = deg.map_batches(
+            lambda b: b[b["deg"] >= k].reset_index(drop=True),
+            batch_format="pandas",
+        ).materialize()
+        n_good = good.count()
+        if prev_nodes is not None and n_good == prev_nodes:
+            return good
+        if n_good == 0:
+            import ray.data as rd
+
+            return rd.from_pandas(empty)
+        prev_nodes = n_good
+        nodes_only = good.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"].astype("int64")}),
+            batch_format="pandas",
+        )
+        for side in ("u", "v"):
+            edges = partitioned_hash_join(
+                edges.map_batches(
+                    lambda b, s=side: b.rename(columns={s: "node"}),
+                    batch_format="pandas",
+                ),
+                nodes_only, on=["node"], path="exchange",
+            ).map_batches(
+                lambda b, s=side: b.rename(columns={"node": s})[
+                    ["u", "v"]
+                ],
+                batch_format="pandas",
+            )
+        edges = edges.materialize()
+    raise RuntimeError(f"kcore: no fixpoint after {max_rounds} rounds")

@@ -516,3 +516,60 @@ def power_iteration_top_component(
             "comp": pd.Series(v, dtype="int64"),
         }
     )
+
+
+def radius_search(
+    ds,
+    query_vec,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1 << 20,
+):
+    """Range / radius similarity search: every vector whose cosine
+    similarity to ONE broadcast query vector is ≥ ``threshold`` — the
+    retrieval primitive dual to top-k (``brute_force_topk``): k-NN cuts
+    by rank, radius search cuts by score (dedup gates, recall-oriented
+    candidate generation).
+
+    The ``knn_self_join`` exactness discipline: both sides fixed-point
+    as ``floor(v·2^20)`` int64, dot products exact in int64, ONE double
+    division last, so the ≥ comparison — and therefore the result SET —
+    is bit-stable and SQL-replayable.  The query vector ships via
+    ``ray.put`` once (never per batch); scoring streams the corpus with
+    one integer matvec per batch and never shuffles — output is
+    result-sized.  Output: (id_col, cos_sim) for matches.
+    """
+    import ray
+
+    q = np.floor(
+        np.asarray(query_vec, dtype=np.float64) * scale
+    ).astype(np.int64)
+    qnn = float(np.sqrt(float((q * q).sum())))
+    ref = ray.put(q)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(ref)
+        if not len(b):
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "cos_sim": pd.Series(dtype="float64")}
+            )
+        F = np.floor(
+            np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+            ) * scale
+        ).astype(np.int64)
+        nn = (F * F).sum(axis=1)
+        cos = (F @ qv).astype(np.float64) / (
+            np.sqrt(nn.astype(np.float64)) * qnn
+        )
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(np.int64)[keep],
+                "cos_sim": cos[keep],
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas", batch_size=4096)

@@ -915,3 +915,142 @@ def debounce(
         return g[keep].reset_index(drop=True)
 
     return keyed_partition_apply(ds, keys, kernel, num_buckets, path)
+
+
+def pack_token_blocks(
+    ds,
+    id_col: str,
+    count_col: str,
+    capacity: int,
+    num_buckets: int = 64,
+    path: str = "auto",
+):
+    """Sequence packing — the LLM-pretraining step that concatenates a
+    deterministically-ordered corpus into fixed-``capacity`` token
+    blocks (context windows) and records which blocks each document
+    lands in.  Documents are laid out end-to-end in ``id_col`` order;
+    a document may straddle a block boundary (the standard packed-
+    pretraining layout — downstream attention masking handles the
+    seam).
+
+    Physical plan = the ``global_row_number`` range-partition shape,
+    with the per-bucket COUNT replaced by a per-bucket token SUM:
+
+    1. global (lo, hi) of ``id_col`` via the combiner tree (two driver
+       scalars);
+    2. equi-width id buckets; per-bucket token sums (one bounded-key
+       grouped sum) → the driver cumsums ``num_buckets`` rows into
+       per-bucket starting-token offsets — never data;
+    3. rows co-locate by bucket; each partition sorts by id, exclusive-
+       cumsums its token counts and adds the bucket offset — every
+       document's global start token without a single-node sort.
+
+    Ids need not be dense — only monotone layout order; equi-width
+    bucketing assumes ids are not pathologically skewed (the
+    ``global_row_number`` contract).  Zero-token documents are dropped
+    (they occupy no block).  Output: id_col, n_toks, start_tok,
+    block_first, block_last (all int64).
+    """
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[count_col] > 0]
+        if not len(b):
+            return pd.DataFrame(
+                {"lo": pd.Series(dtype="int64"),
+                 "hi": pd.Series(dtype="int64")}
+            )
+        v = b[id_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
+
+    def bounds_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {"lo": [int(df["lo"].min())], "hi": [int(df["hi"].max())]}
+        )
+
+    bounds = tree_aggregate(ds, bounds_partial, bounds_merge).take_all()
+    if not bounds:
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "n_toks": pd.Series(dtype="int64"),
+                    "start_tok": pd.Series(dtype="int64"),
+                    "block_first": pd.Series(dtype="int64"),
+                    "block_last": pd.Series(dtype="int64"),
+                }
+            )
+        )
+    lo, hi = int(bounds[0]["lo"]), int(bounds[0]["hi"])
+    span = hi - lo + 1
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b[count_col] > 0].copy()
+        b["_bkt"] = (
+            (b[id_col].to_numpy(dtype=np.int64) - lo) * num_buckets // span
+        )
+        return b
+
+    # one pinned bucketized projection feeds both the offsets tree and
+    # the ranking co-location (the global_row_number discipline)
+    withb = ds.map_batches(bucketize, batch_format="pandas").materialize()
+
+    def sum_partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"_bkt": pd.Series(dtype="int64"),
+                 "t": pd.Series(dtype="int64")}
+            )
+        return (
+            pd.DataFrame(
+                {"_bkt": b["_bkt"],
+                 "t": b[count_col].to_numpy(dtype=np.int64)}
+            )
+            .groupby("_bkt", sort=False)["t"].sum().reset_index()
+        )
+
+    sums = grouped_sum(
+        withb, ["_bkt"], ["t"], partial_fn=sum_partial, adaptive=False
+    ).to_pandas()
+    sums = sums.sort_values("_bkt", ascending=True)
+    offsets = dict(
+        zip(
+            sums["_bkt"].astype(int),
+            np.concatenate(
+                ([0], sums["t"].to_numpy(dtype=np.int64).cumsum()[:-1])
+            ),
+        )
+    )
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_bkt", id_col], kind="mergesort")
+        n = g[count_col].to_numpy(dtype=np.int64)
+        csum = n.cumsum() - n  # exclusive prefix sum within the block
+        # rebase each bucket's run to zero, then add its global offset
+        first = (
+            pd.Series(csum).groupby(
+                g["_bkt"].to_numpy(), sort=False
+            ).transform("min").to_numpy(dtype=np.int64)
+        )
+        base = g["_bkt"].map(offsets).to_numpy(dtype=np.int64)
+        start = base + (csum - first)
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "n_toks": n,
+                "start_tok": start,
+                "block_first": start // capacity,
+                "block_last": (start + n - 1) // capacity,
+            }
+        )
+        return out
+
+    return keyed_partition_apply(withb, ["_bkt"], kernel, None, path)

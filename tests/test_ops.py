@@ -3188,3 +3188,166 @@ def test_grouped_weighted_mean():
     ).astype({"v": "int64", "w": "int64"})
     got = grouped_weighted_mean(rd.from_pandas(big), ["g"], "v", "w").to_pandas()
     assert got["wmean"].iloc[0] == float(2**40)
+
+
+def test_kcore_crafted_and_cross_path():
+    from nerpii_ray.stages.graph import kcore
+
+    # K4 clique (0-3) with a pendant chain 3-4-5: the 2-core is the
+    # clique plus nothing (4,5 peel off in two cascading rounds);
+    # in-core degrees are the clique degrees
+    edges = pd.DataFrame(
+        {
+            "u": [0, 0, 0, 1, 1, 2, 3, 4],
+            "v": [1, 2, 3, 2, 3, 3, 4, 5],
+        }
+    ).astype("int64")
+    got = (
+        kcore(rd.from_pandas(edges), k=2)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert list(got["node"]) == [0, 1, 2, 3]
+    assert list(got["deg"]) == [3, 3, 3, 3]
+
+    # k higher than the densest core → empty result, schema intact on
+    # the Dataset (Ray's to_pandas() drops columns of all-empty data)
+    empty_ds = kcore(rd.from_pandas(edges), k=5)
+    assert empty_ds.schema().names == ["node", "deg"]
+    assert len(empty_ds.to_pandas()) == 0
+
+    # cross-path equality on a random graph
+    rng = np.random.RandomState(7)
+    e = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.randint(0, 60, size=(400, 2))
+            if a != b
+        }
+    )
+    edf = pd.DataFrame(e, columns=["u", "v"]).astype("int64")
+    small = (
+        kcore(rd.from_pandas(edf), k=6, path="small")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    exch = (
+        kcore(rd.from_pandas(edf), k=6, path="exchange")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert len(small) > 0  # the test graph must exercise a real peel
+    pd.testing.assert_frame_equal(small, exch, check_dtype=False)
+
+
+def test_grouped_bitops_crafted_and_forced_exchange():
+    from nerpii_ray.stages import agg
+    from nerpii_ray.stages.agg import grouped_bitops
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 3],
+            "mask": [0b0011, 0b0101, 0b1001, 0b1111, 0b0110, 0b1000],
+        }
+    ).astype("int64")
+    want = {
+        1: (0b1111, 0b0001, 0b1111),
+        2: (0b1111, 0b0110, 0b1001),
+        3: (0b1000, 0b1000, 0b1000),
+    }
+
+    def check(out: pd.DataFrame):
+        got = {
+            int(r.k): (int(r.bits_or), int(r.bits_and), int(r.bits_xor))
+            for r in out.itertuples()
+        }
+        assert got == want
+
+    ds = rd.from_pandas(df).repartition(3)  # merges must cross blocks
+    check(grouped_bitops(ds, ["k"], "mask").to_pandas())
+
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1  # read at call time → forces exchange
+    try:
+        check(grouped_bitops(ds, ["k"], "mask").to_pandas())
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+
+
+def test_pack_token_blocks_crafted_and_forced_exchange():
+    from nerpii_ray.stages import agg
+    from nerpii_ray.stages.window import pack_token_blocks
+
+    # ids deliberately non-dense and out of order across blocks
+    df = pd.DataFrame(
+        {
+            "doc_id": [10, 3, 7, 21, 15, 4],
+            "n_toks": [5, 3, 0, 4, 6, 2],
+        }
+    ).astype("int64")
+    # layout order: 3(3), 4(2), 10(5), 15(6), 21(4); 7 drops (0 tokens)
+    # capacity 4 → starts 0,3,5,10,16
+    want = pd.DataFrame(
+        {
+            "doc_id": [3, 4, 10, 15, 21],
+            "n_toks": [3, 2, 5, 6, 4],
+            "start_tok": [0, 3, 5, 10, 16],
+            "block_first": [0, 0, 1, 2, 4],
+            "block_last": [0, 1, 2, 3, 4],
+        }
+    ).astype("int64")
+
+    ds = rd.from_pandas(df).repartition(3)
+    got = (
+        pack_token_blocks(ds, "doc_id", "n_toks", capacity=4,
+                          num_buckets=4)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    old = agg.ROOT_THRESHOLD_DEFAULT
+    agg.ROOT_THRESHOLD_DEFAULT = 1
+    try:
+        got = (
+            pack_token_blocks(ds, "doc_id", "n_toks", capacity=4,
+                              num_buckets=4, path="exchange")
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    finally:
+        agg.ROOT_THRESHOLD_DEFAULT = old
+
+    # all-zero-token input → typed empty
+    z = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "n_toks": [0, 0]}).astype("int64")
+    )
+    out_ds = pack_token_blocks(z, "doc_id", "n_toks", capacity=4)
+    assert out_ds.schema().names == [
+        "doc_id", "n_toks", "start_tok", "block_first", "block_last"
+    ]
+    assert len(out_ds.to_pandas()) == 0
+
+
+def test_radius_search_matches_numpy():
+    from nerpii_ray.stages.similarity import radius_search
+
+    rng = np.random.RandomState(11)
+    M = rng.randn(80, 16)
+    q = rng.randn(16)
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": np.arange(80, dtype=np.int64),
+             "embedding": list(M)}
+        )
+    )
+    got = radius_search(ds, q, threshold=0.1).to_pandas()
+    # reference: the same fixed-point arithmetic in-process
+    F = np.floor(M * (1 << 20)).astype(np.int64)
+    qf = np.floor(q * (1 << 20)).astype(np.int64)
+    cos = (F @ qf) / (
+        np.sqrt((F * F).sum(axis=1).astype(float))
+        * np.sqrt(float((qf * qf).sum()))
+    )
+    want_ids = set(np.flatnonzero(cos >= 0.1).astype(int))
+    assert set(got["vec_id"].astype(int)) == want_ids
+    assert 0 < len(want_ids) < 80
+    got_map = dict(zip(got["vec_id"].astype(int), got["cos_sim"]))
+    for i in want_ids:
+        assert got_map[i] == pytest.approx(cos[i], abs=0)
