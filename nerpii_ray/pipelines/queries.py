@@ -10341,6 +10341,306 @@ def events_session_length_median(sf_dir: str):
     )
 
 
+@register(
+    "doc_oov_rate",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+               x -> x <> '')) AS token
+      FROM documents
+    ), df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM t GROUP BY token
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rn
+        FROM df
+      ) WHERE rn <= 100
+    ), cnt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+             CAST(SUM(CASE WHEN token IN (SELECT token FROM vocab)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+      FROM t GROUP BY doc_id
+    )
+    SELECT doc_id, n_toks, n_oov,
+           CAST(n_oov * 10000 // n_toks AS BIGINT) AS oov_bp
+    FROM cnt WHERE n_toks > 0
+    """,
+)
+def doc_oov_rate(sf_dir: str):
+    """Tokenizer-vocabulary coverage — the fit-broadcast-transform
+    shape of a model-prep pipeline: FIT a 100-term vocabulary (top
+    document frequency, ties to the smaller term) on one corpus pass,
+    broadcast it via ``ray.put``, then score every document's
+    out-of-vocabulary token share in basis points on a second pass.
+    The df census completes through the cardinality-aware tree BEFORE
+    the top-k cut (the ``doc_edge_degree_topk`` rule); the transform
+    is one vectorized ``isin`` per batch against the broadcast set."""
+    import ray
+
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # fit: df per token (documents are one row each, so per-batch
+    # distinct (doc, token) pairs are final)
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("").str.lower().str.split()
+        out = pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "token": s}
+        ).explode("token")
+        out = out[out["token"].notna()].drop_duplicates()
+        out["df"] = 1
+        return out.groupby("token", sort=False, observed=True)[["df"]].sum(
+        ).reset_index()
+
+    dfreq = grouped_sum(ds, ["token"], ["df"], partial_fn=df_partial)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["df", "token"], ascending=[False, True], kind="stable"
+        ).head(100)
+
+    vocab_df = tree_aggregate(dfreq, topk, topk).to_pandas()
+    vref = ray.put(frozenset(vocab_df["token"]))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        vocab = ray.get(vref)
+        toks = b["text"].fillna("").str.lower().str.split()
+        n = toks.str.len().to_numpy(dtype=np.int64, na_value=0)
+        ex = pd.DataFrame(
+            {"row": np.arange(len(b)), "token": toks}
+        ).explode("token")
+        ex = ex[ex["token"].notna()]
+        oov = (
+            pd.Series(
+                (~ex["token"].isin(vocab)).to_numpy(np.int64),
+                index=ex["row"].to_numpy(),
+            ).groupby(level=0).sum()
+            .reindex(np.arange(len(b)), fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+        keep = n > 0
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(np.int64)[keep],
+                "n_toks": n[keep],
+                "n_oov": oov[keep],
+                "oov_bp": oov[keep] * 10000 // n[keep],
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+@register(
+    "events_user_type_impurity",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST((SUM(n) * SUM(n) - SUM(n * n)) * 10000
+                // (SUM(n) * SUM(n)) AS BIGINT) AS impurity_bp
+    FROM c GROUP BY user_id
+    """,
+)
+def events_user_type_impurity(sf_dir: str):
+    """Gini impurity of each user's event-type distribution — the
+    diversity/classification-impurity metric, kept EXACT by
+    cross-multiplication: impurity = 1 − Σ(nᵢ/n)² =
+    (n² − Σnᵢ²)·10000 // n² in basis points, all integer (the float
+    form could not hash-match).  Two chained trees: (user, type)
+    counts complete first (squaring a partial count would be wrong),
+    then (Σnᵢ, Σnᵢ²) per user."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "event_type": b["event_type"],
+                "n": np.int64(1),
+            }
+        )
+        return out.groupby(
+            ["user_id", "event_type"], sort=False, observed=True
+        )["n"].sum().reset_index()
+
+    counts = grouped_sum(
+        ds, ["user_id", "event_type"], ["n"], partial_fn=cnt_partial
+    )
+
+    def sq_partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {"user_id": b["user_id"].astype("int64"), "n": n, "s2": n * n}
+        )
+        return out.groupby("user_id", sort=False, observed=True)[
+            ["n", "s2"]
+        ].sum().reset_index()
+
+    sums = grouped_sum(
+        counts, ["user_id"], ["n", "s2"], partial_fn=sq_partial
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.int64)
+        s2 = b["s2"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "n": n,
+                "impurity_bp": (n * n - s2) * 10000 // (n * n),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+@register(
+    "events_out_of_order",
+    """
+    SELECT user_id, event_id,
+           COALESCE(ts < MAX(ts) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), FALSE) AS is_late
+    FROM events
+    """,
+)
+def events_out_of_order(sf_dir: str):
+    """Out-of-order / late-event detection — the watermark primitive of
+    a streaming ingest: an event is late if its timestamp is behind the
+    running maximum of everything that ARRIVED before it (event_id =
+    arrival order).  One keyed co-location per user; the in-bucket
+    kernel is a shifted cummax, which the SQL twin replays as a running
+    MAX window ending one row back."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for uid, u in g.groupby("user_id", sort=False, observed=True):
+            u = u.sort_values("event_id", kind="mergesort")
+            t = u["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            prev_max = np.maximum.accumulate(t)
+            late = np.zeros(len(u), dtype=bool)
+            late[1:] = t[1:] < prev_max[:-1]
+            out_rows.append(
+                pd.DataFrame(
+                    {
+                        "user_id": u["user_id"].to_numpy(np.int64),
+                        "event_id": u["event_id"].to_numpy(np.int64),
+                        "is_late": late,
+                    }
+                )
+            )
+        if not out_rows:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "is_late": pd.Series(dtype="bool"),
+                }
+            )
+        return pd.concat(out_rows, ignore_index=True)
+
+    return keyed_partition_apply(ds, ["user_id"], kernel)
+
+
+@register(
+    "lineitem_price_iqr_cont",
+    """
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM c
+    )
+    SELECT l_returnflag,
+           CAST(MAX(CASE WHEN rn = (n - 1) // 4 + 1
+                         THEN cents * (4 - (n - 1) % 4) END)
+                + COALESCE(MAX(CASE WHEN rn = (n - 1) // 4 + 2
+                                    THEN cents * ((n - 1) % 4) END), 0)
+              AS BIGINT) AS p25_qcents,
+           CAST(MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 1
+                         THEN cents * (4 - (3 * (n - 1)) % 4) END)
+                + COALESCE(MAX(CASE WHEN rn = (3 * (n - 1)) // 4 + 2
+                                    THEN cents * ((3 * (n - 1)) % 4) END),
+                           0)
+              AS BIGINT) AS p75_qcents
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def lineitem_price_iqr_cont(sf_dir: str):
+    """PERCENTILE_CONT(0.25 / 0.75) with EXACT interpolation: the
+    quartile position q·(n−1) has fractional part r/4, so the
+    interpolated value ·4 is the integer lo·(4−r) + hi·r in
+    quarter-cents — float-free on both sides at any scale (the
+    ``events_value_median_cont`` discipline generalized to arbitrary
+    quarter fractions).  One (flag, cents) value-count tree; the root
+    walks cumulative counts to the two order statistics per quartile."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "cents": np.round(
+                    b["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+                "n": np.int64(1),
+            }
+        )
+        return out.groupby(
+            ["l_returnflag", "cents"], sort=False, observed=True
+        )["n"].sum().reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(
+            ["l_returnflag", "cents"], sort=False, observed=True
+        )["n"].sum().reset_index()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=True, observed=True):
+            g = g.sort_values("cents", kind="mergesort")
+            n = int(g["n"].sum())
+            cum = g["n"].cumsum().to_numpy()
+            cents = g["cents"].to_numpy()
+
+            def stat(j: int) -> int:  # 1-indexed order statistic
+                return int(cents[np.searchsorted(cum, j)])
+
+            def qcont(p: int) -> int:  # p = numerator of q(n-1) in 4ths
+                i4, r = p // 4, p % 4
+                lo = stat(i4 + 1)
+                hi = stat(i4 + 2) if r > 0 else 0
+                return lo * (4 - r) + hi * r
+
+            rows.append((flag, qcont(n - 1), qcont(3 * (n - 1))))
+        return pd.DataFrame(
+            rows, columns=["l_returnflag", "p25_qcents", "p75_qcents"]
+        ).astype({"p25_qcents": "int64", "p75_qcents": "int64"})
+
+    return tree_aggregate(ds, partial, merge, final_fn=finish)
+
+
 _BITOP_TYPES = {"click": 0, "error": 1, "purchase": 2, "signup": 3,
                 "view": 4}
 
