@@ -10342,6 +10342,238 @@ def events_session_length_median(sf_dir: str):
 
 
 @register(
+    "multimodal_ppm_stats",
+    """
+    WITH img AS (
+      SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+      FROM documents
+    )
+    SELECT i.doc_id AS media_id,
+           CAST(i.w AS BIGINT) AS width, CAST(i.h AS BIGINT) AS height,
+           CAST(SUM((i.doc_id*23 + x.v*5 + y.v*3) % 256) AS BIGINT)
+               AS sum_r,
+           CAST(SUM((i.doc_id*23 + x.v*5 + y.v*3 + 77) % 256) AS BIGINT)
+               AS sum_g,
+           CAST(SUM((i.doc_id*23 + x.v*5 + y.v*3 + 154) % 256) AS BIGINT)
+               AS sum_b
+    FROM img i
+    JOIN range(0, 9) AS x(v) ON x.v < i.w
+    JOIN range(0, 7) AS y(v) ON y.v < i.h
+    GROUP BY i.doc_id, i.w, i.h
+    """,
+)
+def multimodal_ppm_stats(sf_dir: str):
+    """Third from-scratch codec, SQL-checked bit-exact: every document
+    id becomes a binary P6 PPM whose header carries a COMMENT line (the
+    decoder implements the real header grammar — whitespace runs, ``#``
+    comments, single post-maxval separator) and whose pixels are
+    closed-form in doc_id; the engine round-trips encode → container
+    bytes → ``decode_ppm`` (dispatched by magic-byte sniffing inside
+    ``DecodeReal``) and emits exact channel sums the SQL twin replays
+    arithmetically.  Bounded actor pool — the heap contract for binary
+    payloads."""
+    from nerpii_ray.stages.multimodal import DecodeStub, docs_to_ppm_blobs
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    blobs = docs.map_batches(
+        docs_to_ppm_blobs, batch_format="pyarrow", batch_size=256
+    )
+    return blobs.map_batches(
+        DecodeStub,
+        fn_constructor_kwargs=dict(mode="real"),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    ).map_batches(
+        lambda b: b.select(
+            ["media_id", "width", "height", "sum_r", "sum_g", "sum_b"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+@register(
+    "part_degree_assortativity",
+    """
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS HUGEINT) AS deg FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+      ) GROUP BY node
+    ), pairs AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM e0 JOIN deg da ON da.node = e0.u JOIN deg db ON db.node = e0.v
+      UNION ALL
+      SELECT db.deg, da.deg
+      FROM e0 JOIN deg da ON da.node = e0.u JOIN deg db ON db.node = e0.v
+    ), a AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pairs
+    )
+    SELECT 'all' AS scope, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * n AS DOUBLE)
+               AS covar_pop,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM a
+    """,
+)
+def part_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the part co-purchase graph — the Pearson
+    correlation of endpoint degrees over direction-doubled edges (do
+    hubs connect to hubs?), a one-scalar structural diagnostic beside
+    the clustering coefficient.  Plan: degree tree → two keyed hash
+    joins attach (deg(u), deg(v)) to every edge → ×2 direction mirror →
+    the EXACT-big-int ``grouped_corr`` tree (r4 ADVICE discipline), so
+    the one float division per output matches the HUGEINT SQL twin
+    bit-for-bit."""
+    from nerpii_ray.stages.agg import grouped_corr, grouped_sum
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def both(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [b["u"].to_numpy(), b["v"].to_numpy()]
+                ).astype("int64"),
+                "deg": np.int64(1),
+            }
+        )
+
+    deg = grouped_sum(
+        edges, ["node"], ["deg"],
+        partial_fn=lambda b: both(b).groupby("node", as_index=False)[
+            "deg"
+        ].sum(),
+    )
+
+    eu = partitioned_hash_join(
+        edges.map_batches(
+            lambda b: b.rename(columns={"u": "node"}),
+            batch_format="pandas",
+        ),
+        deg, on=["node"], path="exchange",
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["v"].astype("int64"),
+                "du": b["deg"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )
+    ev = partitioned_hash_join(eu, deg, on=["node"], path="exchange")
+
+    def mirror(b: pd.DataFrame) -> pd.DataFrame:
+        du = b["du"].to_numpy(np.int64)
+        dv = b["deg"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "scope": "all",
+                "x": np.concatenate([du, dv]),
+                "y": np.concatenate([dv, du]),
+            }
+        )
+
+    pairs = ev.map_batches(mirror, batch_format="pandas")
+    return grouped_corr(pairs, ["scope"], "x", "y")
+
+
+@register(
+    "events_ab_zscore",
+    """
+    WITH c AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(ROUND(value * 100) AS HUGEINT) AS cents
+      FROM events
+    ), s AS (
+      SELECT variant, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(cents) AS s1, SUM(cents * cents) AS s2
+      FROM c GROUP BY variant
+    ), a AS (
+      SELECT n AS na, s1 AS sa, s2 AS qa FROM s WHERE variant = 'A'
+    ), b AS (
+      SELECT n AS nb, s1 AS sb, s2 AS qb FROM s WHERE variant = 'B'
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(nb * sa - na * sb AS DOUBLE) / CAST(na * nb AS DOUBLE)
+               AS mean_diff,
+           (CAST(nb * sa - na * sb AS DOUBLE) / CAST(na * nb AS DOUBLE))
+             / sqrt(CAST(na * qa - sa * sa AS DOUBLE)
+                      / CAST(na * na * na AS DOUBLE)
+                    + CAST(nb * qb - sb * sb AS DOUBLE)
+                      / CAST(nb * nb * nb AS DOUBLE)) AS z
+    FROM a, b
+    """,
+)
+def events_ab_zscore(sf_dir: str):
+    """Two-sample (Welch) z statistic between the A/B halves of the
+    user space — experimentation analytics as one combiner tree: per
+    variant (n, Σx, Σx²) ride as exact object-int partials, and every
+    double is produced from an exact integer numerator with the SAME
+    expression shape as the HUGEINT SQL (mean difference cross-
+    multiplied as n_b·Σa − n_a·Σb — no per-side float mean), so the
+    hash match is bit-stable."""
+    import math
+
+    from nerpii_ray.stages.agg import (
+        _exact_sums_merge,
+        _exact_sums_partial,
+        tree_aggregate,
+    )
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    inner = _exact_sums_partial(["variant"], "cents")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        prep = pd.DataFrame(
+            {
+                "variant": np.where(
+                    b["user_id"].to_numpy(np.int64) % 2 == 0, "A", "B"
+                ),
+                "cents": np.round(b["value"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+        return inner(prep)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        r = {
+            row["variant"]: (int(row["n"]), int(row["s1"]), int(row["s2"]))
+            for _, row in df.iterrows()
+        }
+        na, sa, qa = r["A"]
+        nb, sb, qb = r["B"]
+        mean_diff = float(nb * sa - na * sb) / float(na * nb)
+        se = math.sqrt(
+            float(na * qa - sa * sa) / float(na * na * na)
+            + float(nb * qb - sb * sb) / float(nb * nb * nb)
+        )
+        return pd.DataFrame(
+            {
+                "n_a": pd.Series([na], dtype="int64"),
+                "n_b": pd.Series([nb], dtype="int64"),
+                "mean_diff": pd.Series([mean_diff], dtype="float64"),
+                "z": pd.Series([mean_diff / se], dtype="float64"),
+            }
+        )
+
+    return tree_aggregate(
+        ds, partial, _exact_sums_merge(["variant"]), final_fn=finish
+    )
+
+
+@register(
     "doc_oov_rate",
     r"""
     WITH t AS (
@@ -10527,23 +10759,7 @@ def events_out_of_order(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
-        for uid, u in g.groupby("user_id", sort=False, observed=True):
-            u = u.sort_values("event_id", kind="mergesort")
-            t = u["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-            prev_max = np.maximum.accumulate(t)
-            late = np.zeros(len(u), dtype=bool)
-            late[1:] = t[1:] < prev_max[:-1]
-            out_rows.append(
-                pd.DataFrame(
-                    {
-                        "user_id": u["user_id"].to_numpy(np.int64),
-                        "event_id": u["event_id"].to_numpy(np.int64),
-                        "is_late": late,
-                    }
-                )
-            )
-        if not out_rows:
+        if g.empty:
             return pd.DataFrame(
                 {
                     "user_id": pd.Series(dtype="int64"),
@@ -10551,7 +10767,24 @@ def events_out_of_order(sf_dir: str):
                     "is_late": pd.Series(dtype="bool"),
                 }
             )
-        return pd.concat(out_rows, ignore_index=True)
+        # vectorized across ALL users in the bucket: one sort, then
+        # C-implemented grouped cummax + shift (no per-user Python loop)
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        t = g["ts"].astype("datetime64[us]").astype("int64")
+        prev_max = (
+            t.groupby(g["user_id"].to_numpy(), sort=False)
+            .cummax()
+            .groupby(g["user_id"].to_numpy(), sort=False)
+            .shift(1)
+        )
+        late = (t < prev_max).fillna(False).to_numpy(dtype=bool)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(np.int64),
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "is_late": late,
+            }
+        )
 
     return keyed_partition_apply(ds, ["user_id"], kernel)
 

@@ -111,6 +111,54 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()
 
 
+def encode_ppm(rgb: np.ndarray, comment: str | None = None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a binary PPM (P6,
+    maxval 255).  Optionally injects a ``#`` comment line into the
+    header so the decoder's comment handling is honestly exercised."""
+    h, w, _ = rgb.shape
+    head = b"P6\n"
+    if comment is not None:
+        head += b"# " + comment.encode("ascii") + b"\n"
+    head += f"{w} {h}\n255\n".encode("ascii")
+    return head + rgb.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6, maxval ≤ 255) into an (h, w, 3) uint8
+    RGB array.  Implements the real header grammar — any run of
+    whitespace between tokens, ``#`` comments to end-of-line anywhere
+    in the header, exactly ONE whitespace byte after maxval — and
+    rejects P3/16-bit files loudly rather than mis-decoding."""
+    if data[:2] != b"P6":
+        raise ValueError("decode_ppm: not a binary PPM (missing 'P6')")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos >= len(data):
+            raise ValueError("decode_ppm: truncated header")
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tok = data[start:pos]
+        if not tok.isdigit():
+            raise ValueError(f"decode_ppm: bad header token {tok!r}")
+        vals.append(int(tok))
+    w, h, maxv = vals
+    if maxv != 255:
+        raise ValueError(f"decode_ppm: only maxval 255 supported ({maxv})")
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    need = w * h * 3
+    if len(data) - pos < need:
+        raise ValueError("decode_ppm: truncated raster")
+    body = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+    return body.reshape(h, w, 3).copy()
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     """Encode int16 PCM samples as a mono RIFF/WAVE file."""
     pcm = samples.astype("<i2").tobytes()
@@ -173,7 +221,12 @@ class DecodeReal:
             out["media_id"].append(mid)
             out["media_type"].append(mtype)
             if mtype == "image":
-                rgb = decode_bmp(payload)
+                # container sniffing by magic — the real-world dispatch
+                rgb = (
+                    decode_ppm(payload)
+                    if payload[:2] == b"P6"
+                    else decode_bmp(payload)
+                )
                 s = rgb.astype(np.int64).sum(axis=(0, 1))
                 out["width"].append(rgb.shape[1])
                 out["height"].append(rgb.shape[0])
@@ -242,6 +295,35 @@ def docs_to_real_blobs(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
             mtypes.append("audio")
             payloads.append(encode_wav(pcm, 8000))
             metas.append(f'{{"codec":"wav","n":{n},"rate":8000}}')
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.int64()),
+            pa.array(mtypes, pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(metas, pa.string()),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def docs_to_ppm_blobs(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic PPM fixture (the third from-scratch codec): every
+    document id becomes a binary P6 image with a header COMMENT line
+    (exercising the header grammar) whose pixels are closed-form in
+    ``doc_id`` — channel c at (x, y) is (d·23 + x·5 + y·3 + c·77) % 256
+    — so a SQL twin replays the decode stats with pure arithmetic."""
+    ids, mtypes, payloads, metas = [], [], [], []
+    for raw in batch.column(id_col).to_pylist():
+        d = int(raw)
+        ids.append(d)
+        w, h = 3 + d % 6, 2 + d % 5
+        x = np.arange(w, dtype=np.int64)[None, :, None]
+        y = np.arange(h, dtype=np.int64)[:, None, None]
+        c = np.arange(3, dtype=np.int64)[None, None, :]
+        rgb = ((d * 23 + x * 5 + y * 3 + c * 77) % 256).astype(np.uint8)
+        mtypes.append("image")
+        payloads.append(encode_ppm(rgb, comment=f"fixture doc {d}"))
+        metas.append(f'{{"codec":"ppm","w":{w},"h":{h}}}')
     return pa.Table.from_arrays(
         [
             pa.array(ids, pa.int64()),

@@ -3351,3 +3351,47 @@ def test_radius_search_matches_numpy():
     got_map = dict(zip(got["vec_id"].astype(int), got["cos_sim"]))
     for i in want_ids:
         assert got_map[i] == pytest.approx(cos[i], abs=0)
+
+
+def test_ppm_codec_roundtrip_and_reject():
+    from nerpii_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+
+    # plain round trip
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    # comment line in the header must be skipped
+    assert np.array_equal(
+        decode_ppm(encode_ppm(rgb, comment="hello # nested")), rgb
+    )
+    # hand-built header with interleaved comments and whitespace runs
+    raw = (b"P6\n#c1\n  7\t# mid\n5\n#c2\n255\n" + rgb.tobytes())
+    assert np.array_equal(decode_ppm(raw), rgb)
+
+    # rejects: wrong magic, 16-bit maxval, truncated raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n" + b"\0" * 10)
+
+
+def test_decode_real_sniffs_ppm_payloads():
+    import pyarrow as pa
+
+    from nerpii_ray.stages.multimodal import DecodeReal, docs_to_ppm_blobs
+
+    batch = pa.table({"doc_id": pa.array([0, 5, 11], pa.int64())})
+    blobs = docs_to_ppm_blobs(batch)
+    out = DecodeReal()(blobs).to_pandas()
+    for _, r in out.iterrows():
+        d = int(r["media_id"])
+        w, h = 3 + d % 6, 2 + d % 5
+        assert (r["width"], r["height"]) == (w, h)
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        for c, col in enumerate(["sum_r", "sum_g", "sum_b"]):
+            assert int(r[col]) == int(
+                ((d * 23 + x * 5 + y * 3 + c * 77) % 256).sum()
+            )
