@@ -3234,6 +3234,66 @@ def doc_simhash_dup_clusters(sf_dir: str):
 
 
 @register(
+    "doc_dup_cluster_sizes",
+    """
+    WITH base AS (""" + ORACLE_SQL["doc_simhash_dup_clusters"] + """
+    ), sizes AS (
+      SELECT component, COUNT(*) AS sz FROM base GROUP BY component
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY sz
+    """,
+)
+def doc_dup_cluster_sizes(sf_dir: str):
+    """Dedup diagnostics: the cluster-size histogram of the near-dup
+    component structure — the shape a corpus team reads before choosing
+    a dedup threshold (many pairs vs few giant clusters).  Two bounded
+    grouped counts stacked on ``connected_components`` output
+    (component → size → histogram); the SQL twin WRAPS the cluster
+    query's own oracle verbatim, so the two stay in lockstep by
+    construction."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.dedup import (
+        connected_components,
+        simhash_dup_pairs,
+    )
+
+    labels = connected_components(
+        simhash_dup_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+        )
+    )
+
+    def sz_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"component": b["component"].astype("int64"), "sz": np.int64(1)}
+        )
+        return out.groupby("component", sort=False, observed=True)[
+            "sz"
+        ].sum().reset_index()
+
+    sizes = grouped_sum(
+        labels, ["component"], ["sz"], partial_fn=sz_partial
+    )
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "cluster_size": b["sz"].astype("int64"),
+                "n_clusters": np.int64(1),
+            }
+        )
+        return out.groupby("cluster_size", sort=False, observed=True)[
+            "n_clusters"
+        ].sum().reset_index()
+
+    return grouped_sum(
+        sizes, ["cluster_size"], ["n_clusters"], partial_fn=hist_partial
+    )
+
+
+@register(
     "doc_dedup_keep_best",
     r"""
     WITH RECURSIVE toks AS (
