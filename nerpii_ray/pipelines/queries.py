@@ -11415,6 +11415,223 @@ def doc_span_dedup(sf_dir: str):
     return span_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS fk,
+           (SELECT COUNT(*) FROM lineitem) AS fact_rows,
+           (SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS violations
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part.p_partkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+             WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+             WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer.c_custkey',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation.n_nationkey',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer
+             WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation.n_nationkey',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier
+             WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region.r_regionkey',
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM nation
+             WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+    """,
+)
+def fk_integrity_audit(sf_dir: str):
+    """Whole-schema referential-integrity audit: for every FK edge of
+    the star schema, the fact-row count plus the number of orphan rows
+    (fact keys absent from the dimension).  The pipeline-health check a
+    data team runs before training on a joined corpus.
+
+    Each edge reuses ``bloom_anti_join`` (stages/joins.py): bloom
+    NEGATIVES are definite orphans and never touch a shuffle; positives
+    anti-verify on one keyed exchange — the driver holds m/8 bitmap
+    bytes per edge regardless of dimension cardinality, and each fact
+    scan is a single-column streaming read.  ``fact_rows`` comes from
+    parquet metadata (no scan).  Output is 7 rows — audit-sized."""
+    from nerpii_ray.stages.joins import bloom_anti_join
+
+    edges = [
+        ("lineitem.l_orderkey -> orders.o_orderkey",
+         "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part.p_partkey",
+         "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier.s_suppkey",
+         "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer.c_custkey",
+         "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation.n_nationkey",
+         "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation.n_nationkey",
+         "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region.r_regionkey",
+         "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    rows = []
+    for fk, fact, fcol, dim, dcol in edges:
+        fact_ds = _read(sf_dir, fact, [fcol])
+        n_fact = fact_ds.count()  # metadata-only on a pure parquet read
+        orphans = bloom_anti_join(
+            fact_ds, _read(sf_dir, dim, [dcol]), on=fcol, right_on=dcol
+        ).count()
+        rows.append((fk, n_fact, orphans))
+    return pd.DataFrame(
+        rows, columns=["fk", "fact_rows", "violations"]
+    ).astype({"fact_rows": "int64", "violations": "int64"})
+
+
+@register(
+    "orders_chi2_independence",
+    """
+    WITH cell AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+             COUNT(*) AS observed
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), tot AS (SELECT SUM(observed) AS g FROM cell),
+    rt AS (SELECT segment, SUM(observed) AS row_tot FROM cell GROUP BY 1),
+    ct AS (SELECT priority, SUM(observed) AS col_tot FROM cell GROUP BY 1)
+    SELECT cell.segment, cell.priority,
+           CAST(observed AS BIGINT) AS observed,
+           ROUND(CAST(row_tot * col_tot AS DOUBLE) / g, 6) AS expected,
+           ROUND((observed - CAST(row_tot * col_tot AS DOUBLE) / g)
+                 * (observed - CAST(row_tot * col_tot AS DOUBLE) / g)
+                 / (CAST(row_tot * col_tot AS DOUBLE) / g), 6) AS chi2_contrib
+    FROM cell JOIN rt USING (segment) JOIN ct USING (priority) CROSS JOIN tot
+    """,
+)
+def orders_chi2_independence(sf_dir: str):
+    """Chi-square independence test between market segment and order
+    priority (are priorities assigned independently of segment?): the
+    contingency table is built distributed — one partitioned hash join
+    (orders ⋈ customer on custkey) feeding a combiner-tree count whose
+    partials collapse each batch to ≤ |segments|×|priorities| rows —
+    and the χ² arithmetic runs on the driver over that bounded cell
+    table.  Expected counts and per-cell contributions use EXACT
+    integer totals and the same double expression shape as the SQL
+    twin, so the floats are bit-identical before the shared ROUND."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = partitioned_hash_join(
+        orders, cust, on=["c_custkey"], num_buckets=16, path="exchange"
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "segment": b["c_mktsegment"],
+                "priority": b["o_orderpriority"],
+                "observed": np.int64(1),
+            }
+        )
+        return (
+            df.groupby(["segment", "priority"], sort=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    cell = grouped_sum(
+        joined, ["segment", "priority"], ["observed"],
+        partial_fn=partial, adaptive=False,  # ≤ |segments|×|priorities|
+    ).to_pandas()
+
+    g = int(cell["observed"].sum())
+    row_tot = cell.groupby("segment")["observed"].transform("sum").astype("int64")
+    col_tot = cell.groupby("priority")["observed"].transform("sum").astype("int64")
+    out_rows = []
+    for obs, rt, ct, seg, pri in zip(
+        cell["observed"], row_tot, col_tot, cell["segment"], cell["priority"]
+    ):
+        e = float(int(rt) * int(ct)) / g  # CAST(rt*ct AS DOUBLE)/g
+        contrib = (obs - e) * (obs - e) / e
+        out_rows.append(
+            (seg, pri, int(obs), _round_half_away(e, 6),
+             _round_half_away(contrib, 6))
+        )
+    return pd.DataFrame(
+        out_rows,
+        columns=["segment", "priority", "observed", "expected", "chi2_contrib"],
+    ).astype({"observed": "int64"})
+
+
+@register(
+    "events_last_touch",
+    """
+    WITH w AS (
+      SELECT event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT COALESCE(prev_type, 'direct') AS attributed,
+           CAST(COUNT(*) AS BIGINT) AS purchases
+    FROM w WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def events_last_touch(sf_dir: str):
+    """Last-touch attribution: every purchase is credited to the
+    user's immediately preceding event's type ('direct' when the
+    purchase opens the stream) — the marketing-attribution shape of
+    the LAG window.  One per-user co-location; the in-bucket kernel is
+    a single sort + vectorized shift across all users in the frame
+    (no per-user loop); the bounded attribution histogram then merges
+    through the combiner tree."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"attributed": pd.Series([], dtype="object"),
+                 "purchases": pd.Series([], dtype="int64")}
+            )
+        b = b.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        prev = b["event_type"].shift(1)
+        prev[b["user_id"].ne(b["user_id"].shift(1))] = None
+        attributed = prev.where(prev.notna(), "direct")
+        mask = b["event_type"].to_numpy() == "purchase"
+        df = pd.DataFrame(
+            {"attributed": attributed[mask], "purchases": np.int64(1)}
+        )
+        return (
+            df.groupby("attributed", sort=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(ds, ["user_id"], kernel)
+    return grouped_sum(
+        partials, ["attributed"], ["purchases"], adaptive=False,  # ≤ |types|+1
+    )
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship

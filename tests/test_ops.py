@@ -3395,3 +3395,78 @@ def test_decode_real_sniffs_ppm_payloads():
             assert int(r[col]) == int(
                 ((d * 23 + x * 5 + y * 3 + c * 77) % 256).sum()
             )
+
+
+def test_fk_integrity_audit_counts_orphans(tmp_path):
+    """Crafted orphans on three edges: the bloom anti-join path must
+    count them exactly (bloom false positives anti-verify away)."""
+    from nerpii_ray.pipelines.queries import QUERIES
+
+    sf = str(tmp_path)
+    pd.DataFrame({"r_regionkey": [0, 1]}).to_parquet(f"{sf}/region.parquet")
+    pd.DataFrame(
+        {"n_nationkey": [0, 1, 2], "n_regionkey": [0, 1, 9]}  # 1 orphan
+    ).to_parquet(f"{sf}/nation.parquet")
+    pd.DataFrame(
+        {"c_custkey": [10, 11], "c_nationkey": [0, 2]}
+    ).to_parquet(f"{sf}/customer.parquet")
+    pd.DataFrame(
+        {"s_suppkey": [5], "s_nationkey": [7]}  # 1 orphan
+    ).to_parquet(f"{sf}/supplier.parquet")
+    pd.DataFrame({"p_partkey": [100, 101]}).to_parquet(f"{sf}/part.parquet")
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_custkey": [10, 11, 99]}  # 1 orphan
+    ).to_parquet(f"{sf}/orders.parquet")
+    pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 4, 4],  # 2 orphans (orderkey 4)
+            "l_partkey": [100, 101, 100, 999],  # 1 orphan
+            "l_suppkey": [5, 5, 5, 5],  # 0 orphans
+        }
+    ).to_parquet(f"{sf}/lineitem.parquet")
+
+    got = QUERIES["fk_integrity_audit"](sf).set_index("fk")
+    exp = {
+        "lineitem.l_orderkey -> orders.o_orderkey": (4, 2),
+        "lineitem.l_partkey -> part.p_partkey": (4, 1),
+        "lineitem.l_suppkey -> supplier.s_suppkey": (4, 0),
+        "orders.o_custkey -> customer.c_custkey": (3, 1),
+        "customer.c_nationkey -> nation.n_nationkey": (2, 0),
+        "supplier.s_nationkey -> nation.n_nationkey": (1, 1),
+        "nation.n_regionkey -> region.r_regionkey": (3, 1),
+    }
+    assert len(got) == len(exp)
+    for fk, (n, v) in exp.items():
+        assert (got.loc[fk, "fact_rows"], got.loc[fk, "violations"]) == (n, v)
+
+
+def test_last_touch_direct_and_interleaving(tmp_path):
+    """A purchase that OPENS a user's stream attributes to 'direct';
+    interleaved users must not leak attribution across user boundaries
+    (the shift is masked at user changes)."""
+    from nerpii_ray.pipelines.queries import QUERIES
+
+    sf = str(tmp_path)
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:00:01",
+         "2024-01-01 00:00:02", "2024-01-01 00:00:03",
+         "2024-01-01 00:00:00", "2024-01-01 00:00:05"]
+    )
+    # user 1: view -> purchase -> purchase (chained); user 2 opens with
+    # a purchase at the same ts as user 1's view
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": ts,
+            "event_type": ["view", "purchase", "purchase", "click",
+                           "purchase", "purchase"],
+        }
+    ).to_parquet(f"{sf}/events.parquet")
+
+    got = (
+        QUERIES["events_last_touch"](sf)
+        .to_pandas()
+        .set_index("attributed")["purchases"]
+    )
+    assert got.to_dict() == {"view": 1, "purchase": 2, "direct": 1}
