@@ -11632,6 +11632,158 @@ def events_last_touch(sf_dir: str):
     )
 
 
+@register(
+    "events_gap_log2_histogram",
+    """
+    WITH g AS (
+      SELECT CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT) AS gap
+      FROM events
+    )
+    SELECT CAST(CASE WHEN gap = 0 THEN 0 ELSE LENGTH(bin(gap)) END
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+def events_gap_log2_histogram(sf_dir: str):
+    """Inter-event-time distribution, log2-bucketed: each consecutive
+    same-user gap (µs) lands in bucket = bit_length(gap) — the
+    latency-histogram shape used to pick session timeouts and spot
+    bot-like traffic, with ~64 possible buckets regardless of data
+    size.  One per-user co-location; gaps and buckets are computed
+    vectorized across the whole frame (``np.frexp`` on exact-in-double
+    µs ints IS bit_length — no float log2 at bucket boundaries); the
+    bounded histogram merges through the combiner tree."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        b = b.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        gap = us[1:] - us[:-1]
+        same = b["user_id"].to_numpy()[1:] == b["user_id"].to_numpy()[:-1]
+        gap = gap[same]
+        # bit_length via frexp: exact for |gap| < 2^53 (µs gaps are)
+        bucket = np.frexp(gap.astype("float64"))[1].astype("int64")
+        bucket[gap == 0] = 0
+        df = pd.DataFrame({"bucket": bucket, "n": np.int64(1)})
+        return df.groupby("bucket", sort=False).sum().reset_index()
+
+    partials = keyed_partition_apply(ds, ["user_id"], kernel)
+    return grouped_sum(
+        partials, ["bucket"], ["n"], adaptive=False,  # ≤ 64 buckets
+    )
+
+
+@register(
+    "customer_l_diversity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                AS BIGINT) AS l_distinct
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def customer_l_diversity(sf_dir: str):
+    """l-diversity audit (the k-anonymity companion): for every
+    quasi-identifier group (nation, segment), the group size AND the
+    number of DISTINCT sensitive values (account balance, cents) — a
+    group is l-diverse when l_distinct ≥ l.  Exact grouped
+    COUNT DISTINCT at scale: dedup tree over (group, value) triples
+    first (each batch collapses to its distinct triples before any
+    exchange), then a bounded count-per-group tree; group sizes ride a
+    parallel sum tree and the two bounded tables join on the driver."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def triple_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "c_mktsegment": b["c_mktsegment"],
+                "cents": np.round(b["c_acctbal"].to_numpy() * 100).astype("int64"),
+                "_one": np.int64(1),
+            }
+        )
+        return (
+            df.groupby(["c_nationkey", "c_mktsegment", "cents"],
+                       sort=False, observed=True)[["_one"]]
+            .max()
+            .reset_index()
+        )
+
+    def triple_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["c_nationkey", "c_mktsegment", "cents"],
+                       sort=False, observed=True)[["_one"]]
+            .max()
+            .reset_index()
+        )
+
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    distinct = tree_aggregate(
+        ds, triple_partial, triple_merge,
+        keys=["c_nationkey", "c_mktsegment", "cents"],
+    )
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "c_mktsegment": b["c_mktsegment"],
+                "l_distinct": np.int64(1),
+            }
+        )
+        return (
+            df.groupby(["c_nationkey", "c_mktsegment"], sort=False,
+                       observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    l_div = grouped_sum(
+        distinct, ["c_nationkey", "c_mktsegment"], ["l_distinct"],
+        partial_fn=count_partial, adaptive=False,  # ≤ |nations|×|segments|
+    ).to_pandas()
+
+    def size_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "c_mktsegment": b["c_mktsegment"],
+                "group_size": np.int64(1),
+            }
+        )
+        return (
+            df.groupby(["c_nationkey", "c_mktsegment"], sort=False,
+                       observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    sizes = grouped_sum(
+        ds, ["c_nationkey", "c_mktsegment"], ["group_size"],
+        partial_fn=size_partial, adaptive=False,
+    ).to_pandas()
+
+    out = sizes.merge(l_div, on=["c_nationkey", "c_mktsegment"])
+    out["c_nationkey"] = out["c_nationkey"].astype("int32")  # parquet dtype
+    return out[["c_nationkey", "c_mktsegment", "group_size", "l_distinct"]]
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
