@@ -11784,6 +11784,146 @@ def customer_l_diversity(sf_dir: str):
     return out[["c_nationkey", "c_mktsegment", "group_size", "l_distinct"]]
 
 
+@register(
+    "events_value_minmax_scaled",
+    """
+    WITH s AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id,
+           CASE WHEN s.hi = s.lo THEN CAST(0 AS DOUBLE)
+                ELSE FLOOR((e.value - s.lo) / (s.hi - s.lo)
+                           * 1000000 + 0.5) / 1000000
+           END AS scaled
+    FROM events e JOIN s USING (event_type)
+    """,
+)
+def events_value_minmax_scaled(sf_dir: str):
+    """Per-group min-max feature scaling (the ML normalization shape):
+    fit per-type (min, max) through a bounded tree, broadcast the
+    |types|-row stats into the transform scan, emit each event's scaled
+    value — fit-broadcast-transform, no join shuffle.  min/max carry
+    exact input floats, and both sides quantize with the identical
+    half-up ``floor(x·1e6 + 0.5)/1e6`` expression (not ROUND — the
+    embedding_dim_stats discipline), so the doubles are bit-identical.
+    Degenerate groups (hi == lo) scale to 0 on both sides."""
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def mm(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False, observed=True)
+        out = g.agg(lo=("lo", "min"), hi=("hi", "max")).reset_index()
+        return out
+
+    def mm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"event_type": b["event_type"], "lo": b["value"], "hi": b["value"]}
+        )
+        return mm(df)
+
+    stats = tree_aggregate(ds, mm_partial, mm).to_pandas()
+    lo = dict(zip(stats["event_type"], stats["lo"]))
+    hi = dict(zip(stats["event_type"], stats["hi"]))
+
+    def scale(b: pd.DataFrame) -> pd.DataFrame:
+        lo_v = b["event_type"].map(lo).to_numpy(dtype="float64")
+        hi_v = b["event_type"].map(hi).to_numpy(dtype="float64")
+        v = b["value"].to_numpy(dtype="float64")
+        span = hi_v - lo_v
+        flat = hi_v == lo_v
+        raw = np.where(flat, 0.0, (v - lo_v) / np.where(flat, 1.0, span))
+        # scaled ∈ [0, 1] (v is inside [lo, hi] by construction), so
+        # half-away-from-zero == floor(x·1e6 + 0.5)/1e6, vectorized
+        scaled = np.floor(raw * 1_000_000 + 0.5) / 1_000_000
+        scaled[flat] = 0.0
+        return pd.DataFrame(
+            {"event_id": b["event_id"].astype("int64"), "scaled": scaled}
+        )
+
+    return ds.map_batches(scale, batch_format="pandas")
+
+
+@register(
+    "session_entry_conversion",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ), per_row AS (
+      SELECT user_id, sid, event_type,
+             FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id, sid ORDER BY ts, event_id) AS entry
+      FROM s
+    ), per_sess AS (
+      SELECT user_id, sid, MIN(entry) AS entry_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM per_row GROUP BY 1, 2
+    )
+    SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(conv) AS BIGINT) AS n_converted
+    FROM per_sess GROUP BY 1
+    """,
+)
+def session_entry_conversion(sf_dir: str):
+    """Session conversion by entry point: sessions (30-min gap rule,
+    ties broken by event_id) are keyed by their FIRST event's type and
+    counted alongside how many contained a purchase — the
+    which-landing-converts analysis.  One per-user co-location;
+    sessionization, entry extraction and conversion flags are all
+    vectorized over the sorted frame (session starts ARE the break
+    positions — no per-session loop), and the ≤|types| histogram
+    merges through the combiner tree."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame(
+                {"entry_type": pd.Series([], dtype="object"),
+                 "n_sessions": pd.Series([], dtype="int64"),
+                 "n_converted": pd.Series([], dtype="int64")}
+            )
+        b = b.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        uid = b["user_id"].to_numpy()
+        brk = np.ones(len(b), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (us[1:] - us[:-1] > 1_800_000_000)
+        starts = np.flatnonzero(brk)
+        entry = b["event_type"].to_numpy()[starts]
+        conv = np.maximum.reduceat(
+            (b["event_type"].to_numpy() == "purchase").astype("int64"), starts
+        )
+        df = pd.DataFrame(
+            {"entry_type": entry, "n_sessions": np.int64(1),
+             "n_converted": conv}
+        )
+        return (
+            df.groupby("entry_type", sort=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(ds, ["user_id"], kernel)
+    return grouped_sum(
+        partials, ["entry_type"], ["n_sessions", "n_converted"],
+        adaptive=False,  # ≤ |types|
+    )
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
