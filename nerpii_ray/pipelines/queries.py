@@ -11924,6 +11924,162 @@ def session_entry_conversion(sf_dir: str):
     )
 
 
+@register(
+    "doc_cosine_pairs_posting",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS arr
+      FROM documents
+    ), t AS (
+      SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS token
+      FROM w, UNNEST(generate_series(1, GREATEST(len(arr) - 2, 0))) AS s(i)
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), norms AS (
+      SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+      FROM tf a JOIN df USING (token) JOIN tf b USING (token)
+      WHERE df BETWEEN 2 AND 40 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+           CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
+    FROM p JOIN norms na ON na.doc_id = p.doc_a
+           JOIN norms nb ON nb.doc_id = p.doc_b
+    WHERE dot * dot * 4 >= na.n2 * nb.n2
+    """,
+)
+def doc_cosine_pairs_posting(sf_dir: str):
+    """Exact sparse-cosine similarity join via INVERTED INDEX — the
+    third near-dup family next to minhash/LSH (probabilistic) and the
+    source-bucketed all-pairs Jaccard: candidate pairs come only from
+    shared discriminative shingles, never from an all-pairs product.
+    Word-3-gram shingles with tf weights; cos²(a,b) ≥ 0.25 decided by
+    the INTEGER cross-multiply dot²·4 ≥ ‖a‖²·‖b‖² — no sqrt, no float,
+    hash-stable.
+
+    Physical plan: one text scan emits exact (doc, shingle, tf) rows
+    (a doc lives in one row, so per-batch counts are final — no tree);
+    the shingle-keyed exchange FUSES the df census, the df∈[2,40]
+    prune (caps per-shingle pair fan-out at 40²; stopword-like
+    shingles generate no candidates — the standard posting-list
+    guard, mirrored in the SQL), and vectorized pair generation; pair
+    dots merge through the (doc_a, doc_b)-keyed tree; per-doc norms
+    join in on two keyed exchanges.  Output rows are integer
+    (dot, ‖a‖², ‖b‖²) evidence, pair-sized."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shingle_tf(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        ex = pd.DataFrame(
+            {"doc_id": b["doc_id"].astype("int64"), "tok": toks}
+        ).explode("tok")
+        ex = ex[ex["tok"].notna()].reset_index(drop=True)
+        if not len(ex):
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "token": pd.Series([], dtype="object"),
+                 "tf": pd.Series([], dtype="int64")}
+            )
+        did = ex["doc_id"].to_numpy()
+        tok = ex["tok"].to_numpy()
+        ok = np.zeros(len(ex), dtype=bool)
+        ok[:-2] = did[:-2] == did[2:]  # 3-gram fits inside the doc
+        idx = np.flatnonzero(ok)
+        grams = (
+            pd.Series(tok[idx]) + " "
+            + pd.Series(tok[idx + 1]) + " "
+            + pd.Series(tok[idx + 2])
+        )
+        shingles = pd.DataFrame(
+            {"doc_id": did[idx], "token": grams.to_numpy(), "tf": np.int64(1)}
+        )
+        return (
+            shingles.groupby(["doc_id", "token"], sort=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    tf = ds.map_batches(shingle_tf, batch_format="pandas").materialize()
+    # ^ one materialized intermediate serving both consumers (norms +
+    #   posting exchange) — the kg-mentions discipline
+
+    def norm_partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["tf"].to_numpy("int64")
+        df = pd.DataFrame({"doc_id": b["doc_id"].astype("int64"), "n2": t * t})
+        return df.groupby("doc_id", sort=False).sum().reset_index()
+
+    norms = grouped_sum(tf, ["doc_id"], ["n2"], partial_fn=norm_partial)
+
+    def pair_kernel(f: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "dot": pd.Series([], dtype="int64")}
+        )
+        if not len(f):
+            return empty
+        sz = f.groupby("token", sort=False)["doc_id"].transform("size")
+        f = f[(sz >= 2) & (sz <= 40)]
+        if not len(f):
+            return empty
+        m = f.merge(f, on="token")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        part = pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].astype("int64"),
+                "doc_b": m["doc_id_y"].astype("int64"),
+                "dot": (m["tf_x"] * m["tf_y"]).astype("int64"),
+            }
+        )
+        return part.groupby(["doc_a", "doc_b"], sort=False).sum().reset_index()
+
+    dots = grouped_sum(
+        keyed_partition_apply(tf, ["token"], pair_kernel),
+        ["doc_a", "doc_b"], ["dot"],
+    )
+
+    na = norms.map_batches(
+        lambda b: b.rename(columns={"doc_id": "doc_a", "n2": "na2"}),
+        batch_format="pandas",
+    )
+    nb = norms.map_batches(
+        lambda b: b.rename(columns={"doc_id": "doc_b", "n2": "nb2"}),
+        batch_format="pandas",
+    )
+    joined = partitioned_hash_join(
+        partitioned_hash_join(dots, na, on=["doc_a"], path="exchange"),
+        nb, on=["doc_b"], path="exchange",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["dot"].to_numpy("int64")
+        na2 = b["na2"].to_numpy("int64")
+        nb2 = b["nb2"].to_numpy("int64")
+        keep = d * d * 4 >= na2 * nb2  # cos² ≥ 0.25, exact integers
+        out = b.loc[keep]
+        return pd.DataFrame(
+            {
+                "doc_a": out["doc_a"].astype("int64"),
+                "doc_b": out["doc_b"].astype("int64"),
+                "dot": out["dot"].astype("int64"),
+                "na2": out["na2"].astype("int64"),
+                "nb2": out["nb2"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
@@ -11987,6 +12143,7 @@ _R5_FRESH2 = [
     "events_gap_log2_histogram", "customer_l_diversity",
     "events_value_minmax_scaled", "session_entry_conversion",
     "part_kcore", "doc_pack_blocks", "events_user_bitops",
+    "doc_cosine_pairs_posting",
     "lineitem_price_iqr_cont", "events_out_of_order", "doc_oov_rate",
     "events_user_type_impurity", "large_volume_customers",
     "events_hopping_counts", "ann_radius", "doc_quality_logit",

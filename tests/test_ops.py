@@ -3470,3 +3470,33 @@ def test_last_touch_direct_and_interleaving(tmp_path):
         .set_index("attributed")["purchases"]
     )
     assert got.to_dict() == {"view": 1, "purchase": 2, "direct": 1}
+
+
+def test_cosine_pairs_posting_crafted(tmp_path):
+    """Near-identical docs pair up; a doc shorter than one 3-gram
+    contributes nothing; unrelated docs never become candidates (no
+    shared shingle -> no pair, the inverted-index guarantee)."""
+    from nerpii_ray.pipelines.queries import QUERIES
+
+    sf = str(tmp_path)
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                base,
+                base + " iota",        # near-dup of 1
+                "one two",              # < 3 tokens: no shingles
+                "x y z w v u t s",      # disjoint vocabulary
+            ],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+
+    got = QUERIES["doc_cosine_pairs_posting"](sf).to_pandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    # doc1: 6 shingles (all tf=1, n2=6); doc2: 7; shared dot = 6
+    assert (r["doc_a"], r["doc_b"], r["dot"], r["na2"], r["nb2"]) == (
+        1, 2, 6, 6, 7
+    )
+    assert r["dot"] ** 2 * 4 >= r["na2"] * r["nb2"]
