@@ -11924,54 +11924,16 @@ def session_entry_conversion(sf_dir: str):
     )
 
 
-@register(
-    "doc_cosine_pairs_posting",
-    r"""
-    WITH w AS (
-      SELECT doc_id,
-             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS arr
-      FROM documents
-    ), t AS (
-      SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS token
-      FROM w, UNNEST(generate_series(1, GREATEST(len(arr) - 2, 0))) AS s(i)
-    ), tf AS (
-      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-      FROM t GROUP BY 1, 2
-    ), df AS (
-      SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
-    ), norms AS (
-      SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1
-    ), p AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
-      FROM tf a JOIN df USING (token) JOIN tf b USING (token)
-      WHERE df BETWEEN 2 AND 40 AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
-           CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
-    FROM p JOIN norms na ON na.doc_id = p.doc_a
-           JOIN norms nb ON nb.doc_id = p.doc_b
-    WHERE dot * dot * 4 >= na.n2 * nb.n2
-    """,
-)
-def doc_cosine_pairs_posting(sf_dir: str):
-    """Exact sparse-cosine similarity join via INVERTED INDEX — the
-    third near-dup family next to minhash/LSH (probabilistic) and the
-    source-bucketed all-pairs Jaccard: candidate pairs come only from
-    shared discriminative shingles, never from an all-pairs product.
-    Word-3-gram shingles with tf weights; cos²(a,b) ≥ 0.25 decided by
-    the INTEGER cross-multiply dot²·4 ≥ ‖a‖²·‖b‖² — no sqrt, no float,
-    hash-stable.
-
-    Physical plan: one text scan emits exact (doc, shingle, tf) rows
-    (a doc lives in one row, so per-batch counts are final — no tree);
-    the shingle-keyed exchange FUSES the df census, the df∈[2,40]
-    prune (caps per-shingle pair fan-out at 40²; stopword-like
-    shingles generate no candidates — the standard posting-list
-    guard, mirrored in the SQL), and vectorized pair generation; pair
+def _posting_evidence(sf_dir: str, weighted: bool):
+    """Shared inverted-index candidate machinery for the posting-family
+    similarity joins (cosine / containment): one text scan emits exact
+    per-doc word-3-gram shingle rows (tf counts when ``weighted``,
+    distinct-set rows otherwise); the shingle-keyed exchange fuses the
+    df census, the df∈[2,40] prune and vectorized pair generation; pair
     dots merge through the (doc_a, doc_b)-keyed tree; per-doc norms
-    join in on two keyed exchanges.  Output rows are integer
-    (dot, ‖a‖², ‖b‖²) evidence, pair-sized."""
+    (Σtf² / set size) join in on two keyed exchanges.  Returns the
+    UNTHRESHOLDED integer evidence dataset (doc_a, doc_b, dot, na2,
+    nb2) — each caller applies its own integer cross-multiply."""
     from nerpii_ray.stages.agg import grouped_sum
     from nerpii_ray.stages.colocate import keyed_partition_apply
     from nerpii_ray.stages.joins import partitioned_hash_join
@@ -12003,11 +11965,14 @@ def doc_cosine_pairs_posting(sf_dir: str):
         shingles = pd.DataFrame(
             {"doc_id": did[idx], "token": grams.to_numpy(), "tf": np.int64(1)}
         )
-        return (
+        out = (
             shingles.groupby(["doc_id", "token"], sort=False, observed=True)
             .sum()
             .reset_index()
         )
+        if not weighted:
+            out["tf"] = np.int64(1)  # set semantics: distinct shingles
+        return out
 
     tf = ds.map_batches(shingle_tf, batch_format="pandas").materialize()
     # ^ one materialized intermediate serving both consumers (norms +
@@ -12056,16 +12021,19 @@ def doc_cosine_pairs_posting(sf_dir: str):
         lambda b: b.rename(columns={"doc_id": "doc_b", "n2": "nb2"}),
         batch_format="pandas",
     )
-    joined = partitioned_hash_join(
+    return partitioned_hash_join(
         partitioned_hash_join(dots, na, on=["doc_a"], path="exchange"),
         nb, on=["doc_b"], path="exchange",
     )
 
+
+def _posting_finish(keep_fn):
     def finish(b: pd.DataFrame) -> pd.DataFrame:
-        d = b["dot"].to_numpy("int64")
-        na2 = b["na2"].to_numpy("int64")
-        nb2 = b["nb2"].to_numpy("int64")
-        keep = d * d * 4 >= na2 * nb2  # cos² ≥ 0.25, exact integers
+        keep = keep_fn(
+            b["dot"].to_numpy("int64"),
+            b["na2"].to_numpy("int64"),
+            b["nb2"].to_numpy("int64"),
+        )
         out = b.loc[keep]
         return pd.DataFrame(
             {
@@ -12077,7 +12045,144 @@ def doc_cosine_pairs_posting(sf_dir: str):
             }
         )
 
-    return joined.map_batches(finish, batch_format="pandas")
+    return finish
+
+
+@register(
+    "doc_cosine_pairs_posting",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS arr
+      FROM documents
+    ), t AS (
+      SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS token
+      FROM w, UNNEST(generate_series(1, GREATEST(len(arr) - 2, 0))) AS s(i)
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM t GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+    ), norms AS (
+      SELECT doc_id, SUM(tf * tf) AS n2 FROM tf GROUP BY 1
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+      FROM tf a JOIN df USING (token) JOIN tf b USING (token)
+      WHERE df BETWEEN 2 AND 40 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+           CAST(na.n2 AS BIGINT) AS na2, CAST(nb.n2 AS BIGINT) AS nb2
+    FROM p JOIN norms na ON na.doc_id = p.doc_a
+           JOIN norms nb ON nb.doc_id = p.doc_b
+    WHERE dot * dot * 4 >= na.n2 * nb.n2
+    """,
+)
+def doc_cosine_pairs_posting(sf_dir: str):
+    """Exact sparse-cosine similarity join via INVERTED INDEX — the
+    third near-dup family next to minhash/LSH (probabilistic) and the
+    source-bucketed all-pairs Jaccard: candidate pairs come only from
+    shared discriminative shingles, never from an all-pairs product.
+    Word-3-gram shingles with tf weights; cos²(a,b) ≥ 0.25 decided by
+    the INTEGER cross-multiply dot²·4 ≥ ‖a‖²·‖b‖² — no sqrt, no float,
+    hash-stable.  Machinery shared with the containment join via
+    ``_posting_evidence`` (see its docstring for the physical plan)."""
+    joined = _posting_evidence(sf_dir, weighted=True)
+    return joined.map_batches(
+        _posting_finish(lambda d, na2, nb2: d * d * 4 >= na2 * nb2),
+        batch_format="pandas",
+    )
+
+
+@register(
+    "doc_containment_pairs",
+    r"""
+    WITH w AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS arr
+      FROM documents
+    ), t AS (
+      SELECT DISTINCT doc_id,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS token
+      FROM w, UNNEST(generate_series(1, GREATEST(len(arr) - 2, 0))) AS s(i)
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM t GROUP BY 1
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM t GROUP BY 1
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS dot
+      FROM t a JOIN df USING (token) JOIN t b USING (token)
+      WHERE df BETWEEN 2 AND 40 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot,
+           CAST(na.n AS BIGINT) AS na2, CAST(nb.n AS BIGINT) AS nb2
+    FROM p JOIN sz na ON na.doc_id = p.doc_a
+           JOIN sz nb ON nb.doc_id = p.doc_b
+    WHERE dot * 10 >= 9 * LEAST(na.n, nb.n)
+    """,
+)
+def doc_containment_pairs(sf_dir: str):
+    """ASYMMETRIC near-dup: shingle-set containment ≥ 0.9 — catches a
+    short doc quoted/excerpted inside a long one, which symmetric
+    cosine/Jaccard miss (a 10-shingle doc inside a 1000-shingle doc has
+    Jaccard ≈ 0.01 but containment 1.0).  Same inverted-index machinery
+    as the cosine join with SET semantics (tf clipped to 1: dot =
+    |A∩B|, norms = set sizes); the threshold is the integer
+    cross-multiply |A∩B|·10 ≥ 9·min(|A|,|B|).  Output is integer
+    evidence (intersection, set sizes), pair-sized."""
+    joined = _posting_evidence(sf_dir, weighted=False)
+    return joined.map_batches(
+        _posting_finish(
+            lambda d, na2, nb2: d * 10 >= 9 * np.minimum(na2, nb2)
+        ),
+        batch_format="pandas",
+    )
+
+
+@register("doc_lang_confusion", None)  # SQL attached below (generated)
+def doc_lang_confusion(sf_dir: str):
+    """Language-metadata audit: confusion matrix between the corpus's
+    DECLARED ``lang`` column and the n-gram detector's prediction —
+    the first table a curation team reads when deciding whether to
+    trust upstream language tags.  One scan (declared tag and detector
+    run ride the same batch — no join); the ≤(|langs|+1)² histogram
+    merges through the combiner tree.  The SQL twin wraps the
+    generated langid replay verbatim, so detector and audit cannot
+    drift."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.textstats import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        pred = langid_batch(b[["doc_id", "text"]])
+        df = pd.DataFrame(
+            {
+                "declared": b["lang"].to_numpy(),
+                "detected": pred["pred_lang"].to_numpy(),
+                "n": np.int64(1),
+            }
+        )
+        return (
+            df.groupby(["declared", "detected"], sort=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_sum(
+        ds, ["declared", "detected"], ["n"],
+        partial_fn=partial, adaptive=False,  # ≤ (|langs|+1)²
+    )
+
+
+ORACLE_SQL["doc_lang_confusion"] = f"""
+    WITH pred AS ({{langid}})
+    SELECT d.lang AS declared, p.pred_lang AS detected,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+""".format(langid=_langid_sql())
 
 
 #: stable, already-certified queries that yield their window slot first

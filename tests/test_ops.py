@@ -3500,3 +3500,23 @@ def test_cosine_pairs_posting_crafted(tmp_path):
         1, 2, 6, 6, 7
     )
     assert r["dot"] ** 2 * 4 >= r["na2"] * r["nb2"]
+
+
+def test_containment_catches_what_cosine_misses(tmp_path):
+    """A short doc fully quoted inside a long one: containment = 1.0
+    (pair emitted) while cosine < 0.5 (pair suppressed) — the
+    asymmetric-dup case that motivates the second posting-family op."""
+    from nerpii_ray.pipelines.queries import QUERIES
+
+    quote = "alpha beta gamma delta epsilon"          # 3 shingles
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": [quote, quote + " " + filler]}
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    cont = QUERIES["doc_containment_pairs"](str(tmp_path)).to_pandas()
+    cos = QUERIES["doc_cosine_pairs_posting"](str(tmp_path)).to_pandas()
+    assert len(cont) == 1 and len(cos) == 0
+    r = cont.iloc[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["dot"] == r["na2"] == 3  # full containment of the quote
