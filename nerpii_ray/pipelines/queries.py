@@ -12185,6 +12185,95 @@ ORACLE_SQL["doc_lang_confusion"] = f"""
 """.format(langid=_langid_sql())
 
 
+@register(
+    "events_value_locf",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('day', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ), daily AS (
+      SELECT user_id, day, cents FROM d WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id, lo + 86400 * i AS day
+      FROM bounds,
+           UNNEST(generate_series(0, CAST((hi - lo) / 86400 AS BIGINT))) AS s(i)
+    )
+    SELECT s.user_id, s.day AS day_epoch,
+           LAST_VALUE(daily.cents IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day) AS cents
+    FROM spine s LEFT JOIN daily USING (user_id, day)
+    """,
+)
+def events_value_locf(sf_dir: str):
+    """Forward fill (LOCF — last observation carried forward) over a
+    per-user DAILY spine: each user's calendar from first to last
+    active day, with gap days carrying the previous day's closing
+    value — the standard time-series densification before any
+    day-aligned comparison.  Integer cents.
+
+    One per-user co-location; everything in the kernel is vectorized
+    ACROSS users: daily closes are last-of-run on the sorted frame,
+    spines build with the np.repeat/arange idiom, and the fill is ONE
+    ``searchsorted`` of spine keys into daily keys over a
+    frame-locally factorized (user, day-index) composite — no per-user
+    loop, no overflow at any user-id scale."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"),
+             "day_epoch": pd.Series([], dtype="int64"),
+             "cents": pd.Series([], dtype="int64")}
+        )
+        if not len(b):
+            return empty
+        b = b.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        uid = b["user_id"].to_numpy()
+        day = (
+            b["ts"].to_numpy().astype("datetime64[D]")
+            .astype("datetime64[s]").astype("int64")
+        )
+        cents = np.round(b["value"].to_numpy() * 100).astype("int64")
+        # daily close = last row of each (user, day) run (frame sorted)
+        last = np.ones(len(b), dtype=bool)
+        last[:-1] = (uid[:-1] != uid[1:]) | (day[:-1] != day[1:])
+        du, dd, dc = uid[last], day[last], cents[last]
+        # per-user bounds and spine (np.repeat/arange gapfill idiom)
+        first = np.ones(len(du), dtype=bool)
+        first[1:] = du[1:] != du[:-1]
+        starts = np.flatnonzero(first)
+        lo = dd[starts]
+        hi = dd[np.r_[starts[1:] - 1, len(dd) - 1]]
+        n_days = (hi - lo) // 86400 + 1
+        total = int(n_days.sum())
+        stops = np.cumsum(n_days)
+        offs = np.arange(total) - np.repeat(stops - n_days, n_days)
+        s_uid = np.repeat(du[starts], n_days)
+        s_day = np.repeat(lo, n_days) + 86400 * offs
+        # LOCF: one searchsorted over (local user ordinal, day index)
+        ord_daily = np.cumsum(first) - 1  # factorized per-frame user ids
+        key_daily = ord_daily * (1 << 40) + (dd - dd.min()) // 86400
+        s_ord = np.repeat(np.arange(len(starts)), n_days)
+        key_spine = s_ord * (1 << 40) + (s_day - dd.min()) // 86400
+        pos = np.searchsorted(key_daily, key_spine, side="right") - 1
+        return pd.DataFrame(
+            {"user_id": s_uid, "day_epoch": s_day, "cents": dc[pos]}
+        )
+
+    return keyed_partition_apply(ds, ["user_id"], kernel)
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship

@@ -3520,3 +3520,34 @@ def test_containment_catches_what_cosine_misses(tmp_path):
     r = cont.iloc[0]
     assert (r["doc_a"], r["doc_b"]) == (1, 2)
     assert r["dot"] == r["na2"] == 3  # full containment of the quote
+
+
+def test_locf_gap_fill_and_single_day_user(tmp_path):
+    """Gap days carry the previous close; the daily close is the LAST
+    event of the day (ts, event_id order); a single-day user emits
+    exactly one spine row."""
+    from nerpii_ray.pipelines.queries import QUERIES
+
+    ts = pd.to_datetime(
+        ["2024-01-01 09:00", "2024-01-01 17:00",   # day 1: close 2.0
+         "2024-01-04 12:00",                        # 2-day gap, then 5.0
+         "2024-02-01 00:00"]                        # user 2, one day
+    )
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 1, 1, 2],
+            "ts": ts,
+            "value": [1.0, 2.0, 5.0, 9.0],
+        }
+    ).to_parquet(f"{tmp_path}/events.parquet")
+
+    got = (
+        QUERIES["events_value_locf"](str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "day_epoch"])
+        .reset_index(drop=True)
+    )
+    assert got["cents"].tolist() == [200, 200, 200, 500, 900]
+    assert len(got[got["user_id"] == 1]) == 4  # Jan 1..4 spine
+    assert len(got[got["user_id"] == 2]) == 1
