@@ -12274,6 +12274,91 @@ def events_value_locf(sf_dir: str):
     return keyed_partition_apply(ds, ["user_id"], kernel)
 
 
+@register(
+    "returned_revenue_top_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_u
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2
+    ORDER BY revenue_u DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def returned_revenue_top_customers(sf_dir: str):
+    """TPC-H Q10 shape — returned-item revenue attributed through two
+    joins to the top-20 customers.  Scale plan: the R-filter and a
+    per-batch revenue pre-aggregate run INSIDE the lineitem scan (the
+    join moves ≤ one row per (batch, order), not one per line item);
+    one keyed exchange joins orders; a custkey tree sums revenue; the
+    top-20 cut happens ONLY after the grouped sum fully combines (the
+    doc_edge_degree_topk rule); customer names then come from a scan
+    filtered by the 20 winner keys — integer micro-units end-to-end."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"] == "R"]
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        df = pd.DataFrame(
+            {
+                "o_orderkey": b["l_orderkey"].astype("int64"),
+                "revenue_u": cents * (100 - disc),
+            }
+        )
+        return df.groupby("o_orderkey", sort=False).sum().reset_index()
+
+    per_order = li.map_batches(li_partial, batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = partitioned_hash_join(
+        per_order, orders, on=["o_orderkey"], path="exchange"
+    )
+
+    def cust_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_custkey": b["o_custkey"].astype("int64"),
+                "revenue_u": b["revenue_u"].astype("int64"),
+            }
+        )
+        return df.groupby("c_custkey", sort=False).sum().reset_index()
+
+    by_cust = grouped_sum(
+        joined, ["c_custkey"], ["revenue_u"], partial_fn=cust_partial
+    )
+
+    def top20(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_u", "c_custkey"], ascending=[False, True]
+        ).head(20)
+
+    top = tree_aggregate(by_cust, top20, top20).to_pandas()
+    keys = pa.array(top["c_custkey"].tolist(), pa.int64())
+    names = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda t, ks=keys: t.filter(pc.is_in(t["c_custkey"], value_set=ks)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = top.merge(names, on="c_custkey")
+    return out[["c_custkey", "c_name", "revenue_u"]].astype(
+        {"c_custkey": "int64", "revenue_u": "int64"}
+    )
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
