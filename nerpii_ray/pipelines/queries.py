@@ -12359,6 +12359,81 @@ def returned_revenue_top_customers(sf_dir: str):
     )
 
 
+@register(
+    "events_mannwhitney_u",
+    """
+    WITH c AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), h AS (
+      SELECT cents,
+             COUNT(*) FILTER (WHERE variant = 'A') AS na_v,
+             COUNT(*) FILTER (WHERE variant = 'B') AS nb_v
+      FROM c GROUP BY cents
+    ), r AS (
+      SELECT na_v, nb_v,
+             2 * (SUM(na_v + nb_v) OVER (ORDER BY cents) - (na_v + nb_v))
+               + (na_v + nb_v) + 1 AS rank2
+      FROM h
+    ), t AS (
+      SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b,
+             SUM(na_v * rank2) AS r2_a
+      FROM r
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
+    FROM t
+    """,
+)
+def events_mannwhitney_u(sf_dir: str):
+    """Mann–Whitney U between the A/B user halves — the nonparametric
+    sibling of ``events_ab_zscore``, EXACT: doubled tie-averaged ranks
+    (2·rank(v) = 2·cnt_less + cnt_eq + 1) keep everything integer, so
+    the statistic is hash-stable with no float rank arithmetic.
+
+    No per-row ranking window at any scale: one combiner tree builds
+    the per-VALUE (cents, n_A, n_B) histogram (bounded by the metric's
+    value range, the value-count-tree assumption every exact quantile
+    here shares), and rank prefix sums run over that histogram on the
+    driver.  Pytest pins the U_A + U_B = n_A·n_B identity."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_a = b["user_id"].to_numpy(np.int64) % 2 == 0
+        df = pd.DataFrame(
+            {
+                "cents": np.round(b["value"].to_numpy() * 100).astype("int64"),
+                "na_v": is_a.astype("int64"),
+                "nb_v": (~is_a).astype("int64"),
+            }
+        )
+        return df.groupby("cents", sort=False).sum().reset_index()
+
+    h = grouped_sum(
+        ds, ["cents"], ["na_v", "nb_v"], partial_fn=partial
+    ).to_pandas().sort_values("cents").reset_index(drop=True)
+
+    na_v = h["na_v"].to_numpy("int64")
+    tot = na_v + h["nb_v"].to_numpy("int64")
+    less2 = 2 * (np.cumsum(tot) - tot)
+    rank2 = less2 + tot + 1
+    # object ints from here: r2_a ~ N² overflows int64 at ~3e9 rows
+    n_a = int(na_v.sum())
+    n_b = int(h["nb_v"].sum())
+    r2_a = int((na_v.astype(object) * rank2.astype(object)).sum())
+    u2_a = r2_a - n_a * (n_a + 1)
+    return pd.DataFrame(
+        {
+            "n_a": [n_a], "n_b": [n_b],
+            "u2_a": [u2_a], "u2_b": [2 * n_a * n_b - u2_a],
+        }
+    ).astype("int64")
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship

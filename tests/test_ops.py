@@ -3551,3 +3551,26 @@ def test_locf_gap_fill_and_single_day_user(tmp_path):
     assert got["cents"].tolist() == [200, 200, 200, 500, 900]
     assert len(got[got["user_id"] == 1]) == 4  # Jan 1..4 spine
     assert len(got[got["user_id"] == 2]) == 1
+
+
+def test_mannwhitney_identity_and_ties(tmp_path):
+    """U_A + U_B = n_A * n_B (in doubled units: u2_a + u2_b =
+    2*n_a*n_b), and tie-averaged ranks are exact: all-equal samples
+    give U_A = n_A*n_B/2 on the nose."""
+    from nerpii_ray.pipelines.queries import QUERIES
+
+    ts = pd.to_datetime(["2024-01-01"] * 6)
+    # users 0,2 -> A (n=3 values), users 1,3 -> B (n=3); all values tie
+    pd.DataFrame(
+        {
+            "event_id": range(6),
+            "user_id": [0, 2, 0, 1, 3, 1],
+            "ts": ts,
+            "value": [5.0] * 6,
+        }
+    ).to_parquet(f"{tmp_path}/events.parquet")
+
+    r = QUERIES["events_mannwhitney_u"](str(tmp_path)).iloc[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+    assert r["u2_a"] == r["n_a"] * r["n_b"]  # all-tied: U = n_a*n_b/2
