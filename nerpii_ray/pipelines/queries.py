@@ -12434,6 +12434,66 @@ def events_mannwhitney_u(sf_dir: str):
     ).astype("int64")
 
 
+@register(
+    "events_ks_statistic",
+    """
+    WITH c AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), h AS (
+      SELECT cents,
+             COUNT(*) FILTER (WHERE variant = 'A') AS na_v,
+             COUNT(*) FILTER (WHERE variant = 'B') AS nb_v
+      FROM c GROUP BY cents
+    ), cum AS (
+      SELECT SUM(na_v) OVER (ORDER BY cents) AS ca,
+             SUM(nb_v) OVER (ORDER BY cents) AS cb
+      FROM h
+    ), t AS (SELECT SUM(na_v) AS n_a, SUM(nb_v) AS n_b FROM h)
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST((SELECT MAX(ABS(ca * n_b - cb * n_a)) FROM cum)
+                AS BIGINT) AS d_num
+    FROM t
+    """,
+)
+def events_ks_statistic(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the A/B user
+    halves, EXACT: D = max|F_A − F_B| reported as the integer
+    cross-multiplied numerator max|cum_A·n_B − cum_B·n_A| over the
+    common denominator n_A·n_B — the supremum over a shared value grid
+    needs no floats at all.  Same value-count-tree plan as
+    ``events_mannwhitney_u`` (bounded per-value histogram, driver
+    prefix sums); with z-test and U this completes the A/B stat-test
+    family (parametric / rank / distributional)."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_a = b["user_id"].to_numpy(np.int64) % 2 == 0
+        df = pd.DataFrame(
+            {
+                "cents": np.round(b["value"].to_numpy() * 100).astype("int64"),
+                "na_v": is_a.astype("int64"),
+                "nb_v": (~is_a).astype("int64"),
+            }
+        )
+        return df.groupby("cents", sort=False).sum().reset_index()
+
+    h = grouped_sum(
+        ds, ["cents"], ["na_v", "nb_v"], partial_fn=partial
+    ).to_pandas().sort_values("cents").reset_index(drop=True)
+
+    ca = np.cumsum(h["na_v"].to_numpy("int64")).astype(object)
+    cb = np.cumsum(h["nb_v"].to_numpy("int64")).astype(object)
+    n_a, n_b = int(ca[-1]) if len(ca) else 0, int(cb[-1]) if len(cb) else 0
+    d_num = int(np.abs(ca * n_b - cb * n_a).max()) if len(ca) else 0
+    return pd.DataFrame(
+        {"n_a": [n_a], "n_b": [n_b], "d_num": [d_num]}
+    ).astype("int64")
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship

@@ -3574,3 +3574,23 @@ def test_mannwhitney_identity_and_ties(tmp_path):
     assert (r["n_a"], r["n_b"]) == (3, 3)
     assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
     assert r["u2_a"] == r["n_a"] * r["n_b"]  # all-tied: U = n_a*n_b/2
+
+
+def test_ks_disjoint_samples_hit_dmax(tmp_path):
+    """Fully separated distributions give D = 1: d_num == n_a * n_b."""
+    from nerpii_ray.pipelines.queries import QUERIES
+
+    ts = pd.to_datetime(["2024-01-01"] * 6)
+    # A users (even ids) all below B users (odd ids)
+    pd.DataFrame(
+        {
+            "event_id": range(6),
+            "user_id": [0, 2, 4, 1, 3, 5],
+            "ts": ts,
+            "value": [1.0, 2.0, 3.0, 10.0, 11.0, 12.0],
+        }
+    ).to_parquet(f"{tmp_path}/events.parquet")
+
+    r = QUERIES["events_ks_statistic"](str(tmp_path)).iloc[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["d_num"] == r["n_a"] * r["n_b"]
