@@ -12494,6 +12494,179 @@ def events_ks_statistic(sf_dir: str):
     ).astype("int64")
 
 
+@register(
+    "events_value_autocorr",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ), p AS (
+      SELECT x AS a,
+             LEAD(x) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS b
+      FROM s
+    ), q AS (SELECT a, b FROM p WHERE b IS NOT NULL),
+    t AS (
+      SELECT COUNT(*)::HUGEINT AS n, SUM(a)::HUGEINT AS sa,
+             SUM(b)::HUGEINT AS sb, SUM(a * b)::HUGEINT AS sab,
+             SUM(a * a)::HUGEINT AS saa, SUM(b * b)::HUGEINT AS sbb
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sab - sa * sb AS DOUBLE)
+             / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))) AS autocorr_r
+    FROM t
+    """,
+)
+def events_value_autocorr(sf_dir: str):
+    """Pooled lag-1 serial autocorrelation of event value within each
+    user's (ts, event_id)-ordered stream — the time-series dependence
+    diagnostic.  ``window.lagged_pairs`` emits the per-user (x_i,
+    x_{i+1}) pairs off ONE co-location; the pooled Pearson r then rides
+    the exact-big-int ``grouped_corr`` tree on a constant key, so the
+    float is ONE expression over exact integer sums — bit-stable vs the
+    SQL twin's LEAD + cross-multiplied form."""
+    from nerpii_ray.stages.agg import grouped_corr
+    from nerpii_ray.stages.window import lagged_pairs
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts": b["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "x": np.round(b["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+
+    pairs = lagged_pairs(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id"], ["ts", "event_id"], "x", lag=1,
+    )
+
+    def const_key(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": np.int64(0), "a": b["a"], "b": b["b"]}
+        )
+
+    r = grouped_corr(
+        pairs.map_batches(const_key, batch_format="pandas"), ["k"], "a", "b"
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_pairs": r["n"].astype("int64"),
+            "autocorr_r": r["corr"].astype("float64"),
+        }
+    )
+
+
+@register(
+    "events_value_cusum",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ), u AS (
+      SELECT user_id, COUNT(*)::HUGEINT AS n, SUM(x)::HUGEINT AS sx
+      FROM s GROUP BY user_id
+    ), c AS (
+      SELECT user_id,
+             SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS cum,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS i
+      FROM s
+    )
+    SELECT c.user_id, CAST(u.n AS BIGINT) AS n,
+           CAST(MAX(ABS(u.n * c.cum - c.i * u.sx)) AS BIGINT) AS cusum_max
+    FROM c JOIN u USING (user_id)
+    GROUP BY c.user_id, u.n
+    """,
+)
+def events_value_cusum(sf_dir: str):
+    """Per-user self-normalized CUSUM change score
+    (``window.cusum_max``): max over ordered positions i of
+    |n·cum_i − i·S| — the exact cross-multiplied max deviation of the
+    running mean from the final mean, the classic change-point /
+    level-shift detection statistic with ZERO floats.  One user
+    co-location, vectorized rebased-cumsum kernel, int64 fast path with
+    an object-int fallback past 2^62."""
+    from nerpii_ray.stages.window import cusum_max
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts": b["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "x": np.round(b["value"].to_numpy() * 100).astype("int64"),
+            }
+        )
+
+    return cusum_max(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id"], ["ts", "event_id"], "x",
+    )
+
+
+@register(
+    "events_type_trigrams",
+    """
+    WITH g AS (
+      SELECT event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1, t2, t3, COUNT(*)::BIGINT AS support
+    FROM g WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    ORDER BY support DESC, t1, t2, t3
+    LIMIT 20
+    """,
+)
+def events_type_trigrams(sf_dir: str):
+    """Top-20 per-user ordered event-type TRIGRAMS by global support —
+    the sequential-pattern-mining shape (which 3-step paths actually
+    happen), complementing the fixed-step funnel with open-vocabulary
+    discovery.  ``window.sequence_ngrams``: one user co-location emits
+    per-bucket LOCAL trigram counts, a bounded-key tree merges them;
+    the driver cuts top-20 with the full (support desc, t1, t2, t3)
+    ordering so the LIMIT boundary is deterministic."""
+    from nerpii_ray.stages.window import sequence_ngrams
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": b["user_id"].astype("int64"),
+                "ts": b["ts"].astype("datetime64[us]").astype("int64"),
+                "event_id": b["event_id"].astype("int64"),
+                "event_type": b["event_type"].astype(object),
+            }
+        )
+
+    grams = sequence_ngrams(
+        ds.map_batches(prep, batch_format="pandas"),
+        ["user_id"], ["ts", "event_id"], "event_type", n=3,
+    ).to_pandas()
+    top = grams.sort_values(
+        ["support", "t1", "t2", "t3"],
+        ascending=[False, True, True, True], kind="mergesort",
+    ).head(20).reset_index(drop=True)
+    top["support"] = top["support"].astype("int64")
+    return top[["t1", "t2", "t3", "support"]]
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship

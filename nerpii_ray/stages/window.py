@@ -1054,3 +1054,188 @@ def pack_token_blocks(
         return out
 
     return keyed_partition_apply(withb, ["_bkt"], kernel, None, path)
+
+
+def lagged_pairs(
+    ds,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    lag: int = 1,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Per-key lagged value pairs — the primitive under serial
+    autocorrelation and lag-k feature engineering: for every row i of a
+    key's ``order_cols``-ordered series, emit (a = x_i, b = x_{i+lag})
+    when row i+lag still belongs to the same key.  ``value_col`` must be
+    integer-valued (cents, counts); derive it upstream.
+
+    One keyed co-location; the in-bucket kernel is fully vectorized —
+    sort by keys + order, shift the KEY columns by −lag and compare
+    (the tail rows of each key compare against the next key or NaN and
+    drop out), then take the value array and its roll.  Output:
+    keys…, a:int64, b:int64 — feed ``agg.grouped_corr`` on a constant
+    key for pooled autocorrelation, or keep the keys for per-key lag
+    features.  Pairs are key-local by construction, so hot keys carry
+    the usual co-location contract.
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            g.sort_values(keys + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if len(u) <= lag:
+            out = u[keys].iloc[:0].copy()
+            out["a"] = pd.Series(dtype="int64")
+            out["b"] = pd.Series(dtype="int64")
+            return out
+        ks = u[keys]
+        same = ~ks.ne(ks.shift(-lag)).any(axis=1).to_numpy()
+        v = u[value_col].to_numpy(np.int64)
+        out = u.loc[same, keys].reset_index(drop=True)
+        out["a"] = v[same]
+        out["b"] = np.roll(v, -lag)[same]
+        return out
+
+    return keyed_partition_apply(ds, keys, kernel, num_buckets, path)
+
+
+def cusum_max(
+    ds,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Self-normalized CUSUM change score per key: with n = the key's
+    row count and S = its value sum, the deviation at ordered position
+    i is D_i = n·cum_i − i·S (an exact integer — the cross-multiplied
+    form of cum_i/i − S/n), and the score is max|D_i| — large when the
+    series' level shifts mid-stream, 0 for a constant series.  The
+    classic change-point detection statistic, exact with no floats.
+
+    One keyed co-location; in-bucket the kernel sorts, takes one global
+    cumsum rebased per key, and cross-multiplies in int64 with an
+    OBJECT-int fallback past 2^62 (n·cum grows as n²·max|x|).  Output:
+    keys…, n:int64, cusum_max:int64.
+    """
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            out = g[keys].copy()
+            out["n"] = pd.Series(dtype="int64")
+            out["cusum_max"] = pd.Series(dtype="int64")
+            return out
+        u = (
+            g.sort_values(keys + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        v = u[value_col].to_numpy(np.int64)
+        kch = u[keys].ne(u[keys].shift()).any(axis=1).to_numpy()
+        gid = np.cumsum(kch) - 1
+        csum = np.cumsum(v)
+        # rebase the global cumsum so each key starts at its own x_0
+        first_idx = np.flatnonzero(kch)
+        base = np.repeat(csum[first_idx] - v[first_idx],
+                         np.diff(np.append(first_idx, len(v))))
+        cum = csum - base
+        i = np.arange(len(v), dtype=np.int64) - np.repeat(
+            first_idx, np.diff(np.append(first_idx, len(v)))
+        ) + 1
+        sizes = np.diff(np.append(first_idx, len(v))).astype(np.int64)
+        n_rep = np.repeat(sizes, sizes)
+        s_rep = np.repeat(cum[np.append(first_idx[1:], len(v)) - 1], sizes)
+        if (
+            len(v)
+            and int(n_rep.max()) * int(np.abs(cum).max() + 1) < 2 ** 62
+            and int(i.max()) * int(np.abs(s_rep).max() + 1) < 2 ** 62
+        ):
+            dev = np.abs(n_rep * cum - i * s_rep)
+        else:  # exact past int64: object-int lane (same expression)
+            dev = np.abs(
+                n_rep.astype(object) * cum.astype(object)
+                - i.astype(object) * s_rep.astype(object)
+            )
+        res = pd.DataFrame({k: u[k] for k in keys})
+        res["_gid"] = gid
+        res["_dev"] = dev
+        out = (
+            res.groupby(keys + ["_gid"], sort=False, observed=True)["_dev"]
+            .max()
+            .reset_index()
+            .drop(columns="_gid")
+            .rename(columns={"_dev": "cusum_max"})
+        )
+        out["n"] = sizes.astype("int64")
+        out["cusum_max"] = out["cusum_max"].astype("int64")
+        return out[keys + ["n", "cusum_max"]]
+
+    return keyed_partition_apply(ds, keys, kernel, num_buckets, path)
+
+
+def sequence_ngrams(
+    ds,
+    keys: list[str],
+    order_cols: list[str],
+    token_col: str,
+    n: int = 3,
+    num_buckets: int | None = None,
+    path: str = "auto",
+):
+    """Global support counts of ordered per-key token n-grams — the
+    sequence-mining primitive (which event paths actually happen, and
+    how often).  An n-gram is n CONSECUTIVE ``token_col`` values within
+    one key's ``order_cols``-ordered stream.
+
+    One keyed co-location emits per-bucket LOCAL (t1…tn, support)
+    counts (the combiner: n-gram instances never leave their bucket
+    unaggregated), then one bounded-key ``grouped_sum`` tree merges
+    buckets.  Output: t1…tn (strings), support:int64.
+    """
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    keys = list(keys)
+    order_cols = list(order_cols)
+    tcols = [f"t{i + 1}" for i in range(n)]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = (
+            g.sort_values(keys + order_cols, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        if len(u) < n:
+            return pd.DataFrame(
+                {**{c: pd.Series(dtype="object") for c in tcols},
+                 "support": pd.Series(dtype="int64")}
+            )
+        ks = u[keys]
+        toks = u[token_col].astype(object).to_numpy()
+        same = np.ones(len(u), dtype=bool)
+        cols = {}
+        for j in range(n):
+            if j:
+                same &= ~ks.ne(ks.shift(-j)).any(axis=1).to_numpy()
+            cols[tcols[j]] = np.roll(toks, -j)
+        df = pd.DataFrame(cols)[same]
+        out = (
+            df.groupby(tcols, sort=False, observed=True)
+            .size()
+            .reset_index(name="support")
+        )
+        out["support"] = out["support"].astype("int64")
+        return out
+
+    local = keyed_partition_apply(ds, keys, kernel, num_buckets, path)
+    return grouped_sum(local, tcols, ["support"])

@@ -3594,3 +3594,94 @@ def test_ks_disjoint_samples_hit_dmax(tmp_path):
     r = QUERIES["events_ks_statistic"](str(tmp_path)).iloc[0]
     assert (r["n_a"], r["n_b"]) == (3, 3)
     assert r["d_num"] == r["n_a"] * r["n_b"]
+
+
+def test_lagged_pairs():
+    from nerpii_ray.stages.window import lagged_pairs
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 2, 2, 3],
+            "o": [10, 20, 30, 5, 6, 1],
+            "x": [7, 9, 11, 100, 200, 5],
+        }
+    ).astype("int64")
+    out = (
+        lagged_pairs(rd.from_pandas(df), ["u"], ["o"], "x", lag=1)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    # pairs never bridge users; singletons emit nothing
+    assert list(map(tuple, out[["a", "b"]].to_numpy())) == [
+        (7, 9), (9, 11), (100, 200),
+    ]
+    # lag=2 within u1 only
+    out2 = (
+        lagged_pairs(rd.from_pandas(df), ["u"], ["o"], "x", lag=2)
+        .to_pandas()
+    )
+    assert list(map(tuple, out2[["a", "b"]].to_numpy())) == [(7, 11)]
+
+
+def test_cusum_max():
+    from nerpii_ray.stages.window import cusum_max
+
+    # u1 constant series -> deviation 0; u2 level shift -> big score
+    df = pd.DataFrame(
+        {
+            "u": [1] * 4 + [2] * 6,
+            "o": list(range(4)) + list(range(6)),
+            "x": [5, 5, 5, 5] + [0, 0, 0, 10, 10, 10],
+        }
+    ).astype("int64")
+    out = (
+        cusum_max(rd.from_pandas(df), ["u"], ["o"], "x")
+        .to_pandas().sort_values("u").reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [4, 6]
+    assert out["cusum_max"].tolist()[0] == 0
+    # u2: S=30, n=6; at i=3 cum=0 -> |6*0 - 3*30| = 90 (the max)
+    assert out["cusum_max"].tolist()[1] == 90
+
+    # brute-force parity on a pseudo-random series
+    rng = np.random.RandomState(7)
+    xs = rng.randint(-50, 50, size=37)
+    df2 = pd.DataFrame(
+        {"u": np.int64(9), "o": np.arange(37), "x": xs}
+    ).astype("int64")
+    out2 = cusum_max(rd.from_pandas(df2), ["u"], ["o"], "x").to_pandas()
+    n, s = 37, int(xs.sum())
+    want = max(
+        abs(n * int(xs[: i + 1].sum()) - (i + 1) * s) for i in range(n)
+    )
+    assert out2["cusum_max"].tolist() == [want]
+
+
+def test_sequence_ngrams():
+    from nerpii_ray.stages.window import sequence_ngrams
+
+    df = pd.DataFrame(
+        {
+            "u": [1, 1, 1, 1, 2, 2, 2, 3],
+            "o": [1, 2, 3, 4, 1, 2, 3, 1],
+            "t": ["a", "b", "a", "b", "a", "b", "a", "a"],
+        }
+    )
+    df["u"] = df["u"].astype("int64")
+    df["o"] = df["o"].astype("int64")
+    out = (
+        sequence_ngrams(rd.from_pandas(df), ["u"], ["o"], "t", n=3)
+        .to_pandas().sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+    )
+    # u1: aba, bab; u2: aba; u3 too short -> aba:2, bab:1
+    assert list(map(tuple, out.to_numpy())) == [
+        ("a", "b", "a", 2), ("b", "a", "b", 1),
+    ]
+
+    # bigrams across the same fixture
+    out2 = (
+        sequence_ngrams(rd.from_pandas(df), ["u"], ["o"], "t", n=2)
+        .to_pandas().sort_values(["t1", "t2"]).reset_index(drop=True)
+    )
+    assert list(map(tuple, out2.to_numpy())) == [
+        ("a", "b", 3), ("b", "a", 2),
+    ]
