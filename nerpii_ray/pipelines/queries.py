@@ -12667,6 +12667,361 @@ def events_type_trigrams(sf_dir: str):
     return top[["t1", "t2", "t3", "support"]]
 
 
+@register(
+    "orders_exists_returns",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def orders_exists_returns(sf_dir: str):
+    """TPC-H Q4 shape — EXISTS decorrelated as a semi-join: count
+    orders per priority that have at least one returned lineitem.  The
+    returned order keys fold into a bloom bitmap inside the lineitem
+    scan (``bloom_semi_join``: negatives drop batch-locally, positives
+    verify exactly), then a bounded-key count tree — the probe table
+    never rides a shuffle."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import bloom_semi_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    returned = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "o_orderkey": b.loc[
+                    b["l_returnflag"] == "R", "l_orderkey"
+                ].astype("int64")
+            }
+        ),
+        batch_format="pandas",
+    )
+    semi = bloom_semi_join(orders, returned, on="o_orderkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"o_orderpriority": b["o_orderpriority"]})
+        out["order_count"] = np.int64(1)
+        return (
+            out.groupby("o_orderpriority", sort=False)["order_count"]
+            .sum().reset_index()
+        )
+
+    return grouped_sum(
+        semi, ["o_orderpriority"], ["order_count"], partial_fn=partial
+    )
+
+
+@register(
+    "part_below_avg_qty_revenue",
+    """
+    WITH l AS (
+      SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ), a AS (
+      SELECT l_partkey, COUNT(*)::BIGINT AS n, SUM(q)::BIGINT AS sq
+      FROM l GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM l JOIN a USING (l_partkey)
+    WHERE 5 * q * n < sq
+    """,
+)
+def part_below_avg_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — the correlated-average filter (revenue from
+    lineitems with quantity below 20% of their part's average),
+    decorrelated as aggregate-then-join-back: per-part (n, Σq) through
+    one grouped-sum tree, re-joined to the fact table on a partkey
+    exchange, and the threshold kept EXACT by cross-multiplying
+    (q < 0.2·Σq/n ⟺ 5·q·n < Σq — no float average anywhere)."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    def to_ints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_partkey": b["l_partkey"].astype("int64"),
+                "q": b["l_quantity"].astype("int64"),
+                "cents": np.round(
+                    b["l_extendedprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(to_ints, batch_format="pandas")
+
+    def stats_partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"l_partkey": b["l_partkey"], "n": np.int64(1), "sq": b["q"]}
+        )
+        return df.groupby("l_partkey", sort=False).sum().reset_index()
+
+    per_part = grouped_sum(
+        li, ["l_partkey"], ["n", "sq"], partial_fn=stats_partial
+    )
+    joined = partitioned_hash_join(
+        li, per_part, on=["l_partkey"], path="exchange"
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = 5 * b["q"].to_numpy(np.int64) * b["n"].to_numpy(np.int64) \
+            < b["sq"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_items": pd.Series([int(keep.sum())], dtype=object),
+                "revenue_cents": pd.Series(
+                    [int(b["cents"].to_numpy(np.int64)[keep].sum())],
+                    dtype=object,
+                ),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {
+                "n_items": pd.Series(
+                    [sum(int(x) for x in df["n_items"])], dtype=object
+                ),
+                "revenue_cents": pd.Series(
+                    [sum(int(x) for x in df["revenue_cents"])], dtype=object
+                ),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_items": df["n_items"].astype("int64"),
+                "revenue_cents": df["revenue_cents"].astype("int64"),
+            }
+        )
+
+    return tree_aggregate(
+        joined.map_batches(partial, batch_format="pandas"),
+        lambda b: b, merge, final_fn=finish,
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    WITH t AS (
+      SELECT COUNT(*)::HUGEINT AS n,
+             SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))::HUGEINT AS s
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           COUNT(*)::BIGINT AS numcust,
+           SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))::BIGINT
+             AS totacctbal_cents
+    FROM customer c, t
+    WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * t.n > t.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape — customers with above-average balance and no
+    FINALIZED (status 'F') orders, by nation — dormant high-value
+    accounts.  Three scale-safe pieces composed: the global
+    average is two exact integers off one tree (the filter
+    cross-multiplies cents·n > Σ — no float mean), the NOT EXISTS is
+    the ``bloom_anti_join`` (negatives stream through, positives
+    anti-verify on one keyed exchange — no exact key-set broadcast),
+    and the nation rollup is a bounded-key count tree."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+    from nerpii_ray.stages.joins import bloom_anti_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def stat_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(b["c_acctbal"].to_numpy() * 100).astype("int64")
+        pos = cents[cents > 0]
+        return pd.DataFrame(
+            {
+                "n": pd.Series([len(pos)], dtype=object),
+                "s": pd.Series([int(pos.sum())], dtype=object),
+            }
+        )
+
+    def stat_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return pd.DataFrame(
+            {
+                "n": pd.Series([sum(int(x) for x in df["n"])], dtype=object),
+                "s": pd.Series([sum(int(x) for x in df["s"])], dtype=object),
+            }
+        )
+
+    stats = tree_aggregate(
+        cust.map_batches(stat_partial, batch_format="pandas"),
+        lambda b: b, stat_merge,
+    ).to_pandas()
+    n_pos, s_pos = int(stats["n"][0]), int(stats["s"][0])
+
+    rich = cust.map_batches(
+        lambda b, n=n_pos, s=s_pos: (
+            lambda cents: pd.DataFrame(
+                {
+                    "c_custkey": b["c_custkey"].to_numpy(np.int64)[
+                        cents * n > s
+                    ],
+                    "c_nationkey": b["c_nationkey"].to_numpy(np.int64)[
+                        cents * n > s
+                    ],
+                    "cents": cents[cents * n > s],
+                }
+            )
+        )(np.round(b["c_acctbal"].to_numpy() * 100).astype("int64")),
+        batch_format="pandas",
+    )
+    ordered = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "c_custkey": b.loc[
+                    b["o_orderstatus"] == "F", "o_custkey"
+                ].astype("int64")
+            }
+        ),
+        batch_format="pandas",
+    )
+    idle = bloom_anti_join(rich, ordered, on="c_custkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_nationkey": b["c_nationkey"].astype("int64"),
+                "numcust": np.int64(1),
+                "totacctbal_cents": b["cents"].astype("int64"),
+            }
+        )
+        return df.groupby("c_nationkey", sort=False).sum().reset_index()
+
+    out = grouped_sum(
+        idle, ["c_nationkey"], ["numcust", "totacctbal_cents"],
+        partial_fn=partial,
+    ).to_pandas()
+    if out.empty:
+        out = pd.DataFrame(
+            {
+                "c_nationkey": pd.Series(dtype="int64"),
+                "numcust": pd.Series(dtype="int64"),
+                "totacctbal_cents": pd.Series(dtype="int64"),
+            }
+        )
+    return out
+
+
+@register(
+    "promo_share_monthly",
+    """
+    WITH l AS (
+      SELECT date_trunc('month', l_shipdate) AS month,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+               AS micents,
+             p_type = 'PROMO' AS is_promo
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT month,
+           CAST(COALESCE(SUM(CASE WHEN is_promo THEN micents END), 0)
+                AS BIGINT) AS promo_micents,
+           CAST(SUM(micents) AS BIGINT) AS total_micents,
+           CAST((1000000 * COALESCE(
+                   SUM(CASE WHEN is_promo THEN micents END), 0)::HUGEINT)
+                 // SUM(micents)::HUGEINT AS BIGINT) AS promo_share_ppm
+    FROM l GROUP BY month
+    """,
+)
+def promo_share_monthly(sf_dir: str):
+    """TPC-H Q14 shape — monthly promo revenue share.  The promo
+    partkeys are a DIMENSION-filtered candidate set broadcast once
+    (the Q19 discipline: the filter runs distributed, only matching
+    keys reach the driver), each lineitem batch resolves membership
+    inside the scan — no join shuffle; revenue stays exact integer
+    micents and the share is integer ppm by floor division, so the
+    twin hashes bit-stable."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.dedup import _FetchedBroadcast
+    from nerpii_ray.stages.taskcache import worker_cached
+    import ray as _ray
+
+    promo = (
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "p_partkey": b.loc[
+                        b["p_type"] == "PROMO", "p_partkey"
+                    ].astype("int64")
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    promo_ref = _ray.put(frozenset(promo["p_partkey"].tolist()))
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pd.DataFrame, *, keys=promo_ref) -> pd.DataFrame:
+        pset = worker_cached(_FetchedBroadcast, ref=keys).value
+        month = b["l_shipdate"].dt.to_period("M").dt.to_timestamp()
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype(
+            "int64"
+        )
+        disc = np.round(b["l_discount"].to_numpy() * 100).astype("int64")
+        mic = cents * (100 - disc)
+        is_promo = (
+            b["l_partkey"].astype("int64").isin(pset).to_numpy()
+        )
+        df = pd.DataFrame(
+            {
+                "month": month,
+                "promo_micents": np.where(is_promo, mic, 0),
+                "total_micents": mic,
+            }
+        )
+        return df.groupby("month", sort=False).sum().reset_index()
+
+    g = grouped_sum(
+        ds, ["month"], ["promo_micents", "total_micents"],
+        partial_fn=partial,
+    ).to_pandas()
+    g["promo_share_ppm"] = [
+        (1_000_000 * int(p)) // int(t)
+        for p, t in zip(g["promo_micents"], g["total_micents"])
+    ]
+    g = g.astype(
+        {
+            "promo_micents": "int64",
+            "total_micents": "int64",
+            "promo_share_ppm": "int64",
+        }
+    )
+    return g[["month", "promo_micents", "total_micents", "promo_share_ppm"]]
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
