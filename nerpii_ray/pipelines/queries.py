@@ -13022,6 +13022,154 @@ def promo_share_monthly(sf_dir: str):
     return g[["month", "promo_micents", "total_micents", "promo_share_ppm"]]
 
 
+@register(
+    "events_user_cms",
+    """
+    WITH lanes AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(lane)),
+    h AS (
+      SELECT lane,
+             ('0x' || substr(md5(CAST(lane AS VARCHAR) || ':'
+                                 || CAST(user_id AS VARCHAR)), 1, 16)
+             )::UBIGINT % 64 AS bucket
+      FROM events, lanes
+    )
+    SELECT CAST(lane AS BIGINT) AS lane, CAST(bucket AS BIGINT) AS bucket,
+           COUNT(*)::BIGINT AS cnt
+    FROM h GROUP BY lane, bucket
+    """,
+)
+def events_user_cms(sf_dir: str):
+    """Count-Min sketch of per-user event frequency
+    (``agg.cms_registers``): 4 md5-salted lanes × 64 counters, merged
+    as plain bounded-key sums — the mergeable constant-memory
+    frequency sketch (point estimate = min over lanes, never an
+    undercount).  Like the HLL twin, the registered output IS the
+    sketch, so the md5-replaying SQL check is hash-exact while
+    ``cms_estimate`` accuracy is pytest-pinned."""
+    from nerpii_ray.stages.agg import cms_registers
+
+    return cms_registers(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
+@register(
+    "nation_target_encoding",
+    """
+    WITH oc AS (
+      SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), t AS (
+      SELECT COUNT(*)::HUGEINT AS nn, SUM(cents)::HUGEINT AS tt FROM oc
+    )
+    SELECT nation, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sum_cents,
+           CAST((1000 * (t.nn * SUM(cents)::HUGEINT + 100 * t.tt))
+                // (t.nn * (COUNT(*)::HUGEINT + 100)) AS BIGINT)
+             AS enc_millicents
+    FROM oc, t GROUP BY nation, t.nn, t.tt
+    """,
+)
+def nation_target_encoding(sf_dir: str):
+    """Smoothed target encoding (the categorical-feature ML transform):
+    per customer-nation mean order value shrunk toward the global mean
+    with prior weight m=100 — enc = (Σy_g + m·ȳ)/(n_g + m), kept EXACT
+    by clearing denominators: (N·Σy_g + m·T)·1000 // (N·(n_g+m)) in
+    integer millicents.  Plan: customer dimension broadcast into the
+    orders scan (no shuffle), one bounded-key sum tree, driver
+    arithmetic on nation-count rows."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import broadcast_join
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    cust["o_custkey"] = cust["o_custkey"].astype("int64")
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "nation": b["c_nationkey"].astype("int64"),
+                "n": np.int64(1),
+                "sum_cents": np.round(
+                    b["o_totalprice"].to_numpy() * 100
+                ).astype("int64"),
+            }
+        )
+        return df.groupby("nation", sort=False).sum().reset_index()
+
+    g = grouped_sum(
+        joined, ["nation"], ["n", "sum_cents"], partial_fn=partial
+    ).to_pandas()
+    nn = int(g["n"].sum())
+    tt = int(g["sum_cents"].astype(object).sum())
+    g["enc_millicents"] = [
+        (1000 * (nn * int(s) + 100 * tt)) // (nn * (int(n) + 100))
+        for n, s in zip(g["n"], g["sum_cents"])
+    ]
+    return g.astype(
+        {
+            "nation": "int64", "n": "int64", "sum_cents": "int64",
+            "enc_millicents": "int64",
+        }
+    )[["nation", "n", "sum_cents", "enc_millicents"]]
+
+
+ORACLE_SQL["doc_hits"] = f"""
+    WITH e AS (
+      SELECT DISTINCT
+          substr(md5('SOURCE:' || source), 1, 16) AS src,
+          substr(md5(entity || ':' || lower(surface)), 1, 16) AS dst
+      FROM ({_DOC_MENTIONS_SQL_PARTS})
+    ), a1 AS (
+      SELECT dst AS node, COUNT(*)::HUGEINT AS a FROM e GROUP BY dst
+    ), h1 AS (
+      SELECT e.src AS node, SUM(a1.a) AS h
+      FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+    ), a2 AS (
+      SELECT e.dst AS node, SUM(h1.h) AS a
+      FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+    ), h2 AS (
+      SELECT e.src AS node, SUM(a2.a) AS h
+      FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src
+    ), nodes AS (
+      SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+    )
+    SELECT n.node,
+           CAST(COALESCE(a2.a, 0) AS BIGINT) AS authority_fp,
+           CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub_fp
+    FROM nodes n
+    LEFT JOIN a2 ON n.node = a2.node
+    LEFT JOIN h2 ON n.node = h2.node
+    """
+
+
+@register("doc_hits")
+def doc_hits(sf_dir: str):
+    """Two-iteration HITS hubs & authorities (stages/graph.hits_fp)
+    over the document→entity mention graph — sources are hubs, entity
+    surfaces are authorities; exact unnormalized integers (the L2
+    normalization is ranking-invariant and float sums could never
+    hash-match), so the SQL twin replays the mutual-reinforcement
+    recurrence join-for-join.  Complements doc_pagerank: PageRank is
+    random-walk centrality, HITS separates pointers-to-good-content
+    from good content."""
+    from nerpii_ray.stages.agg import tree_dedup
+    from nerpii_ray.stages.graph import hits_fp
+
+    edges = doc_edges(sf_dir)
+
+    def to_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": b["subj_id"], "dst": b["obj_id"]}
+        ).drop_duplicates()
+
+    pairs = tree_dedup(edges, keys=["src", "dst"], partial_fn=to_pairs)
+    return hits_fp(pairs)
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship

@@ -1642,3 +1642,69 @@ def grouped_bitops(
         return _reduce(df)
 
     return tree_aggregate(ds, partial, _reduce, keys=keys)
+
+
+def cms_registers(ds, key_col: str, d: int = 4, w: int = 64, prep_fn=None):
+    """Count-Min sketch registers over ``key_col`` occurrences: ``d``
+    hash lanes × ``w`` counters; register (lane, bucket) sums the rows
+    whose key hashes there under lane's salt.  Point-frequency estimate
+    = min over lanes of the key's register — never an undercount (every
+    occurrence lands in all d registers; collisions only ADD).
+
+    Registers are plain bounded-key SUMS (d·w keys total), so the
+    sketch is mergeable across blocks/clusters through the ordinary
+    grouped-sum tree and the registered output IS the sketch — the SQL
+    twin replays the md5 bucketing exactly and the check is hash-exact
+    even though the estimate is approximate (``cms_estimate`` accuracy
+    is pytest-pinned).  Bucket = first 8 md5 digest bytes of
+    "lane:key", big-endian, mod w — the repo-wide draw idiom.
+
+    Output: lane:int64, bucket:int64, cnt:int64.
+    """
+    from nerpii_ray.functions.textfns import stable_hash64_np
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if prep_fn is not None:
+            b = prep_fn(b)
+        vals = b[key_col].astype(str)
+        frames = []
+        for lane in range(d):
+            bucket = (
+                stable_hash64_np(str(lane) + ":" + vals) % np.uint64(w)
+            ).astype("int64")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "lane": np.int64(lane),
+                        "bucket": bucket,
+                        "cnt": np.int64(1),
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        return df.groupby(["lane", "bucket"], sort=False).sum().reset_index()
+
+    return grouped_sum(ds, ["lane", "bucket"], ["cnt"], partial_fn=partial)
+
+
+def cms_estimate(
+    registers: pd.DataFrame, key, d: int = 4, w: int = 64
+) -> int:
+    """Point-frequency estimate from ``cms_registers`` output: min over
+    lanes of the key's register (missing register → 0)."""
+    from nerpii_ray.functions.textfns import stable_hash64_np
+
+    lut = {
+        (int(l), int(bkt)): int(c)
+        for l, bkt, c in zip(
+            registers["lane"], registers["bucket"], registers["cnt"]
+        )
+    }
+    est = None
+    for lane in range(d):
+        b = int(
+            stable_hash64_np(pd.Series([f"{lane}:{key}"]))[0] % np.uint64(w)
+        )
+        v = lut.get((lane, b), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)

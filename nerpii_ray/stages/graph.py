@@ -788,3 +788,147 @@ def kcore(
             )
         edges = edges.materialize()
     raise RuntimeError(f"kcore: no fixpoint after {max_rounds} rounds")
+
+
+def hits_fp(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    path: str = "auto",
+):
+    """Two-iteration HITS (hubs & authorities, Kleinberg JACM'99) over
+    a directed edge list, in EXACT unnormalized integers — the float
+    L2 normalization of the textbook form is merge-order-dependent and
+    could never hash-match, so the operator is defined as the raw
+    mutual-reinforcement recurrence: a₁ = in-degree, h₁(u) = Σ_{u→v}
+    a₁(v), a₂(v) = Σ_{u→v} h₁(u), h₂(u) = Σ_{u→v} a₂(v).  Rankings are
+    normalization-invariant, and integer growth is bounded by D⁴ for
+    max degree D (int64-safe to D ≈ 46k; past that rescale by the
+    global max between iterations — stated contract, like every keyed
+    op's skew note).
+
+    Physical plan, cardinality-aware like ``pagerank_fp``:
+    * small / auto-under-threshold — ONE task, numpy ``np.add.at``
+      gather-scatter over the codes array;
+    * exchange / auto-past — each half-iteration is one keyed-exchange
+      hash join (scores onto edges) + one combiner-tree grouped sum;
+      nothing driver-sized.
+    Cross-path equality is pinned by pytest.  Returns a Dataset
+    ``(node, authority_fp:int64, hub_fp:int64)`` over ALL nodes
+    (missing side → 0).
+    """
+    from nerpii_ray.stages.agg import (
+        ROOT_THRESHOLD_DEFAULT,
+        grouped_sum,
+        tree_dedup,
+    )
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    e = edges_ds.materialize()
+    if path == "auto":
+        path = "small" if e.count() <= ROOT_THRESHOLD_DEFAULT else "exchange"
+    if path == "small":
+
+        def whole_graph_kernel(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {"node": pd.Series(dtype="object"),
+                     "authority_fp": pd.Series(dtype="int64"),
+                     "hub_fp": pd.Series(dtype="int64")}
+                )
+            src = df[src_col].to_numpy()
+            dst = df[dst_col].to_numpy()
+            nodes, codes = np.unique(
+                np.concatenate([src, dst]), return_inverse=True
+            )
+            s_idx, d_idx = codes[: len(src)], codes[len(src):]
+            n = len(nodes)
+            a1 = np.bincount(d_idx, minlength=n).astype(np.int64)
+            h1 = np.zeros(n, dtype=np.int64)
+            np.add.at(h1, s_idx, a1[d_idx])
+            a2 = np.zeros(n, dtype=np.int64)
+            np.add.at(a2, d_idx, h1[s_idx])
+            h2 = np.zeros(n, dtype=np.int64)
+            np.add.at(h2, s_idx, a2[d_idx])
+            return pd.DataFrame(
+                {"node": nodes, "authority_fp": a2, "hub_fp": h2}
+            )
+
+        return e.repartition(1).map_batches(
+            whole_graph_kernel, batch_format="pandas", batch_size=None
+        )
+    if path != "exchange":
+        raise ValueError(f"hits_fp: unknown path {path!r}")
+
+    pairs = e.map_batches(
+        lambda b: pd.DataFrame({"src": b[src_col], "dst": b[dst_col]}),
+        batch_format="pandas",
+    ).materialize()
+
+    def _score_sum(joined, group_col: str, score_col: str, out_col: str):
+        return grouped_sum(
+            joined.map_batches(
+                lambda b, g=group_col, s=score_col, o=out_col: pd.DataFrame(
+                    {"node": b[g], o: b[s].to_numpy().astype(np.int64)}
+                ),
+                batch_format="pandas",
+            ),
+            ["node"], [out_col],
+        )
+
+    # a1 = in-degree
+    a1 = grouped_sum(
+        pairs.map_batches(
+            lambda b: pd.DataFrame({"node": b["dst"], "a": 1}),
+            batch_format="pandas",
+        ),
+        ["node"], ["a"],
+    )
+    # h1(u) = sum of a1 over u's out-neighbors: join scores onto dst
+    j = partitioned_hash_join(
+        pairs, a1.map_batches(
+            lambda b: pd.DataFrame({"dst": b["node"], "a": b["a"]}),
+            batch_format="pandas"),
+        on=["dst"], path=path,
+    )
+    h1 = _score_sum(j, "src", "a", "h")
+    # a2(v) = sum of h1 over v's in-neighbors: join scores onto src
+    j = partitioned_hash_join(
+        pairs, h1.map_batches(
+            lambda b: pd.DataFrame({"src": b["node"], "h": b["h"]}),
+            batch_format="pandas"),
+        on=["src"], path=path,
+    )
+    a2 = _score_sum(j, "dst", "h", "a2")
+    # h2(u) = sum of a2 over u's out-neighbors
+    j = partitioned_hash_join(
+        pairs, a2.map_batches(
+            lambda b: pd.DataFrame({"dst": b["node"], "a2": b["a2"]}),
+            batch_format="pandas"),
+        on=["dst"], path=path,
+    )
+    h2 = _score_sum(j, "src", "a2", "h2")
+
+    nodes = tree_dedup(
+        pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": np.concatenate(
+                    [b["src"].to_numpy(), b["dst"].to_numpy()]
+                )}
+            ),
+            batch_format="pandas",
+        ),
+        keys=["node"],
+    )
+    out = partitioned_hash_join(nodes, a2, on=["node"], how="left", path=path)
+    out = partitioned_hash_join(out, h2, on=["node"], how="left", path=path)
+    return out.map_batches(
+        lambda b: pd.DataFrame(
+            {
+                "node": b["node"],
+                "authority_fp": b["a2"].fillna(0).astype("int64"),
+                "hub_fp": b["h2"].fillna(0).astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -3685,3 +3685,45 @@ def test_sequence_ngrams():
     assert list(map(tuple, out2.to_numpy())) == [
         ("a", "b", 3), ("b", "a", 2),
     ]
+
+
+def test_hits_fp_paths_and_values():
+    from nerpii_ray.stages.graph import hits_fp
+
+    # tiny directed graph: 1->3, 2->3, 3->4 (3 is the authority for
+    # {1,2}, and also the best hub via 4)
+    e = pd.DataFrame({"src": ["1", "2", "3"], "dst": ["3", "3", "4"]})
+    small = (
+        hits_fp(rd.from_pandas(e), path="small")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    # a1 = indeg: 3->2, 4->1; h1(u)=sum a1 over outs: 1->2, 2->2, 3->1
+    # a2(v)=sum h1 over ins: 3->4, 4->1; h2(u)=sum a2 over outs:
+    # 1->4, 2->4, 3->1
+    assert small["node"].tolist() == ["1", "2", "3", "4"]
+    assert small["authority_fp"].tolist() == [0, 0, 4, 1]
+    assert small["hub_fp"].tolist() == [4, 4, 1, 0]
+
+    ex = (
+        hits_fp(rd.from_pandas(e), path="exchange")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, ex)
+
+
+def test_cms_registers_estimate():
+    from nerpii_ray.stages.agg import cms_estimate, cms_registers
+
+    rng = np.random.RandomState(11)
+    keys = rng.zipf(1.7, size=2000) % 97
+    df = pd.DataFrame({"k": keys.astype("int64")})
+    regs = cms_registers(rd.from_pandas(df), "k").to_pandas()
+    # each lane's registers partition all occurrences
+    per_lane = regs.groupby("lane")["cnt"].sum()
+    assert (per_lane == len(df)).all()
+    # CMS never undercounts; on this small domain the top key is exact
+    # or near-exact
+    true = pd.Series(keys).value_counts()
+    for k in true.index[:5]:
+        est = cms_estimate(regs, int(k))
+        assert est >= true[k]
