@@ -152,3 +152,33 @@ def hash_split_labels(
         lo, cum = cum, cum + int(round(frac * 1_000_000))
         labels[(draws >= lo) & (draws < cum)] = label
     return pd.Series(labels, index=values.index, dtype="object")
+
+
+_PHONETIC_TRANS = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"
+)
+
+
+def phonetic4(values: "pd.Series") -> "pd.Series":
+    """Soundex-style 4-char phonetic code: first letter + the first 3
+    consonant-class digits of the rest, adjacent equal digits collapsed
+    BEFORE vowel removal, padded with '0'.  Variant note (stated, both
+    sides replay it identically): H/W act as separators like vowels —
+    classic American Soundex collapses same-code letters through H/W;
+    this code does not.  Tokens are truncated to 40 chars so the SQL
+    twin's 6-application pairwise replace chain provably reaches the
+    fixed point (a run of length L collapses in ⌈log2 L⌉ passes).
+
+    Deterministic and pure — the fuzzy-blocking key for entity
+    resolution (group candidate names/tokens by code, verify inside
+    blocks)."""
+    import re as _re
+
+    def code(t: str) -> str:
+        t = t.upper()[:40]
+        d = t.translate(_PHONETIC_TRANS)
+        d = _re.sub(r"(.)\1+", r"\1", d)
+        tail = d[1:].replace("0", "")
+        return t[0] + (tail + "000")[:3]
+
+    return values.map(code)

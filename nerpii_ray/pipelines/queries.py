@@ -13170,6 +13170,221 @@ def doc_hits(sf_dir: str):
     return hits_fp(pairs)
 
 
+@register(
+    "events_value_interp",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), b AS (
+      SELECT v.event_id, v.user_id, v.ts, p.ts AS tp, p.cents AS pc
+      FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts > p.ts
+    ), f AS (
+      SELECT b.event_id, b.ts, b.tp, b.pc, p.ts AS tn, p.cents AS nc
+      FROM b ASOF LEFT JOIN p ON b.user_id = p.user_id AND b.ts < p.ts
+    )
+    SELECT event_id,
+           CAST((pc::HUGEINT * (epoch_us(tn) - epoch_us(ts))
+                 + nc::HUGEINT * (epoch_us(ts) - epoch_us(tp)))
+                // (epoch_us(tn) - epoch_us(tp)) AS BIGINT)
+             AS interp_cents
+    FROM f WHERE tp IS NOT NULL AND tn IS NOT NULL
+    """,
+)
+def events_value_interp(sf_dir: str):
+    """Linear interpolation between bracketing observations — the
+    time-series ALIGNMENT op (resample a sparse signal onto another
+    stream's timestamps): each view event takes the purchase value
+    linearly interpolated between its user's strictly-prior and
+    strictly-next purchase.  Two as-of joins off the shared co-location
+    machinery (backward + forward), and the interpolation is EXACT
+    integer arithmetic — (pc·(tn−ts) + nc·(ts−tp)) // (tn−tp), all
+    terms nonnegative so truncation is floor on both sides."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import asof_join
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    ).map_batches(
+        lambda b: b.assign(
+            ts=b["ts"].astype("datetime64[us]").astype("int64")
+        ),
+        batch_format="pandas",
+    )
+
+    views = ev.map_batches(
+        lambda b: b.loc[
+            b["event_type"] == "view", ["event_id", "user_id", "ts"]
+        ],
+        batch_format="pandas",
+    )
+
+    def purchase_partial(b: pd.DataFrame) -> pd.DataFrame:
+        p = b[b["event_type"] == "purchase"]
+        df = pd.DataFrame(
+            {
+                "user_id": p["user_id"].astype("int64"),
+                "ts": p["ts"],
+                "cents": np.round(p["value"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+        return _max_by_user_ts(df)
+
+    purchases = tree_aggregate(
+        ev, purchase_partial, _max_by_user_ts, keys=["user_id", "ts"]
+    )
+    # merge_asof keeps only the left's ts, so each side carries an
+    # explicit copy of its own timestamp (tp / tn) as payload
+    prev_side = purchases.map_batches(
+        lambda b: pd.DataFrame(
+            {"user_id": b["user_id"], "ts": b["ts"], "tp": b["ts"],
+             "pc": b["cents"]}
+        ),
+        batch_format="pandas",
+    )
+    next_side = purchases.map_batches(
+        lambda b: pd.DataFrame(
+            {"user_id": b["user_id"], "ts": b["ts"], "tn": b["ts"],
+             "nc": b["cents"]}
+        ),
+        batch_format="pandas",
+    )
+    back = asof_join(
+        views, prev_side, key="user_id", ts="ts", strict=True,
+        path="exchange",
+    )
+    both = asof_join(
+        back, next_side, key="user_id", ts="ts", strict=True,
+        direction="forward", path="exchange",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["tp"].notna().to_numpy() & b["tn"].notna().to_numpy()
+        d = b[keep]
+        ts = d["ts"].to_numpy(np.int64)
+        tp = d["tp"].to_numpy("float64").astype(np.int64)
+        tn = d["tn"].to_numpy("float64").astype(np.int64)
+        pc = d["pc"].to_numpy("float64").astype(np.int64)
+        nc = d["nc"].to_numpy("float64").astype(np.int64)
+        # pc·Δt ≤ 1e5 cents × ~3e13 µs ≈ 3e18 < 2^63; both terms nonneg
+        interp = (pc * (tn - ts) + nc * (ts - tp)) // (tn - tp)
+        return pd.DataFrame(
+            {
+                "event_id": d["event_id"].astype("int64"),
+                "interp_cents": interp.astype("int64"),
+            }
+        )
+
+    return both.map_batches(finish, batch_format="pandas")
+
+
+def _collapse_sql(expr: str, times: int = 6) -> str:
+    """Pairwise adjacent-duplicate collapse for digit strings in SQL:
+    one application halves every run; ``times`` applications reach the
+    fixed point for runs ≤ 2^times (tokens are truncated to 40 chars
+    upstream, so 6 suffices provably)."""
+    for _ in range(times):
+        for dd in ["00", "11", "22", "33", "44", "55", "66"]:
+            expr = f"replace({expr}, '{dd}', '{dd[0]}')"
+    return expr
+
+
+def kg_person_phonetic_sql_for(sf: float) -> str:
+    """SQL twin over the mention side-parquet written by
+    ``_write_kg_mentions`` (same discipline as kg_edges_sql_for):
+    distinct PERSON surface tokens, phonetic4 replayed via translate +
+    a provably-fixed-point pairwise replace chain."""
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT substr(tok, 1, 40) AS t
+      FROM (
+        SELECT unnest(regexp_extract_all(lower(coalesce(norm_surface, '')),
+                                         '[a-z]{{2,}}')) AS tok
+        FROM '{men}' WHERE entity = 'PERSON'
+      )
+    ), coded AS (
+      SELECT t,
+             substr(upper(t), 1, 1)
+               || substr(
+                    replace(substr(
+                      {_collapse_sql("translate(upper(t), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230120022455012623010202')")},
+                      2, 40), '0', '') || '000',
+                    1, 3) AS code
+      FROM toks
+    )
+    SELECT code, COUNT(*)::BIGINT AS n_tokens, MIN(t) AS sample_token
+    FROM coded GROUP BY code HAVING COUNT(*) >= 2
+    """
+
+
+@register("kg_person_phonetic_blocks", kg_person_phonetic_sql_for(0.01))
+def kg_person_phonetic_blocks(sf_dir: str):
+    """Phonetic blocking for fuzzy entity resolution
+    (functions/textfns.phonetic4): the KG's PERSON surface vocabulary
+    grouped by a Soundex-style 4-char code; blocks with ≥2 distinct
+    tokens are the candidate sets a phonetic fuzzy-join would verify
+    pairwise — complementing the edit-distance blocking of
+    ``customer_name_ed1_pairs`` with sound-alike recall.  One pass over
+    the mention table to the distinct name vocabulary (dedup tree), the
+    code is a pure per-token kernel, counts are a bounded-key tree; the
+    SQL twin replays the code over the mention side-parquet via
+    translate + a provably-fixed-point pairwise replace chain."""
+    from nerpii_ray.functions.textfns import phonetic4
+    from nerpii_ray.stages.agg import tree_aggregate, tree_dedup
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    tok = re.compile(r"[a-z]{2,}")
+
+    def to_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        toks = set()
+        sel = b.loc[
+            b["node_id"].notna() & (b["entity"].astype(str) == "PERSON"),
+            "norm_surface",
+        ]
+        for t in sel:
+            if t:
+                toks.update(tok.findall(t.lower()))
+        return pd.DataFrame({"t": sorted(w[:40] for w in toks)})
+
+    vocab = tree_dedup(
+        _kg_results(sf)["mentions"].map_batches(
+            to_tokens, batch_format="pandas"
+        ),
+        keys=["t"],
+    )
+    coded = vocab.map_batches(
+        lambda b: pd.DataFrame({"t": b["t"], "code": phonetic4(b["t"])}),
+        batch_format="pandas",
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("code", sort=False, observed=True)
+            .agg(
+                n_tokens=("n_tokens", "sum")
+                if "n_tokens" in df.columns
+                else ("t", "size"),
+                sample_token=(
+                    "sample_token" if "sample_token" in df.columns else "t",
+                    "min",
+                ),
+            )
+            .reset_index()
+        )
+
+    blocks = tree_aggregate(coded, agg, agg).to_pandas()
+    blocks = blocks[blocks["n_tokens"] >= 2].reset_index(drop=True)
+    blocks["n_tokens"] = blocks["n_tokens"].astype("int64")
+    return blocks[["code", "n_tokens", "sample_token"]]
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship

@@ -173,3 +173,23 @@ def test_hash_split_labels():
     # different salt reshuffles
     s3 = hash_split_labels(keys, [("test", 0.1), ("val", 0.1), ("train", None)], salt="other")
     assert (s3 != s).any()
+
+
+def test_phonetic4():
+    import pandas as pd
+    from nerpii_ray.functions.textfns import phonetic4
+
+    out = phonetic4(pd.Series(
+        ["robert", "rupert", "smith", "smyth", "ashcraft", "tymczak", "pfister", "a"]
+    ))
+    # robert/rupert and smith/smyth must block together
+    assert out[0] == out[1] == "R163"
+    assert out[2] == out[3] == "S530"
+    # H/W-as-separator variant (documented): ashcraft -> A226 (not A261)
+    assert out[4] == "A226"
+    assert out[6][0] == "P"
+    # short token pads with zeros
+    assert out[7] == "A000"
+    # collapse happens before vowel removal: 'tymczak' -> T522 under this
+    # variant (z,k same class collapse; y drops after)
+    assert out[5] == "T522"
