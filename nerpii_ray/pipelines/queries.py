@@ -13385,6 +13385,179 @@ def kg_person_phonetic_blocks(sf_dir: str):
     return blocks[["code", "n_tokens", "sample_token"]]
 
 
+# =====================================================================
+# Transcript-native curation operators (the graft payload is multi-turn
+# conversation transcripts — these run over the deterministic synthetic
+# turns table (conv_id, turn_idx, role, text, tool, ts) itself, not a
+# derived corpus): per-conversation profiling, role-transition structure
+# under the stable (conv_id, turn_idx) ordering invariant, and exact
+# turn-level dedup across conversations.
+# =====================================================================
+
+
+def _turns_ds(sf_dir: str, columns=None):
+    from nerpii_ray.testgen import transcripts_for_sf
+
+    return rd.read_parquet(transcripts_for_sf(_sf_of(sf_dir)), columns=columns)
+
+
+def _transcript_turn_stats_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    SELECT conv_id,
+           COUNT(*)::BIGINT AS n_turns,
+           COUNT(DISTINCT role)::BIGINT AS n_roles,
+           SUM(CASE WHEN tool IS NOT NULL AND tool <> 'none'
+                    THEN 1 ELSE 0 END)::BIGINT AS n_tool_turns,
+           SUM(length(coalesce(text, '')))::BIGINT AS total_chars
+    FROM '{turns}' GROUP BY conv_id
+    """
+
+
+@register("transcript_turn_stats", _transcript_turn_stats_sql(0.01))
+def transcript_turn_stats(sf_dir: str):
+    """Per-conversation profile over the raw transcript stream: turn
+    count, distinct-role count, tool-bearing-turn count, total text
+    chars — the first-pass curation census a transcript training set
+    needs (drop single-turn convs, cap runaway tool loops).  One keyed
+    co-location on conv_id; the in-bucket kernel is a pandas groupby
+    agg, so raw turns are shuffled exactly once and the output is
+    conversation-sized."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _turns_ds(sf_dir, ["conv_id", "role", "text", "tool"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tool = g["tool"]
+        g = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "role": g["role"].to_numpy(),
+                "is_tool": (tool.notna() & (tool != "none")).to_numpy(np.int64),
+                "chars": g["text"].fillna("").str.len().to_numpy(np.int64),
+            }
+        )
+        gb = g.groupby("conv_id", sort=False, observed=True)
+        out = gb.agg(
+            n_turns=("role", "size"),
+            n_roles=("role", "nunique"),
+            n_tool_turns=("is_tool", "sum"),
+            total_chars=("chars", "sum"),
+        ).reset_index()
+        for c in ("n_turns", "n_roles", "n_tool_turns", "total_chars"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    return keyed_partition_apply(ds, ["conv_id"], kernel)
+
+
+def _transcript_role_bigrams_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH s AS (
+      SELECT role,
+             lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS next_role
+      FROM '{turns}'
+    )
+    SELECT role, next_role, COUNT(*)::BIGINT AS n
+    FROM s WHERE next_role IS NOT NULL
+    GROUP BY role, next_role
+    """
+
+
+@register("transcript_role_bigrams", _transcript_role_bigrams_sql(0.01))
+def transcript_role_bigrams(sf_dir: str):
+    """Role-transition counts (user→assistant, assistant→tool, ...)
+    across consecutive turns under the stable (conv_id, turn_idx)
+    ordering — the structural audit that catches malformed agent
+    transcripts (assistant→assistant runs, tool turns with no caller).
+    Same plan shape as ``events_transitions``: one co-location per
+    conv_id, in-bucket sort + grouped shift(-1), bounded-key partials
+    (≤ |roles|² rows per bucket), one non-keyed sum tree."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nxt = g.groupby("conv_id", sort=False)["role"].shift(-1)
+        out = pd.DataFrame(
+            {"role": g["role"].to_numpy(), "next_role": nxt.to_numpy()}
+        )
+        out = out[out["next_role"].notna()]
+        out["n"] = np.int64(1)
+        return (
+            out.groupby(["role", "next_role"], sort=False, observed=True)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(ds, ["conv_id"], kernel)
+    return grouped_sum(partials, ["role", "next_role"], ["n"], adaptive=False)
+
+
+def _transcript_turn_dedup_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH t AS (
+      SELECT md5(coalesce(text, '')) AS content_key,
+             conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 6, '0') AS pos
+      FROM '{turns}'
+    )
+    SELECT content_key, COUNT(*)::BIGINT AS n_dups, MIN(pos) AS keeper
+    FROM t GROUP BY content_key HAVING COUNT(*) > 1
+    """
+
+
+@register("transcript_turn_dedup", _transcript_turn_dedup_sql(0.01))
+def transcript_turn_dedup(sf_dir: str):
+    """Exact turn-level dedup across conversations: template-generated
+    turns repeat verbatim across the corpus, and repeated assistant
+    boilerplate is exactly what transcript curation strips before
+    training.  Content key is md5(text) (DuckDB-replayable), keeper is
+    the lexicographic min (conv_id, zero-padded turn_idx) — the same
+    min-id policy as ``doc_exact_dedup``.  Combiner-first: per-batch
+    (count, min) partials through the cardinality-aware tree; only
+    key-sized rows move."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "content_key": md5_of_strings(b["text"].fillna("")),
+                "pos": b["conv_id"].astype(str)
+                + ":"
+                + b["turn_idx"].astype("int64").astype(str).str.zfill(6),
+            }
+        )
+        gb = df.groupby("content_key", sort=False, observed=True)
+        out = gb.agg(n_dups=("pos", "size"), keeper=("pos", "min")).reset_index()
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        gb = df.groupby("content_key", sort=False, observed=True)
+        out = gb.agg(
+            n_dups=("n_dups", "sum"), keeper=("keeper", "min")
+        ).reset_index()
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
+
+    agg = tree_aggregate(ds, partial, merge, keys=["content_key"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_dups"] > 1]
+
+    return agg.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
@@ -13410,6 +13583,8 @@ _WINDOW_DEPRIORITIZED = [
 #: r01–r04 artifacts before the round-5 sweep.
 _R5_FRESH = [
     # --- never driver-certified (new in round 5) ---
+    "transcript_turn_stats", "transcript_role_bigrams",
+    "transcript_turn_dedup",
     "doc_span_dedup",
     "kg_nodes", "multimodal_decode_stats", "events_funnel4",
     "doc_dedup_keep_best", "doc_decontaminate", "doc_ngram_novelty",

@@ -10,10 +10,14 @@ import pytest
 from nerpii_ray.pipelines.queries import (
     ORACLE_SQL,
     QUERIES,
+    _transcript_role_bigrams_sql,
+    _transcript_turn_dedup_sql,
+    _transcript_turn_stats_sql,
     kg_assignments_sql_for,
     kg_edges_sql_for,
     kg_nodes_core_sql_for,
     kg_nodes_sql_for,
+    kg_person_phonetic_sql_for,
     transcript_gender_sql_for,
 )
 
@@ -26,7 +30,11 @@ SQL_OVERRIDES = {
     "kg_edges": kg_edges_sql_for(0.001),
     "kg_nodes_core": kg_nodes_core_sql_for(0.001),
     "kg_nodes": kg_nodes_sql_for(0.001),
+    "kg_person_phonetic_blocks": kg_person_phonetic_sql_for(0.001),
     "transcript_gender_enrich": transcript_gender_sql_for(0.001),
+    "transcript_turn_stats": _transcript_turn_stats_sql(0.001),
+    "transcript_role_bigrams": _transcript_role_bigrams_sql(0.001),
+    "transcript_turn_dedup": _transcript_turn_dedup_sql(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
