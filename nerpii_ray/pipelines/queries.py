@@ -6198,6 +6198,37 @@ def customer_name_ed1_pairs(sf_dir: str):
 
 
 @register(
+    "customer_name_ed2_pairs",
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT
+             unnest(list_filter(regexp_split_to_array(coalesce(c_name, ''),
+                                                      '\s+'),
+                    x -> x <> '')) AS t
+      FROM customer
+    )
+    SELECT a.t AS tok_a, b.t AS tok_b,
+           levenshtein(a.t, b.t)::BIGINT AS dist
+    FROM toks a JOIN toks b
+      ON a.t < b.t AND levenshtein(a.t, b.t) BETWEEN 1 AND 2
+    """,
+)
+def customer_name_ed2_pairs(sf_dir: str):
+    """General-radius fuzzy self-join (stages/dedup.token_edk_pairs,
+    k=2): FastSS up-to-k deletion neighborhoods give a candidate
+    superset through ONE keyed co-location, a vectorized exact-DP
+    Levenshtein pass keeps the true pairs — typo-tolerant blocking one
+    radius beyond ``customer_name_ed1_pairs``.  The SQL twin is the
+    vocab² levenshtein() scan the bucketed plan must reproduce
+    pair-for-pair, distance included."""
+    from nerpii_ray.stages.dedup import token_edk_pairs
+
+    return token_edk_pairs(
+        _read(sf_dir, "customer", ["c_name"]), text_col="c_name", k=2
+    )
+
+
+@register(
     "doc_pii_density",
     f"""
     WITH m AS (
@@ -13584,7 +13615,7 @@ _WINDOW_DEPRIORITIZED = [
 _R5_FRESH = [
     # --- never driver-certified (new in round 5) ---
     "transcript_turn_stats", "transcript_role_bigrams",
-    "transcript_turn_dedup",
+    "transcript_turn_dedup", "customer_name_ed2_pairs",
     "doc_span_dedup",
     "kg_nodes", "multimodal_decode_stats", "events_funnel4",
     "doc_dedup_keep_best", "doc_decontaminate", "doc_ngram_novelty",

@@ -1663,6 +1663,159 @@ def token_ed1_pairs(
     return tree_dedup(pairs, ["tok_a", "tok_b"])
 
 
+def levenshtein_np(a: pd.Series, b: pd.Series, cap: int = 40) -> np.ndarray:
+    """Exact Levenshtein distance for P string pairs at once: the
+    classic DP with BOTH loops over character positions (≤ cap² scalar
+    iterations) and every cell update a numpy op across all P pairs —
+    no per-pair Python.  Strings are truncated at ``cap`` chars
+    (callers bound tokens upstream)."""
+    a = a.fillna("").str.slice(0, cap)
+    b = b.fillna("").str.slice(0, cap)
+    la = a.str.len().to_numpy(np.int64)
+    lb = b.str.len().to_numpy(np.int64)
+    P = len(a)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((P, La), dtype=np.uint32)
+    B = np.zeros((P, Lb), dtype=np.uint32)
+    for i, s in enumerate(a.to_numpy()):
+        A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for i, s in enumerate(b.to_numpy()):
+        B[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    res = np.where(la == 0, lb, -1)
+    prev = np.broadcast_to(
+        np.arange(Lb + 1, dtype=np.int64), (P, Lb + 1)
+    ).copy()
+    cur = np.empty_like(prev)
+    for i in range(1, La + 1):
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, Lb + 1):
+            sub = prev[:, j - 1] + (ai != B[:, j - 1])
+            np.minimum(sub, prev[:, j] + 1, out=sub)
+            np.minimum(sub, cur[:, j - 1] + 1, out=sub)
+            cur[:, j] = sub
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev, cur = cur, prev
+    return res.astype(np.int64)
+
+
+def token_edk_pairs(
+    docs_ds,
+    text_col: str = "text",
+    k: int = 2,
+    num_buckets: int | None = None,
+    path: str = "auto",
+    hot_key_budget: int | None = None,
+):
+    """All DISTINCT token pairs at Levenshtein distance 1..k — the
+    general-radius fuzzy vocabulary self-join behind typo-tolerant
+    entity blocking (``token_ed1_pairs`` is the verify-free k=1
+    special case).
+
+    FastSS with verification: if lev(a, b) = d ≤ k, walking any optimal
+    alignment and deleting, on each side, the characters touched by an
+    edit leaves a COMMON string reachable by ≤ d deletions from both —
+    so every true pair meets in at least one shared member of the
+    up-to-k deletion neighborhoods, and the neighborhood join is a
+    candidate SUPERSET.  A vectorized exact-DP pass
+    (``levenshtein_np``) then keeps the true pairs; no recall loss, no
+    vocab² scan.
+
+    Plan: tokenize in the scan → distinct-token tree → one map_batches
+    expands each length-L token into its ≤ Σᵢ₌₀ᵏ C(L,i) distinct
+    deletion variants → ONE keyed co-location on the variant string
+    pairs within buckets → distinct-pair tree → verify map.  Row
+    expansion is O(L^k) per VOCAB entry (not per corpus row); bucket
+    size is data-dependent — a hot variant (e.g. near-identical serial
+    numbers) concentrates candidates, the standard keyed-op contract
+    (pass ``hot_key_budget`` to fail loudly past a per-bucket row
+    budget)."""
+    from itertools import combinations
+
+    from nerpii_ray.stages.agg import tree_dedup
+
+    def toks(b: pd.DataFrame) -> pd.DataFrame:
+        parts = b[text_col].fillna("").str.split()
+        flat = [t for lst in parts for t in lst]
+        return pd.DataFrame(
+            {"tok": pd.Series(flat, dtype="object")}
+        ).drop_duplicates()
+
+    vocab = tree_dedup(
+        docs_ds.map_batches(toks, batch_format="pandas"), ["tok"]
+    )
+
+    def expand(b: pd.DataFrame) -> pd.DataFrame:
+        keys: list = []
+        tks: list = []
+        for t in b["tok"]:
+            t = t[:40]
+            variants = {t}
+            idx = range(len(t))
+            for d in range(1, k + 1):
+                for dels in combinations(idx, d):
+                    s = t
+                    for p in sorted(dels, reverse=True):
+                        s = s[:p] + s[p + 1:]
+                    variants.add(s)
+            keys.extend(variants)
+            tks.extend([t] * len(variants))
+        return pd.DataFrame(
+            {
+                "key": pd.Series(keys, dtype="object"),
+                "tok": pd.Series(tks, dtype="object"),
+            }
+        )
+
+    cand = vocab.map_batches(expand, batch_format="pandas", batch_size=4096)
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "tok_a": pd.Series(dtype="object"),
+                "tok_b": pd.Series(dtype="object"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="key", suffixes=("_x", "_y"))
+        m = m[m["tok_x"] < m["tok_y"]]
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {"tok_a": m["tok_x"].to_numpy(), "tok_b": m["tok_y"].to_numpy()}
+        ).drop_duplicates()
+
+    pairs = tree_dedup(
+        keyed_partition_apply(
+            cand, ["key"], pair_kernel, num_buckets, path,
+            hot_key_budget=hot_key_budget,
+        ),
+        ["tok_a", "tok_b"],
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        if b.empty:
+            return pd.DataFrame(
+                {
+                    "tok_a": pd.Series(dtype="object"),
+                    "tok_b": pd.Series(dtype="object"),
+                    "dist": pd.Series(dtype="int64"),
+                }
+            )
+        d = levenshtein_np(b["tok_a"], b["tok_b"])
+        out = b.assign(dist=d)
+        return out[(out["dist"] >= 1) & (out["dist"] <= k)].reset_index(
+            drop=True
+        )
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
 # ------------------------------------------- exact set-similarity self-join
 def prefix_filter_jaccard_pairs(
     ds,

@@ -2644,6 +2644,53 @@ def test_token_ed1_pairs_crafted():
     assert not got.duplicated(["tok_a", "tok_b"]).any()
 
 
+def _lev_py(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[-1]
+
+
+def test_levenshtein_np_matches_scalar_dp():
+    from nerpii_ray.stages.dedup import levenshtein_np
+
+    import itertools
+    vocab = ["", "a", "ab", "ba", "abc", "axc", "abcd", "dcba",
+             "kitten", "sitting", "flaw", "lawn", "same", "same"]
+    pa_, pb_ = zip(*itertools.product(vocab, vocab))
+    got = levenshtein_np(pd.Series(pa_), pd.Series(pb_))
+    want = np.array([_lev_py(x, y) for x, y in zip(pa_, pb_)])
+    assert (got == want).all()
+
+
+def test_token_edk_pairs_matches_bruteforce():
+    from nerpii_ray.stages.dedup import token_edk_pairs
+
+    docs = pd.DataFrame(
+        {
+            "text": [
+                "cat bat hat",     # ed1 chain
+                "cart card ab ba", # ed2 via transposition (ab/ba), cart/cat
+                "kitten sitten sittin sitting",  # classic ed ladder
+                "x y zz",
+            ]
+        }
+    )
+    got = token_edk_pairs(rd.from_pandas(docs), k=2).to_pandas()
+    vocab = sorted({t for s in docs["text"] for t in s.split()})
+    want = {
+        (a, b, _lev_py(a, b))
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1:]
+        if 1 <= _lev_py(a, b) <= 2
+    }
+    assert set(zip(got["tok_a"], got["tok_b"], got["dist"])) == want
+    assert ("ab", "ba", 2) in want  # the k=2-only case is exercised
+    assert not got.duplicated(["tok_a", "tok_b"]).any()
+
+
 def test_bfs_levels_crafted_and_cross_path():
     from nerpii_ray.stages.graph import bfs_levels
 
