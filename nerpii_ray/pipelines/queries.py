@@ -13589,6 +13589,171 @@ def transcript_turn_dedup(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def _transcript_curation_funnel_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH s AS (
+      SELECT conv_id, COUNT(*) AS n_turns,
+             SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assist,
+             COUNT(DISTINCT coalesce(text, '')) AS n_distinct
+      FROM '{turns}' GROUP BY conv_id
+    ), lab AS (
+      SELECT CASE WHEN n_turns < 3 THEN 'short'
+                  WHEN n_assist = 0 THEN 'no_assistant'
+                  WHEN n_distinct * 10000 // n_turns < 9500 THEN 'dup_heavy'
+                  ELSE 'kept' END AS stage
+      FROM s
+    )
+    SELECT stage, COUNT(*)::BIGINT AS n_convs FROM lab GROUP BY stage
+    """
+
+
+@register("transcript_curation_funnel", _transcript_curation_funnel_sql(0.01))
+def transcript_curation_funnel(sf_dir: str):
+    """Conversation-curation yield report (the ``doc_curation_funnel``
+    shape over the transcript payload): every conversation is
+    attributed to the FIRST gate it fails — too short (< 3 turns), no
+    assistant turn, duplicate-heavy (distinct-turn-text ratio < 95 %)
+    — or 'kept'.  Per-conv stats ride ONE conv_id co-location (count /
+    assistant count / text nunique in the bucket kernel); the stage
+    label is a vectorized select and the report a 4-row combiner
+    tree."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _turns_ds(sf_dir, ["conv_id", "role", "text"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "conv_id": g["conv_id"].to_numpy(),
+                "is_assist": (g["role"] == "assistant").to_numpy(np.int64),
+                "text": g["text"].fillna("").to_numpy(),
+            }
+        )
+        gb = d.groupby("conv_id", sort=False, observed=True)
+        s = gb.agg(
+            n_turns=("text", "size"),
+            n_assist=("is_assist", "sum"),
+            n_distinct=("text", "nunique"),
+        ).reset_index()
+        ratio_bp = (
+            s["n_distinct"].to_numpy(np.int64) * 10000
+            // s["n_turns"].to_numpy(np.int64)
+        )
+        stage = np.where(
+            s["n_turns"] < 3,
+            "short",
+            np.where(
+                s["n_assist"] == 0,
+                "no_assistant",
+                np.where(ratio_bp < 9500, "dup_heavy", "kept"),
+            ),
+        )
+        out = pd.DataFrame({"stage": stage})
+        out["n_convs"] = np.int64(1)
+        return out.groupby("stage", sort=False)["n_convs"].sum().reset_index()
+
+    partials = keyed_partition_apply(ds, ["conv_id"], kernel)
+    return grouped_sum(partials, ["stage"], ["n_convs"], adaptive=False)
+
+
+def _transcript_reply_latency_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH g AS (
+      SELECT lag(role) OVER w AS prev_role, role,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+      FROM '{turns}'
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ), f AS (
+      SELECT * FROM g WHERE prev_role IS NOT NULL
+    ), ranked AS (
+      SELECT prev_role, role, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY prev_role, role
+                                ORDER BY gap_us) AS rn,
+             COUNT(*) OVER (PARTITION BY prev_role, role) AS n
+      FROM f
+    )
+    SELECT prev_role, role, CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS median_lo,
+           MAX(CASE WHEN rn = (n + 2) // 2 THEN gap_us END) AS median_hi
+    FROM ranked GROUP BY prev_role, role
+    """
+
+
+@register("transcript_reply_latency", _transcript_reply_latency_sql(0.01))
+def transcript_reply_latency(sf_dir: str):
+    """EXACT median inter-turn latency (µs) per role transition — the
+    responsiveness profile of an agent transcript corpus (how long
+    does 'assistant' take after 'user', how long do tool calls block).
+    Same order-statistics discipline as ``lineitem_price_median``: the
+    middle value(s) are COPIED out, never averaged, so the result is
+    integer-exact.  One conv_id co-location emits (prev_role, role,
+    gap_µs) pairs pre-counted per bucket; the (pair, gap) count tree is
+    bounded by distinct-gap cardinality; the median walk rides a keyed
+    co-location on the ≤ |roles|² pairs."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        gb = g.groupby("conv_id", sort=False)
+        prev_role = gb["role"].shift(1)
+        prev_us = np.where(
+            gb.cumcount().to_numpy() == 0, np.int64(0), np.roll(us, 1)
+        )
+        out = pd.DataFrame(
+            {
+                "prev_role": prev_role.to_numpy(),
+                "role": g["role"].to_numpy(),
+                "gap_us": us - prev_us,
+            }
+        )
+        out = out[out["prev_role"].notna()]
+        out["n"] = np.int64(1)
+        return (
+            out.groupby(["prev_role", "role", "gap_us"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    counts = grouped_sum(
+        keyed_partition_apply(ds, ["conv_id"], gaps),
+        ["prev_role", "role", "gap_us"],
+        ["n"],
+    )
+
+    def median_walk(frame: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "prev_role": pd.Series(dtype="object"),
+            "role": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "median_lo": pd.Series(dtype="int64"),
+            "median_hi": pd.Series(dtype="int64"),
+        }
+        if not len(frame):
+            return pd.DataFrame(cols)
+        rows = []
+        for (pr, r), grp in frame.groupby(["prev_role", "role"], sort=False):
+            grp = grp.sort_values("gap_us", kind="mergesort")
+            c = grp["n"].to_numpy(np.int64)
+            v = grp["gap_us"].to_numpy(np.int64)
+            cum = np.cumsum(c)
+            n = int(cum[-1])
+            lo = v[np.searchsorted(cum, (n + 1) // 2)]
+            hi = v[np.searchsorted(cum, (n + 2) // 2)]
+            rows.append((pr, r, n, int(lo), int(hi)))
+        return pd.DataFrame(
+            rows, columns=["prev_role", "role", "n", "median_lo", "median_hi"]
+        )
+
+    return keyed_partition_apply(counts, ["prev_role", "role"], median_walk)
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
@@ -13616,6 +13781,7 @@ _R5_FRESH = [
     # --- never driver-certified (new in round 5) ---
     "transcript_turn_stats", "transcript_role_bigrams",
     "transcript_turn_dedup", "customer_name_ed2_pairs",
+    "transcript_curation_funnel", "transcript_reply_latency",
     "doc_span_dedup",
     "kg_nodes", "multimodal_decode_stats", "events_funnel4",
     "doc_dedup_keep_best", "doc_decontaminate", "doc_ngram_novelty",

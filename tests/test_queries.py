@@ -10,6 +10,8 @@ import pytest
 from nerpii_ray.pipelines.queries import (
     ORACLE_SQL,
     QUERIES,
+    _transcript_curation_funnel_sql,
+    _transcript_reply_latency_sql,
     _transcript_role_bigrams_sql,
     _transcript_turn_dedup_sql,
     _transcript_turn_stats_sql,
@@ -35,6 +37,8 @@ SQL_OVERRIDES = {
     "transcript_turn_stats": _transcript_turn_stats_sql(0.001),
     "transcript_role_bigrams": _transcript_role_bigrams_sql(0.001),
     "transcript_turn_dedup": _transcript_turn_dedup_sql(0.001),
+    "transcript_curation_funnel": _transcript_curation_funnel_sql(0.001),
+    "transcript_reply_latency": _transcript_reply_latency_sql(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
