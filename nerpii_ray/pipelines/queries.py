@@ -13589,6 +13589,80 @@ def transcript_turn_dedup(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas", batch_size=None)
 
 
+def kg_person_comention_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT conv_id, node_id
+      FROM '{men}' WHERE entity = 'PERSON'
+    )
+    SELECT a.node_id AS node_a, b.node_id AS node_b,
+           COUNT(*)::BIGINT AS n_convs
+    FROM p a JOIN p b
+      ON a.conv_id = b.conv_id AND a.node_id < b.node_id
+    GROUP BY node_a, node_b
+    """
+
+
+@register("kg_person_comention_edges", kg_person_comention_sql_for(0.01))
+def kg_person_comention_edges(sf_dir: str):
+    """Conversation-granularity PERSON co-mention edges — the social
+    layer of the knowledge graph the per-turn triple extractor
+    (works_for / located_in) cannot see: two people mentioned anywhere
+    in the SAME conversation get an edge weighted by how many
+    conversations co-mention them.  Distinct (conv, person-node) pairs
+    ride the recognizer scan (per-batch dedup partials into the
+    distinct tree), ONE conv_id co-location forms within-conversation
+    pairs (bounded: persons-per-conversation, not corpus size), and a
+    keyed sum tree folds pair counts; the SQL twin replays the self-join
+    over the mention side-parquet."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        return b[["conv_id", "node_id"]].drop_duplicates()
+
+    pers = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "node_id"],
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "node_a": pd.Series(dtype="object"),
+                "node_b": pd.Series(dtype="object"),
+                "n_convs": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="conv_id", suffixes=("_x", "_y"))
+        m = m[m["node_id_x"] < m["node_id_y"]]
+        if m.empty:
+            return empty
+        out = pd.DataFrame(
+            {
+                "node_a": m["node_id_x"].to_numpy(),
+                "node_b": m["node_id_y"].to_numpy(),
+            }
+        )
+        out["n_convs"] = np.int64(1)
+        return (
+            out.groupby(["node_a", "node_b"], sort=False)["n_convs"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(pers, ["conv_id"], pair_kernel)
+    return grouped_sum(partials, ["node_a", "node_b"], ["n_convs"])
+
+
 def _transcript_curation_funnel_sql(sf: float) -> str:
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
     return f"""
@@ -13782,6 +13856,7 @@ _R5_FRESH = [
     "transcript_turn_stats", "transcript_role_bigrams",
     "transcript_turn_dedup", "customer_name_ed2_pairs",
     "transcript_curation_funnel", "transcript_reply_latency",
+    "kg_person_comention_edges",
     "doc_span_dedup",
     "kg_nodes", "multimodal_decode_stats", "events_funnel4",
     "doc_dedup_keep_best", "doc_decontaminate", "doc_ngram_novelty",
