@@ -13828,6 +13828,68 @@ def transcript_reply_latency(sf_dir: str):
     return keyed_partition_apply(counts, ["prev_role", "role"], median_walk)
 
 
+def _transcript_pack_contexts_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return rf"""
+    WITH t AS (
+      SELECT conv_id,
+             CAST(SUM(length(list_filter(
+               regexp_split_to_array(coalesce(text, ''), '\s+'),
+               x -> x <> ''))) AS BIGINT) AS n_toks
+      FROM '{turns}' GROUP BY conv_id
+    ), nz AS (
+      SELECT * FROM t WHERE n_toks > 0
+    ), c AS (
+      SELECT conv_id, n_toks,
+             CAST(COALESCE(SUM(n_toks) OVER (
+               ORDER BY conv_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_tok
+      FROM nz
+    )
+    SELECT conv_id, n_toks, start_tok,
+           CAST(start_tok // 512 AS BIGINT) AS block_first,
+           CAST((start_tok + n_toks - 1) // 512 AS BIGINT) AS block_last
+    FROM c
+    """
+
+
+@register("transcript_pack_contexts", _transcript_pack_contexts_sql(0.01))
+def transcript_pack_contexts(sf_dir: str):
+    """Conversation-integral context packing: whole conversations (never
+    split mid-dialogue) laid end-to-end in conv_id order and cut into
+    512-token training contexts — each conversation's global start
+    token and first/last context block.  Per-conv token totals fold
+    through one keyed sum tree; the placement reuses
+    ``pack_token_blocks``' range-partitioned prefix sums (bucket totals
+    → driver cumsums the per-bucket scalars → in-bucket exclusive
+    cumsum), never a single-node sort."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.window import pack_token_blocks
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "n_toks": b["text"].fillna("").str.split().str.len()
+                .fillna(0).astype("int64"),
+            }
+        )
+
+    totals = grouped_sum(
+        _turns_ds(sf_dir, ["conv_id", "text"]).map_batches(
+            counts, batch_format="pandas"
+        ),
+        ["conv_id"],
+        ["n_toks"],
+    )
+    nz = totals.map_batches(
+        lambda b: b[b["n_toks"] > 0], batch_format="pandas"
+    )
+    return pack_token_blocks(nz, "conv_id", "n_toks", capacity=512,
+                             id_kind="str")
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
@@ -13856,7 +13918,7 @@ _R5_FRESH = [
     "transcript_turn_stats", "transcript_role_bigrams",
     "transcript_turn_dedup", "customer_name_ed2_pairs",
     "transcript_curation_funnel", "transcript_reply_latency",
-    "kg_person_comention_edges",
+    "kg_person_comention_edges", "transcript_pack_contexts",
     "doc_span_dedup",
     "kg_nodes", "multimodal_decode_stats", "events_funnel4",
     "doc_dedup_keep_best", "doc_decontaminate", "doc_ngram_novelty",

@@ -917,6 +917,18 @@ def debounce(
     return keyed_partition_apply(ds, keys, kernel, num_buckets, path)
 
 
+def _str_order_proxy(values, prefix_len: int) -> np.ndarray:
+    """Monotone uint64 proxy for utf-8 strings: the first 8 bytes after
+    a stripped common prefix, big-endian.  UTF-8 byte order equals
+    codepoint order, so the proxy is order-preserving (non-strict —
+    ties collapse, which equi-width bucketing tolerates)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, s in enumerate(values):
+        b = s.encode("utf-8")[prefix_len : prefix_len + 8]
+        out[i] = int.from_bytes(b.ljust(8, b"\x00"), "big")
+    return out
+
+
 def pack_token_blocks(
     ds,
     id_col: str,
@@ -924,6 +936,7 @@ def pack_token_blocks(
     capacity: int,
     num_buckets: int = 64,
     path: str = "auto",
+    id_kind: str = "int",
 ):
     """Sequence packing — the LLM-pretraining step that concatenates a
     deterministically-ordered corpus into fixed-``capacity`` token
@@ -947,23 +960,33 @@ def pack_token_blocks(
 
     Ids need not be dense — only monotone layout order; equi-width
     bucketing assumes ids are not pathologically skewed (the
-    ``global_row_number`` contract).  Zero-token documents are dropped
-    (they occupy no block).  Output: id_col, n_toks, start_tok,
-    block_first, block_last (all int64).
+    ``global_row_number`` contract).  ``id_kind="str"`` packs by
+    LEXICOGRAPHIC id order: the range partitioner projects each id to
+    a monotone uint64 (first 8 utf-8 bytes past the global common
+    prefix of min and max id), the in-bucket sort stays on the real
+    string.  Zero-token documents are dropped (they occupy no block).
+    Output: id_col (int64, or string for ``id_kind="str"``), n_toks,
+    start_tok, block_first, block_last (int64).
     """
     from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
     from nerpii_ray.stages.colocate import keyed_partition_apply
 
     if capacity <= 0:
         raise ValueError("capacity must be positive")
+    if id_kind not in ("int", "str"):
+        raise ValueError("id_kind must be 'int' or 'str'")
+    is_str = id_kind == "str"
 
     def bounds_partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b[count_col] > 0]
         if not len(b):
+            dt = "object" if is_str else "int64"
             return pd.DataFrame(
-                {"lo": pd.Series(dtype="int64"),
-                 "hi": pd.Series(dtype="int64")}
+                {"lo": pd.Series(dtype=dt), "hi": pd.Series(dtype=dt)}
             )
+        if is_str:
+            v = b[id_col].astype(str)
+            return pd.DataFrame({"lo": [v.min()], "hi": [v.max()]})
         v = b[id_col].to_numpy(dtype=np.int64)
         return pd.DataFrame({"lo": [int(v.min())], "hi": [int(v.max())]})
 
@@ -971,7 +994,7 @@ def pack_token_blocks(
         if not len(df):
             return df
         return pd.DataFrame(
-            {"lo": [int(df["lo"].min())], "hi": [int(df["hi"].max())]}
+            {"lo": [df["lo"].min()], "hi": [df["hi"].max()]}
         )
 
     bounds = tree_aggregate(ds, bounds_partial, bounds_merge).take_all()
@@ -981,7 +1004,7 @@ def pack_token_blocks(
         return rd.from_pandas(
             pd.DataFrame(
                 {
-                    id_col: pd.Series(dtype="int64"),
+                    id_col: pd.Series(dtype="object" if is_str else "int64"),
                     "n_toks": pd.Series(dtype="int64"),
                     "start_tok": pd.Series(dtype="int64"),
                     "block_first": pd.Series(dtype="int64"),
@@ -989,14 +1012,35 @@ def pack_token_blocks(
                 }
             )
         )
-    lo, hi = int(bounds[0]["lo"]), int(bounds[0]["hi"])
-    span = hi - lo + 1
+    if is_str:
+        lo_s, hi_s = str(bounds[0]["lo"]), str(bounds[0]["hi"])
+        lo_b, hi_b = lo_s.encode("utf-8"), hi_s.encode("utf-8")
+        prefix_len = 0
+        for x, y in zip(lo_b, hi_b):
+            if x != y:
+                break
+            prefix_len += 1
+        lo_v = int(_str_order_proxy([lo_s], prefix_len)[0])
+        hi_v = int(_str_order_proxy([hi_s], prefix_len)[0])
+        step = (hi_v - lo_v) // num_buckets + 1
+    else:
+        lo, hi = int(bounds[0]["lo"]), int(bounds[0]["hi"])
+        span = hi - lo + 1
 
     def bucketize(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b[count_col] > 0].copy()
-        b["_bkt"] = (
-            (b[id_col].to_numpy(dtype=np.int64) - lo) * num_buckets // span
-        )
+        if is_str:
+            prox = _str_order_proxy(
+                b[id_col].astype(str).to_numpy(), prefix_len
+            )
+            b["_bkt"] = ((prox - np.uint64(lo_v)) // np.uint64(step)).astype(
+                np.int64
+            )
+        else:
+            b["_bkt"] = (
+                (b[id_col].to_numpy(dtype=np.int64) - lo)
+                * num_buckets // span
+            )
         return b
 
     # one pinned bucketized projection feeds both the offsets tree and
@@ -1042,9 +1086,14 @@ def pack_token_blocks(
         )
         base = g["_bkt"].map(offsets).to_numpy(dtype=np.int64)
         start = base + (csum - first)
+        ids = (
+            g[id_col].to_numpy()
+            if is_str
+            else g[id_col].to_numpy(dtype=np.int64)
+        )
         out = pd.DataFrame(
             {
-                id_col: g[id_col].to_numpy(dtype=np.int64),
+                id_col: ids,
                 "n_toks": n,
                 "start_tok": start,
                 "block_first": start // capacity,

@@ -11,6 +11,7 @@ from nerpii_ray.pipelines.queries import (
     ORACLE_SQL,
     QUERIES,
     _transcript_curation_funnel_sql,
+    _transcript_pack_contexts_sql,
     _transcript_reply_latency_sql,
     _transcript_role_bigrams_sql,
     _transcript_turn_dedup_sql,
@@ -40,6 +41,7 @@ SQL_OVERRIDES = {
     "transcript_role_bigrams": _transcript_role_bigrams_sql(0.001),
     "transcript_turn_dedup": _transcript_turn_dedup_sql(0.001),
     "transcript_curation_funnel": _transcript_curation_funnel_sql(0.001),
+    "transcript_pack_contexts": _transcript_pack_contexts_sql(0.001),
     "transcript_reply_latency": _transcript_reply_latency_sql(0.001),
 }
 TABLES = [
