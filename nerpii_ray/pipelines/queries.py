@@ -13663,6 +13663,143 @@ def kg_person_comention_edges(sf_dir: str):
     return grouped_sum(partials, ["node_a", "node_b"], ["n_convs"])
 
 
+def kg_person_fuzzy_sql_for(sf: float, rounds: int = 14) -> str:
+    """SQL twin of the fuzzy entity-resolution clusters: the pair graph
+    is DuckDB's levenshtein() vocab² join, the transitive closure an
+    unrolled min-label propagation — one round per hop, so any unroll
+    depth ≥ the components' label-propagation diameter is the exact
+    fixpoint and extra rounds are no-ops (measured 12 at sf0.01; 14
+    leaves margin).  The engine's union-find/star-contraction CC is
+    exact at any diameter; the unroll bound is a property of the twin
+    only.  Every CTE is MATERIALIZED: DuckDB otherwise inlines each
+    l{{i}} into both of its l{{i+1}} references, doubling the plan per
+    round — at 14 rounds the 2^14-way expanded scan of ``p`` exhausts
+    the glob and fails with a spurious "No files found"."""
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    parts = [
+        f"""
+    WITH p AS MATERIALIZED (
+      SELECT DISTINCT norm_surface AS s FROM '{men}' WHERE entity = 'PERSON'
+    ), e AS MATERIALIZED (
+      SELECT a.s AS u, b.s AS v FROM p a JOIN p b
+        ON a.s <> b.s AND levenshtein(a.s, b.s) <= 2
+    ), l0 AS MATERIALIZED (
+      SELECT s, s AS lbl FROM p
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    l{i} AS MATERIALIZED (
+      SELECT l.s, LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+      FROM l{i - 1} l
+      LEFT JOIN e ON e.u = l.s
+      LEFT JOIN l{i - 1} n ON n.s = e.v
+      GROUP BY l.s, l.lbl
+    )""")
+    parts.append(f"""
+    SELECT s AS surface, lbl AS cluster FROM l{rounds}
+    """)
+    return "".join(parts)
+
+
+@register("kg_person_fuzzy_clusters", kg_person_fuzzy_sql_for(0.01))
+def kg_person_fuzzy_clusters(sf_dir: str):
+    """Fuzzy entity resolution over the KG's PERSON vocabulary — the
+    canonicalization layer above exact-surface node identity: surfaces
+    within Levenshtein ≤ 2 are candidate co-references; the transitive
+    closure assigns every surface a cluster root (its component's
+    lexicographic min), singletons map to themselves.  Pipeline:
+    distinct surfaces off the recognizer scan → exact FastSS k=2 pair
+    join (``token_edk_pairs``, whole-value mode — no vocab² scan) →
+    cardinality-aware connected components (union-find small path /
+    large-star–small-star contraction at scale) → one keyed left join
+    attaches labels back to the full vocabulary."""
+    from nerpii_ray.stages.dedup import connected_components, token_edk_pairs
+    from nerpii_ray.stages.agg import tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        return pd.DataFrame(
+            {"surface": b["norm_surface"].astype(str)}
+        ).drop_duplicates()
+
+    surfaces = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"), ["surface"]
+    ).materialize()  # vocab-sized; three consumers below
+    pairs = token_edk_pairs(
+        surfaces, text_col="surface", k=2, tokenize=False
+    )
+
+    # CC runs on int64 ids; surfaces enter as their 64-bit content hash
+    # (collision odds ~n²/2⁶⁵ — negligible at vocabulary cardinality)
+    # and the component LABEL is recovered as the min SURFACE per
+    # component afterwards, so the output is hash-order-free.
+    from nerpii_ray.functions.textfns import stable_hash64_np
+
+    def hash_pair(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id_a": stable_hash64_np(b["tok_a"]).view(np.int64),
+                "id_b": stable_hash64_np(b["tok_b"]).view(np.int64),
+            }
+        )
+
+    labels = connected_components(
+        pairs.map_batches(hash_pair, batch_format="pandas"), "id_a", "id_b"
+    ).map_batches(
+        lambda b: b.rename(columns={"node": "h"}), batch_format="pandas"
+    )
+    hashed = surfaces.map_batches(
+        lambda b: b.assign(h=stable_hash64_np(b["surface"]).view(np.int64)),
+        batch_format="pandas",
+    )
+    with_comp = partitioned_hash_join(
+        hashed, labels, on=["h"], how="left"
+    ).materialize()  # vocab-sized; feeds the min tree AND the label join
+
+    def min_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["component"].notna()]
+        if not len(b):
+            return pd.DataFrame(
+                {"component": pd.Series(dtype="float64"),
+                 "cluster": pd.Series(dtype="object")}
+            )
+        return b.groupby("component", as_index=False).agg(
+            cluster=("surface", "min")
+        )
+
+    def min_merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("component", as_index=False).agg(
+            cluster=("cluster", "min")
+        )
+
+    from nerpii_ray.stages.agg import tree_aggregate
+
+    mins = tree_aggregate(
+        with_comp, min_partial, min_merge, keys=["component"]
+    )
+    joined = partitioned_hash_join(
+        with_comp, mins, on=["component"], how="left"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "surface": b["surface"].to_numpy(),
+                "cluster": b["cluster"].fillna(b["surface"]).to_numpy(),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def _transcript_curation_funnel_sql(sf: float) -> str:
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
     return f"""

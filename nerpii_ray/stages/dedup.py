@@ -1710,6 +1710,7 @@ def token_edk_pairs(
     num_buckets: int | None = None,
     path: str = "auto",
     hot_key_budget: int | None = None,
+    tokenize: bool = True,
 ):
     """All DISTINCT token pairs at Levenshtein distance 1..k — the
     general-radius fuzzy vocabulary self-join behind typo-tolerant
@@ -1739,8 +1740,13 @@ def token_edk_pairs(
     from nerpii_ray.stages.agg import tree_dedup
 
     def toks(b: pd.DataFrame) -> pd.DataFrame:
-        parts = b[text_col].fillna("").str.split()
-        flat = [t for lst in parts for t in lst]
+        if tokenize:
+            parts = b[text_col].fillna("").str.split()
+            flat = [t for lst in parts for t in lst]
+        else:
+            # whole-value mode: each (possibly space-bearing) string IS
+            # the unit — full-surface fuzzy joins for entity resolution
+            flat = [t for t in b[text_col].fillna("") if t]
         return pd.DataFrame(
             {"tok": pd.Series(flat, dtype="object")}
         ).drop_duplicates()
