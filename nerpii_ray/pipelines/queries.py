@@ -1195,7 +1195,8 @@ def doc_minhash_pairs(sf_dir: str):  # 64 perms; the 8-perm twin below
 
 
 def minhash_small_sql(num_perm: int = 8, bands: int = 4, shingle_k: int = 3,
-                      threshold: float = 0.5, max_bucket: int = 64) -> str:
+                      threshold: float = 0.5, max_bucket: int = 64,
+                      docs_cte: str | None = None) -> str:
     """Full SQL replay of ``stages/dedup.py`` minhash_lsh_pairs at reduced
     parameters (VERDICT r2 #2): tokenize → md5 token ids → fixed-
     coefficient polynomial shingle hashes (uint64 wraparound reproduced
@@ -1240,10 +1241,14 @@ def minhash_small_sql(num_perm: int = 8, bands: int = 4, shingle_k: int = 3,
         for p in range(num_perm)
     )
     rows_per_band = num_perm // bands
+    if docs_cte is None:
+        docs_cte = (
+            "SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')),"
+            " '\\w+') AS toks FROM documents"
+        )
     return f"""
     WITH docs AS (
-      SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
-      FROM documents
+      {docs_cte}
     ),
     tok AS (
       SELECT doc_id, i, len(toks) AS n,
@@ -13416,6 +13421,157 @@ def kg_person_phonetic_blocks(sf_dir: str):
     return blocks[["code", "n_tokens", "sample_token"]]
 
 
+@register(
+    "doc_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+      FROM (
+        SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents WHERE length(text) > 0
+      )
+    ), cnt AS (
+      SELECT doc_id, ch, COUNT(*)::BIGINT AS c FROM chars GROUP BY doc_id, ch
+    ), tot AS (
+      SELECT doc_id, SUM(c) AS n, COUNT(*)::BIGINT AS n_distinct_chars
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT c.doc_id, ANY_VALUE(t.n_distinct_chars) AS n_distinct_chars,
+           0.0 - SUM((c.c * 1.0 / t.n) * log2(c.c * 1.0 / t.n)) AS char_entropy
+    FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+    """,
+)
+def doc_char_entropy(sf_dir: str):
+    """Per-document Shannon character entropy + distinct-char count —
+    the cheap gibberish/boilerplate detector (base64 blobs and key dumps
+    sit near log2(alphabet); repeated-template spam sits far below the
+    corpus mode).  Fully vectorized per batch: ONE utf-32 codepoint
+    array for the whole batch, per-(doc, char) run lengths via a single
+    lexsort, per-doc entropy via one scatter-add — no Python loop over
+    rows or characters.  Embarrassingly parallel (per-doc outputs off
+    the scan, no shuffle).  The ``0.0 -`` in the twin normalizes IEEE
+    -0.0 for single-character documents on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b["text"].fillna("")
+        lens = texts.str.len().to_numpy(np.int64)
+        keep = lens > 0
+        ids = b["doc_id"].to_numpy()[keep]
+        texts = texts[keep]
+        lens = lens[keep]
+        if not len(texts):
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=b["doc_id"].dtype),
+                 "n_distinct_chars": pd.Series(dtype="int64"),
+                 "char_entropy": pd.Series(dtype="float64")}
+            )
+        cp = np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+        doc = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((cp, doc))
+        d, c = doc[order], cp[order]
+        new_run = np.ones(len(d), dtype=bool)
+        new_run[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, len(d)))
+        run_doc = d[starts]
+        p = counts / lens[run_doc]
+        contrib = -p * np.log2(p)
+        ent = np.zeros(len(lens), dtype=np.float64)
+        np.add.at(ent, run_doc, contrib)
+        ent = ent + 0.0  # -0.0 → 0.0, matching the twin's 0.0 - SUM
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_distinct_chars": np.bincount(
+                    run_doc, minlength=len(lens)
+                ).astype(np.int64),
+                "char_entropy": ent,
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pandas")
+
+
+@register(
+    "doc_source_quota_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def doc_source_quota_sample(sf_dir: str):
+    """Per-source quota capping (Common-Crawl-style curation: no single
+    domain may dominate the training mix) — keep at most K=10 documents
+    per source, chosen deterministically by content-hash order so the
+    sample is stable under retries, re-batching and resumed runs.  Scale
+    shape: a mergeable per-source top-K tree reduces to ONE threshold
+    row per source (state bounded by K x n_sources at every merge
+    level, never by data size), the source-cardinality threshold table
+    broadcasts back into a second narrow scan, and rows at-or-under
+    their source's K-th (hash, id) pair pass — data rows are never
+    shuffled, and the driver never holds more than the threshold
+    table."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import broadcast_join
+
+    K = 10
+
+    def with_hash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "source": b["source"].to_numpy(),
+                "h": md5_of_strings(b["doc_id"].astype(str)).to_numpy(),
+            }
+        )
+
+    def hashed():
+        return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+            with_hash, batch_format="pandas"
+        )
+
+    def keep_k(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(["source", "h", "doc_id"])
+            .groupby("source", sort=False)
+            .head(K)
+        )
+
+    def thresholds(b: pd.DataFrame) -> pd.DataFrame:
+        # the K-th (or last, when fewer) row per source IS the cutoff
+        kept = keep_k(b)
+        tail = kept.groupby("source", sort=False).tail(1)
+        return pd.DataFrame(
+            {
+                "source": tail["source"].to_numpy(),
+                "h_thr": tail["h"].to_numpy(),
+                "id_thr": tail["doc_id"].to_numpy(),
+            }
+        )
+
+    thr = tree_aggregate(
+        hashed(), keep_k, keep_k, final_fn=thresholds
+    ).to_pandas()  # one row per source
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        under = (b["h"] < b["h_thr"]) | (
+            (b["h"] == b["h_thr"]) & (b["doc_id"] <= b["id_thr"])
+        )
+        return b.loc[under, ["doc_id", "source"]]
+
+    return broadcast_join(hashed(), thr, on=["source"]).map_batches(
+        finish, batch_format="pandas"
+    )
+
+
 # =====================================================================
 # Transcript-native curation operators (the graft payload is multi-turn
 # conversation transcripts — these run over the deterministic synthetic
@@ -13663,7 +13819,9 @@ def kg_person_comention_edges(sf_dir: str):
     return grouped_sum(partials, ["node_a", "node_b"], ["n_convs"])
 
 
-def kg_person_fuzzy_sql_for(sf: float, rounds: int = 14) -> str:
+def kg_person_fuzzy_sql_for(
+    sf: float, rounds: int = 14, final: str | None = None
+) -> str:
     """SQL twin of the fuzzy entity-resolution clusters: the pair graph
     is DuckDB's levenshtein() vocab² join, the transitive closure an
     unrolled min-label propagation — one round per hop, so any unroll
@@ -13696,9 +13854,15 @@ def kg_person_fuzzy_sql_for(sf: float, rounds: int = 14) -> str:
       LEFT JOIN l{i - 1} n ON n.s = e.v
       GROUP BY l.s, l.lbl
     )""")
-    parts.append(f"""
+    if final is None:
+        final = f"""
     SELECT s AS surface, lbl AS cluster FROM l{rounds}
-    """)
+    """
+    else:
+        # composition hook: downstream twins reference the label fixpoint
+        # CTE via the {labels} placeholder
+        final = final.replace("{labels}", f"l{rounds}")
+    parts.append(final)
     return "".join(parts)
 
 
@@ -13798,6 +13962,253 @@ def kg_person_fuzzy_clusters(sf_dir: str):
         )
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+#: per-process memo of the vocab-sized (surface, cluster) label table —
+#: the fuzzy-ER fixpoint is conversation-corpus work; downstream
+#: canonicalization consumers re-read the small result, not the pipeline
+_FUZZY_LABEL_CACHE: dict = {}
+
+
+def _person_fuzzy_labels_df(sf_dir: str) -> pd.DataFrame:
+    sf = _sf_of(sf_dir)
+    if sf not in _FUZZY_LABEL_CACHE:
+        _FUZZY_LABEL_CACHE[sf] = kg_person_fuzzy_clusters(sf_dir).to_pandas()
+    return _FUZZY_LABEL_CACHE[sf]
+
+
+def kg_canonical_comention_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    final = f"""
+    , men AS MATERIALIZED (
+      SELECT DISTINCT conv_id, norm_surface FROM '{men}'
+      WHERE entity = 'PERSON'
+    ), mc AS MATERIALIZED (
+      SELECT DISTINCT m.conv_id, l.lbl AS cluster
+      FROM men m JOIN {{labels}} l ON l.s = m.norm_surface
+    )
+    SELECT a.cluster AS node_a, b.cluster AS node_b,
+           COUNT(*)::BIGINT AS n_convs
+    FROM mc a JOIN mc b
+      ON a.conv_id = b.conv_id AND a.cluster < b.cluster
+    GROUP BY node_a, node_b
+    """
+    return kg_person_fuzzy_sql_for(sf, final=final)
+
+
+@register("kg_canonical_comention_edges", kg_canonical_comention_sql_for(0.01))
+def kg_canonical_comention_edges(sf_dir: str):
+    """Co-mention edges AFTER fuzzy entity resolution — the graph
+    consolidation step that makes near-duplicate surfaces ("jon smith"
+    vs "john smith") one social node: every PERSON mention maps to its
+    Levenshtein-2 cluster root, edges count conversations co-mentioning
+    two distinct CLUSTERS.  The vocab-sized label table broadcasts into
+    the mention scan (no shuffle to attach labels); distinct
+    (conv, cluster) pairs ride the dedup tree, one conv_id co-location
+    forms within-conversation pairs, a keyed sum tree folds counts —
+    same scale shape as ``kg_person_comention_edges`` plus one
+    broadcast.  The SQL twin composes the label-propagation fixpoint
+    CTE with the self-join."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import broadcast_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    labels = _person_fuzzy_labels_df(sf_dir).rename(
+        columns={"surface": "norm_surface"}
+    )
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        return b[["conv_id", "norm_surface"]].drop_duplicates()
+
+    pers = mentions.map_batches(prep, batch_format="pandas")
+    mapped = broadcast_join(pers, labels, on=["norm_surface"])
+    clustered = tree_dedup(
+        mapped.map_batches(
+            lambda b: b[["conv_id", "cluster"]], batch_format="pandas"
+        ),
+        ["conv_id", "cluster"],
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "node_a": pd.Series(dtype="object"),
+                "node_b": pd.Series(dtype="object"),
+                "n_convs": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="conv_id", suffixes=("_x", "_y"))
+        m = m[m["cluster_x"] < m["cluster_y"]]
+        if m.empty:
+            return empty
+        out = pd.DataFrame(
+            {
+                "node_a": m["cluster_x"].to_numpy(),
+                "node_b": m["cluster_y"].to_numpy(),
+            }
+        )
+        out["n_convs"] = np.int64(1)
+        return (
+            out.groupby(["node_a", "node_b"], sort=False)["n_convs"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(clustered, ["conv_id"], pair_kernel)
+    return grouped_sum(partials, ["node_a", "node_b"], ["n_convs"])
+
+
+def _transcript_pii_rate_sql(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH m AS (
+      SELECT DISTINCT conv_id, turn_idx FROM '{men}'
+    ), t AS (
+      SELECT conv_id, COUNT(*)::BIGINT AS n_turns
+      FROM '{turns}' GROUP BY conv_id
+    ), pc AS (
+      SELECT conv_id, COUNT(*)::BIGINT AS n_pii_turns FROM m GROUP BY conv_id
+    )
+    SELECT t.conv_id, t.n_turns,
+           COALESCE(pc.n_pii_turns, 0)::BIGINT AS n_pii_turns,
+           COALESCE(pc.n_pii_turns, 0) * 1.0 / t.n_turns AS pii_rate
+    FROM t LEFT JOIN pc USING (conv_id)
+    """
+
+
+@register("transcript_pii_rate", _transcript_pii_rate_sql(0.01))
+def transcript_pii_rate(sf_dir: str):
+    """Per-conversation PII-leak census — the triage signal a redaction
+    pipeline sorts by (fully-clean conversations skip the rewrite stage
+    entirely; the heavy tail gets human review): for every conversation,
+    total turns, turns carrying at least one node-bearing entity
+    mention, and their ratio.  Distinct PII-bearing (conv, turn) pairs
+    ride the dedup tree off the recognizer scan; turn totals are one
+    grouped count over the raw transcript; a keyed left join stitches
+    conversation-sized tables."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["node_id"].notna()]
+        return b[["conv_id", "turn_idx"]].drop_duplicates()
+
+    pii_turns = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "turn_idx"],
+    )
+    pii_counts = grouped_sum(
+        pii_turns.map_batches(
+            lambda b: pd.DataFrame(
+                {"conv_id": b["conv_id"].to_numpy(),
+                 "n_pii_turns": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["conv_id"],
+        ["n_pii_turns"],
+    )
+    turn_counts = grouped_sum(
+        _turns_ds(sf_dir, ["conv_id"]).map_batches(
+            lambda b: pd.DataFrame(
+                {"conv_id": b["conv_id"].to_numpy(),
+                 "n_turns": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["conv_id"],
+        ["n_turns"],
+    )
+    joined = partitioned_hash_join(
+        turn_counts, pii_counts, on=["conv_id"], how="left"
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n_pii = b["n_pii_turns"].fillna(0).to_numpy(np.int64)
+        n_turns = b["n_turns"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "n_turns": n_turns,
+                "n_pii_turns": n_pii,
+                "pii_rate": n_pii * 1.0 / n_turns,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def _conv_minhash_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    docs_cte = f"""
+      SELECT CAST(regexp_extract(conv_id, '(\\d+)$', 1) AS BIGINT) AS doc_id,
+             regexp_extract_all(
+               lower(string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx)),
+               '\\w+') AS toks
+      FROM '{turns}' GROUP BY conv_id
+    """
+    return minhash_small_sql(docs_cte=docs_cte)
+
+
+@register("transcript_conv_minhash_pairs", _conv_minhash_sql(0.01))
+def transcript_conv_minhash_pairs(sf_dir: str):
+    """Conversation-level near-duplicate pairs — whole-dialogue MinHash
+    +LSH over each conversation's turn texts concatenated in turn order
+    (turn-level exact dedup misses templated conversations that differ
+    only in slot values).  One conv_id co-location packs dialogues
+    (in-bucket groupby, join per conversation — group-sized work), then
+    the standard banded pipeline: one text pass, light (band, hash, id)
+    rows through the keyed exchange, signature-agreement verify on
+    candidates only.  Runs at the SQL-replayable 8-perm/4-band
+    parameters, same as ``doc_minhash_pairs_small``; conversation ids
+    enter as their numeric suffix so pair ids stay int64."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "text"])
+
+    def pack_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype="int64"),
+                 "text": pd.Series(dtype="object")}
+            )
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = g.assign(text=g["text"].fillna(""))
+        agg = (
+            g.groupby("conv_id", sort=False)["text"]
+            .agg(" ".join)
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": agg["conv_id"]
+                .str.extract(r"(\d+)$")[0]
+                .astype("int64")
+                .to_numpy(),
+                "text": agg["text"].to_numpy(),
+            }
+        )
+
+    packed = keyed_partition_apply(ds, ["conv_id"], pack_kernel)
+    out = minhash_lsh_pairs(
+        packed, num_perm=8, bands=4, shingle_k=3, threshold=0.5
+    )
+    return out.map_batches(
+        lambda b: b.assign(est_jaccard=np.round(b["est_jaccard"], 6)),
+        batch_format="pandas",
+    )
 
 
 def _transcript_curation_funnel_sql(sf: float) -> str:
@@ -14111,13 +14522,23 @@ _R5_PINNED = [
 ]
 
 
+#: final-session additions — never driver-certified, on-theme
+#: (kg_construct tier: entity resolution, canonical graph, PII census)
+_R5_FRESH3 = [
+    "kg_person_fuzzy_clusters", "kg_canonical_comention_edges",
+    "kg_person_phonetic_blocks", "transcript_pii_rate",
+    "transcript_conv_minhash_pairs",
+    "doc_char_entropy", "doc_source_quota_sample",
+]
+
+
 def _reorder_for_driver_window() -> None:
     # window layout (first 50 = the driver's sweep): never-certified /
     # plan-changed queries first, then the pinned flagships, then as many
     # r4-deprioritized rotate-ins as still fit — certified-in-r≤3 queries
     # yield their slot to queries with no driver artifact at all
     fresh = [
-        n for n in _R5_FRESH + _R5_FRESH2
+        n for n in _R5_FRESH3 + _R5_FRESH + _R5_FRESH2
         if n in QUERIES and n in ORACLE_SQL
     ]
     taken = set(fresh)

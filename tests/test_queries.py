@@ -20,8 +20,11 @@ from nerpii_ray.pipelines.queries import (
     kg_edges_sql_for,
     kg_nodes_core_sql_for,
     kg_nodes_sql_for,
+    kg_canonical_comention_sql_for,
     kg_person_comention_sql_for,
     kg_person_fuzzy_sql_for,
+    _conv_minhash_sql,
+    _transcript_pii_rate_sql,
     kg_person_phonetic_sql_for,
     transcript_gender_sql_for,
 )
@@ -35,8 +38,11 @@ SQL_OVERRIDES = {
     "kg_edges": kg_edges_sql_for(0.001),
     "kg_nodes_core": kg_nodes_core_sql_for(0.001),
     "kg_nodes": kg_nodes_sql_for(0.001),
+    "kg_canonical_comention_edges": kg_canonical_comention_sql_for(0.001),
     "kg_person_comention_edges": kg_person_comention_sql_for(0.001),
     "kg_person_fuzzy_clusters": kg_person_fuzzy_sql_for(0.001),
+    "transcript_conv_minhash_pairs": _conv_minhash_sql(0.001),
+    "transcript_pii_rate": _transcript_pii_rate_sql(0.001),
     "kg_person_phonetic_blocks": kg_person_phonetic_sql_for(0.001),
     "transcript_gender_enrich": transcript_gender_sql_for(0.001),
     "transcript_turn_stats": _transcript_turn_stats_sql(0.001),
