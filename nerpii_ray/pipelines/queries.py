@@ -14064,6 +14064,85 @@ def kg_canonical_comention_edges(sf_dir: str):
     return grouped_sum(partials, ["node_a", "node_b"], ["n_convs"])
 
 
+def kg_comention_window_sql_for(sf: float, window: int = 3) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT conv_id, turn_idx, node_id
+      FROM '{men}' WHERE entity = 'PERSON'
+    ), pr AS (
+      SELECT DISTINCT a.conv_id, a.node_id AS node_a, b.node_id AS node_b
+      FROM p a JOIN p b
+        ON a.conv_id = b.conv_id AND a.node_id < b.node_id
+       AND abs(a.turn_idx - b.turn_idx) <= {window}
+    )
+    SELECT node_a, node_b, COUNT(*)::BIGINT AS n_convs
+    FROM pr GROUP BY node_a, node_b
+    """
+
+
+@register("kg_comention_window_edges", kg_comention_window_sql_for(0.01))
+def kg_comention_window_edges(sf_dir: str, window: int = 3):
+    """Proximity-windowed PERSON co-mention edges — the precision
+    refinement of ``kg_person_comention_edges``: two people only get an
+    edge for a conversation if they are mentioned within ``window``
+    turns of each other (whole-conversation co-mention over-links long
+    support threads where unrelated names drift past each other).
+    Distinct (conv, turn, node) triples ride the dedup tree, ONE conv_id
+    co-location forms proximity pairs (per-conversation quadratic,
+    bounded by mentions-per-conversation), and a keyed sum tree folds
+    the distinct-conversation counts."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        return b[["conv_id", "turn_idx", "node_id"]].drop_duplicates()
+
+    pers = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "turn_idx", "node_id"],
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "node_a": pd.Series(dtype="object"),
+                "node_b": pd.Series(dtype="object"),
+                "n_convs": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="conv_id", suffixes=("_x", "_y"))
+        m = m[
+            (m["node_id_x"] < m["node_id_y"])
+            & ((m["turn_idx_x"] - m["turn_idx_y"]).abs() <= window)
+        ]
+        if m.empty:
+            return empty
+        pairs = m[["conv_id", "node_id_x", "node_id_y"]].drop_duplicates()
+        out = pd.DataFrame(
+            {
+                "node_a": pairs["node_id_x"].to_numpy(),
+                "node_b": pairs["node_id_y"].to_numpy(),
+            }
+        )
+        out["n_convs"] = np.int64(1)
+        return (
+            out.groupby(["node_a", "node_b"], sort=False)["n_convs"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(pers, ["conv_id"], pair_kernel)
+    return grouped_sum(partials, ["node_a", "node_b"], ["n_convs"])
+
+
 def _transcript_pii_rate_sql(sf: float) -> str:
     men = f"{kg_mentions_path(sf)}/*.parquet"
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
@@ -14526,8 +14605,8 @@ _R5_PINNED = [
 #: (kg_construct tier: entity resolution, canonical graph, PII census)
 _R5_FRESH3 = [
     "kg_person_fuzzy_clusters", "kg_canonical_comention_edges",
-    "kg_person_phonetic_blocks", "transcript_pii_rate",
-    "transcript_conv_minhash_pairs",
+    "kg_person_phonetic_blocks", "kg_comention_window_edges",
+    "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "doc_char_entropy", "doc_source_quota_sample",
 ]
 

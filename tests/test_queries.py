@@ -21,6 +21,7 @@ from nerpii_ray.pipelines.queries import (
     kg_nodes_core_sql_for,
     kg_nodes_sql_for,
     kg_canonical_comention_sql_for,
+    kg_comention_window_sql_for,
     kg_person_comention_sql_for,
     kg_person_fuzzy_sql_for,
     _conv_minhash_sql,
@@ -39,6 +40,7 @@ SQL_OVERRIDES = {
     "kg_nodes_core": kg_nodes_core_sql_for(0.001),
     "kg_nodes": kg_nodes_sql_for(0.001),
     "kg_canonical_comention_edges": kg_canonical_comention_sql_for(0.001),
+    "kg_comention_window_edges": kg_comention_window_sql_for(0.001),
     "kg_person_comention_edges": kg_person_comention_sql_for(0.001),
     "kg_person_fuzzy_clusters": kg_person_fuzzy_sql_for(0.001),
     "transcript_conv_minhash_pairs": _conv_minhash_sql(0.001),
