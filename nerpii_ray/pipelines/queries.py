@@ -1028,12 +1028,13 @@ def doc_fingerprints(sf_dir: str):
 _LANGID_LANGS = ("de", "en", "es", "fr", "it")
 
 
-def _langid_sql() -> str:
+def _langid_sql(relation: str = "documents", keys: str = "doc_id") -> str:
     """SQL twin of stages/textstats.LangId: per-language stopword-hit
     counts over [a-z]+ tokens, argmax with first-in-langs-order
     tie-break (np.argmax returns the first maximum), 'und' on zero hits.
     Generated from the SAME gazetteer lists the engine compiles, so the
-    two sides cannot drift."""
+    two sides cannot drift.  ``relation``/``keys`` retarget the twin at
+    any (key, text) table (e.g. transcript turns)."""
     from nerpii_ray.gazetteers import STOPWORDS
 
     hit_cols = []
@@ -1048,13 +1049,13 @@ def _langid_sql() -> str:
         branches.append(f"WHEN {cond} THEN '{lang}'")
     return f"""
     WITH t AS (
-      SELECT doc_id,
+      SELECT {keys},
              regexp_extract_all(lower(coalesce(text, '')), '[a-z]+') AS toks
-      FROM documents
+      FROM {relation}
     ), s AS (
-      SELECT doc_id, {", ".join(hit_cols)} FROM t
+      SELECT {keys}, {", ".join(hit_cols)} FROM t
     )
-    SELECT doc_id,
+    SELECT {keys},
            CASE WHEN greatest({", ".join(_LANGID_LANGS)}) = 0 THEN 'und'
                 {" ".join(branches)}
            END AS pred_lang
@@ -14228,6 +14229,101 @@ def transcript_pii_rate(sf_dir: str):
     return joined.map_batches(finish, batch_format="pandas")
 
 
+def _transcript_langid_mix_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    inner = _langid_sql(relation=f"'{turns}'", keys="conv_id")
+    return f"""
+    SELECT conv_id, pred_lang, COUNT(*)::BIGINT AS n_turns
+    FROM ({inner}) GROUP BY conv_id, pred_lang
+    """
+
+
+@register("transcript_langid_mix", _transcript_langid_mix_sql(0.01))
+def transcript_langid_mix(sf_dir: str):
+    """Per-conversation language composition: every turn gets the
+    stopword-gazetteer language vote (same LangId stage as the document
+    corpus — bitmask table built once per worker), counts fold per
+    (conversation, language).  Mixed-language conversations (code
+    switching, pasted foreign content) are a curation split of their
+    own; the dominant-language-only view hides them.  Scan + combiner
+    tree, no co-location needed."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.textstats import langid_batch
+
+    ds = _turns_ds(sf_dir, ["conv_id", "text"])
+    lang = ds.map_batches(langid_batch, batch_format="pandas")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby(["conv_id", "pred_lang"], sort=False)
+            .size()
+            .reset_index(name="n_turns")
+        )
+
+    return grouped_sum(
+        lang, ["conv_id", "pred_lang"], ["n_turns"], partial_fn=partial
+    )
+
+
+def _transcript_segment_split_sql(sf: float, gap_sec: int = 90) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    SELECT conv_id, turn_idx,
+           CAST(SUM(CASE WHEN gap_us > {gap_sec * 1_000_000} THEN 1 ELSE 0 END)
+                OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT)
+             AS segment
+    FROM (
+      SELECT conv_id, turn_idx,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+      FROM '{turns}'
+    )
+    """
+
+
+@register("transcript_segment_split", _transcript_segment_split_sql(0.01))
+def transcript_segment_split(sf_dir: str, gap_sec: int = 90):
+    """Sub-conversation segmentation: a conversation resumed after a
+    long idle gap (> ``gap_sec``, default 90 s — above the synthetic
+    corpus's 99th-percentile inter-turn gap) is really several training
+    examples —
+    stale context should not leak across the gap.  Every turn gets a
+    segment ordinal = running count of >gap boundaries before it within
+    its conversation.  ONE conv_id co-location; the in-bucket kernel is
+    a vectorized diff + per-conversation cumsum (no per-turn Python)."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    gap_us = gap_sec * 1_000_000
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype="object"),
+                 "turn_idx": pd.Series(dtype="int64"),
+                 "segment": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        conv = g["conv_id"].to_numpy()
+        prev_same = np.zeros(len(g), dtype=bool)
+        prev_same[1:] = conv[1:] == conv[:-1]
+        gap = np.zeros(len(g), dtype=np.int64)
+        gap[1:] = us[1:] - us[:-1]
+        boundary = (prev_same & (gap > gap_us)).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                "conv_id": conv,
+                "turn_idx": g["turn_idx"].to_numpy(np.int64),
+                "b": boundary,
+            }
+        )
+        out["segment"] = out.groupby("conv_id", sort=False)["b"].cumsum()
+        return out[["conv_id", "turn_idx", "segment"]]
+
+    return keyed_partition_apply(ds, ["conv_id"], kernel)
+
+
 def _conv_minhash_sql(sf: float) -> str:
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
     docs_cte = f"""
@@ -14607,6 +14703,7 @@ _R5_FRESH3 = [
     "kg_person_fuzzy_clusters", "kg_canonical_comention_edges",
     "kg_person_phonetic_blocks", "kg_comention_window_edges",
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
+    "transcript_langid_mix", "transcript_segment_split",
     "doc_char_entropy", "doc_source_quota_sample",
 ]
 

@@ -25,7 +25,9 @@ from nerpii_ray.pipelines.queries import (
     kg_person_comention_sql_for,
     kg_person_fuzzy_sql_for,
     _conv_minhash_sql,
+    _transcript_langid_mix_sql,
     _transcript_pii_rate_sql,
+    _transcript_segment_split_sql,
     kg_person_phonetic_sql_for,
     transcript_gender_sql_for,
 )
@@ -44,6 +46,8 @@ SQL_OVERRIDES = {
     "kg_person_comention_edges": kg_person_comention_sql_for(0.001),
     "kg_person_fuzzy_clusters": kg_person_fuzzy_sql_for(0.001),
     "transcript_conv_minhash_pairs": _conv_minhash_sql(0.001),
+    "transcript_langid_mix": _transcript_langid_mix_sql(0.001),
+    "transcript_segment_split": _transcript_segment_split_sql(0.001),
     "transcript_pii_rate": _transcript_pii_rate_sql(0.001),
     "kg_person_phonetic_blocks": kg_person_phonetic_sql_for(0.001),
     "transcript_gender_enrich": transcript_gender_sql_for(0.001),
