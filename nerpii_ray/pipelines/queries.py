@@ -13518,12 +13518,9 @@ def doc_source_quota_sample(sf_dir: str):
     broadcasts back into a second narrow scan, and rows at-or-under
     their source's K-th (hash, id) pair pass — data rows are never
     shuffled, and the driver never holds more than the threshold
-    table."""
+    table (stages/agg.quota_topk_filter)."""
     from nerpii_ray.functions.textfns import md5_of_strings
-    from nerpii_ray.stages.agg import tree_aggregate
-    from nerpii_ray.stages.joins import broadcast_join
-
-    K = 10
+    from nerpii_ray.stages.agg import quota_topk_filter
 
     def with_hash(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -13534,42 +13531,12 @@ def doc_source_quota_sample(sf_dir: str):
             }
         )
 
-    def hashed():
-        return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
-            with_hash, batch_format="pandas"
-        )
-
-    def keep_k(b: pd.DataFrame) -> pd.DataFrame:
-        return (
-            b.sort_values(["source", "h", "doc_id"])
-            .groupby("source", sort=False)
-            .head(K)
-        )
-
-    def thresholds(b: pd.DataFrame) -> pd.DataFrame:
-        # the K-th (or last, when fewer) row per source IS the cutoff
-        kept = keep_k(b)
-        tail = kept.groupby("source", sort=False).tail(1)
-        return pd.DataFrame(
-            {
-                "source": tail["source"].to_numpy(),
-                "h_thr": tail["h"].to_numpy(),
-                "id_thr": tail["doc_id"].to_numpy(),
-            }
-        )
-
-    thr = tree_aggregate(
-        hashed(), keep_k, keep_k, final_fn=thresholds
-    ).to_pandas()  # one row per source
-
-    def finish(b: pd.DataFrame) -> pd.DataFrame:
-        under = (b["h"] < b["h_thr"]) | (
-            (b["h"] == b["h_thr"]) & (b["doc_id"] <= b["id_thr"])
-        )
-        return b.loc[under, ["doc_id", "source"]]
-
-    return broadcast_join(hashed(), thr, on=["source"]).map_batches(
-        finish, batch_format="pandas"
+    hashed = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        with_hash, batch_format="pandas"
+    )
+    kept = quota_topk_filter(hashed, "source", ["h", "doc_id"], k=10)
+    return kept.map_batches(
+        lambda b: b[["doc_id", "source"]], batch_format="pandas"
     )
 
 

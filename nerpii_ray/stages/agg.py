@@ -1708,3 +1708,55 @@ def cms_estimate(
         v = lut.get((lane, b), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+def quota_topk_filter(ds, key_col: str, rank_cols: Sequence[str], k: int):
+    """Keep at most ``k`` rows per key, the lexicographically smallest
+    ``rank_cols`` tuples first — the per-source/per-domain quota cap a
+    web-scale training mix needs (no single origin may dominate).
+
+    Scale shape: a mergeable per-key top-k tree (top-k of a union IS the
+    top-k of per-part top-ks) reduces to ONE threshold row per key —
+    state bounded by k x n_keys at every merge level, never by data
+    size; the key-cardinality threshold table then broadcasts into a
+    second pass over ``ds`` and rows at-or-under their key's k-th rank
+    tuple pass.  Data rows are never shuffled and the driver holds only
+    the threshold table.  ``ds`` is consumed twice (census + filter) —
+    keep it a narrow projection; ``rank_cols`` tuples must be unique per
+    row (use a content hash + a unique id as tiebreak)."""
+    from nerpii_ray.stages.joins import broadcast_join
+
+    rank_cols = list(rank_cols)
+
+    def keep_k(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values([key_col] + rank_cols)
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+
+    def thresholds(b: pd.DataFrame) -> pd.DataFrame:
+        # the k-th (or last, when fewer) row per key IS the cutoff
+        tail = keep_k(b).groupby(key_col, sort=False).tail(1)
+        out = {key_col: tail[key_col].to_numpy()}
+        for c in rank_cols:
+            out[f"{c}_thr"] = tail[c].to_numpy()
+        return pd.DataFrame(out)
+
+    thr = tree_aggregate(ds, keep_k, keep_k, final_fn=thresholds).to_pandas()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        under = np.zeros(len(b), dtype=bool)
+        eq = np.ones(len(b), dtype=bool)
+        for i, c in enumerate(rank_cols):
+            t = b[f"{c}_thr"]
+            if i < len(rank_cols) - 1:
+                under |= eq & (b[c] < t).to_numpy()
+                eq &= (b[c] == t).to_numpy()
+            else:
+                under |= eq & (b[c] <= t).to_numpy()
+        return b.loc[under, [key_col] + rank_cols]
+
+    return broadcast_join(ds, thr, on=[key_col]).map_batches(
+        finish, batch_format="pandas"
+    )

@@ -3774,3 +3774,42 @@ def test_cms_registers_estimate():
     for k in true.index[:5]:
         est = cms_estimate(regs, int(k))
         assert est >= true[k]
+
+
+def test_quota_topk_filter_matches_groupby_head():
+    """quota_topk_filter == pandas groupby-head oracle, with the input
+    split across blocks so the per-part top-k tree genuinely merges;
+    covers sub-k groups (kept whole) and exact-k boundaries."""
+    import numpy as np
+    import ray.data as rd
+
+    from nerpii_ray.stages.agg import quota_topk_filter
+
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "key": rng.choice(["a", "b", "c", "d", "tiny"], n,
+                              p=[0.3, 0.3, 0.2, 0.19, 0.01]),
+            "h": [f"{v:08x}" for v in rng.randint(0, 2**31, n)],
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    k = 7
+    got = (
+        quota_topk_filter(rd.from_pandas(df).repartition(8), "key",
+                          ["h", "rid"], k=k)
+        .to_pandas()
+        .sort_values(["key", "h", "rid"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["key", "h", "rid"])
+        .groupby("key", sort=False)
+        .head(k)
+        .sort_values(["key", "h", "rid"])
+        .reset_index(drop=True)[["key", "h", "rid"]]
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # sub-k group survives intact
+    assert (got["key"] == "tiny").sum() == (df["key"] == "tiny").sum()
