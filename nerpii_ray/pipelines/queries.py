@@ -14111,6 +14111,158 @@ def kg_comention_window_edges(sf_dir: str, window: int = 3):
     return grouped_sum(partials, ["node_a", "node_b"], ["n_convs"])
 
 
+def kg_randomwalk_sql_for(sf: float, length: int = 3) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    steps, prev = [], "w0"
+    for t in range(length):
+        steps.append(f"""
+    s{t + 1} AS (
+      SELECT w.start, a.nbr AS cur
+      FROM {prev} w
+      JOIN deg d ON d.node = w.cur
+      JOIN adj a ON a.node = w.cur
+       AND a.rnk = CAST(('0x' || substr(md5(w.cur || ':{t}'), 1, 16))::UBIGINT
+                        % CAST(d.d AS UBIGINT) AS BIGINT)
+    )""")
+        prev = f"s{t + 1}"
+    unions = "\n    UNION ALL ".join(
+        f"SELECT start, {t} AS step, cur AS node FROM "
+        + ("w0" if t == 0 else f"s{t}")
+        for t in range(length + 1)
+    )
+    return f"""
+    WITH p AS (
+      SELECT DISTINCT conv_id, node_id FROM '{men}' WHERE entity = 'PERSON'
+    ), e AS (
+      SELECT DISTINCT a.node_id AS u, b.node_id AS v
+      FROM p a JOIN p b ON a.conv_id = b.conv_id AND a.node_id < b.node_id
+    ), bd AS (
+      SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e
+    ), adj AS (
+      SELECT node, nbr,
+             row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS rnk
+      FROM bd
+    ), deg AS (
+      SELECT node, COUNT(*)::BIGINT AS d FROM bd GROUP BY node
+    ), w0 AS (
+      SELECT node AS start, node AS cur FROM deg
+    ),{",".join(steps)}
+    {unions}
+    """
+
+
+@register("kg_randomwalk_corpus", kg_randomwalk_sql_for(0.01))
+def kg_randomwalk_corpus(sf_dir: str, length: int = 3):
+    """DeepWalk-style walk corpus over the PERSON co-mention graph —
+    the input a skip-gram node-embedding trainer consumes (Perozzi et
+    al., KDD'14), made fully deterministic: from each node, ``length``
+    steps where step t leaves node u through neighbor number
+    hash64(u ‖ ':' ‖ t) mod degree(u), neighbors ranked by id.
+    Content-addressed walks are reproducible under retries and exactly
+    SQL-replayable (md5-based hash64), unlike RNG-state walkers.  Scale
+    shape: the ranked adjacency and degree tables materialize once
+    (graph-sized, the PageRank discipline) and each step is keyed joins
+    on the walker frontier — walkers never collect on the driver."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import partitioned_hash_join
+    from nerpii_ray.functions.textfns import stable_hash64_np
+
+    edges = kg_person_comention_edges(sf_dir)
+
+    def both_dir(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                pd.DataFrame({"node": b["node_a"].to_numpy(),
+                              "nbr": b["node_b"].to_numpy()}),
+                pd.DataFrame({"node": b["node_b"].to_numpy(),
+                              "nbr": b["node_a"].to_numpy()}),
+            ],
+            ignore_index=True,
+        )
+
+    bd = edges.map_batches(both_dir, batch_format="pandas")
+
+    def rank_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype="object"),
+                 "nbr": pd.Series(dtype="object"),
+                 "rnk": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(["node", "nbr"], kind="mergesort")
+        g = g.assign(rnk=g.groupby("node", sort=False).cumcount())
+        return g[["node", "nbr", "rnk"]]
+
+    adj = keyed_partition_apply(bd, ["node"], rank_kernel).materialize()
+    deg = grouped_sum(
+        adj.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"].to_numpy(),
+                 "d": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"],
+        ["d"],
+    ).materialize()
+
+    walkers = deg.map_batches(
+        lambda b: pd.DataFrame(
+            {"start": b["node"].to_numpy(), "cur": b["node"].to_numpy()}
+        ),
+        batch_format="pandas",
+    )
+
+    def emit(t: int):
+        return lambda b: pd.DataFrame(
+            {
+                "start": b["start"].to_numpy(),
+                "step": np.full(len(b), t, dtype=np.int64),
+                "node": b["cur"].to_numpy(),
+            }
+        )
+
+    out = walkers.map_batches(emit(0), batch_format="pandas")
+    for t in range(length):
+        with_deg = partitioned_hash_join(
+            walkers,
+            deg.map_batches(
+                lambda b: b.rename(columns={"node": "cur"}),
+                batch_format="pandas",
+            ),
+            on=["cur"],
+        )
+
+        def pick(b: pd.DataFrame, t=t) -> pd.DataFrame:
+            h = stable_hash64_np(b["cur"].astype(str) + f":{t}")
+            return pd.DataFrame(
+                {
+                    "start": b["start"].to_numpy(),
+                    "cur": b["cur"].to_numpy(),
+                    "rnk": (h % b["d"].to_numpy(np.uint64)).astype(np.int64),
+                }
+            )
+
+        frontier = with_deg.map_batches(pick, batch_format="pandas")
+        stepped = partitioned_hash_join(
+            frontier,
+            adj.map_batches(
+                lambda b: b.rename(columns={"node": "cur"}),
+                batch_format="pandas",
+            ),
+            on=["cur", "rnk"],
+        )
+        walkers = stepped.map_batches(
+            lambda b: pd.DataFrame(
+                {"start": b["start"].to_numpy(), "cur": b["nbr"].to_numpy()}
+            ),
+            batch_format="pandas",
+        ).materialize()  # frontier-sized; next step + emit both consume
+        out = out.union(walkers.map_batches(emit(t + 1), batch_format="pandas"))
+    return out
+
+
 def _transcript_pii_rate_sql(sf: float) -> str:
     men = f"{kg_mentions_path(sf)}/*.parquet"
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
@@ -14669,6 +14821,7 @@ _R5_PINNED = [
 _R5_FRESH3 = [
     "kg_person_fuzzy_clusters", "kg_canonical_comention_edges",
     "kg_person_phonetic_blocks", "kg_comention_window_edges",
+    "kg_randomwalk_corpus",
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
     "doc_char_entropy", "doc_source_quota_sample",

@@ -23,6 +23,7 @@ from nerpii_ray.pipelines.queries import (
     kg_canonical_comention_sql_for,
     kg_comention_window_sql_for,
     kg_person_comention_sql_for,
+    kg_randomwalk_sql_for,
     kg_person_fuzzy_sql_for,
     _conv_minhash_sql,
     _transcript_langid_mix_sql,
@@ -44,6 +45,7 @@ SQL_OVERRIDES = {
     "kg_canonical_comention_edges": kg_canonical_comention_sql_for(0.001),
     "kg_comention_window_edges": kg_comention_window_sql_for(0.001),
     "kg_person_comention_edges": kg_person_comention_sql_for(0.001),
+    "kg_randomwalk_corpus": kg_randomwalk_sql_for(0.001),
     "kg_person_fuzzy_clusters": kg_person_fuzzy_sql_for(0.001),
     "transcript_conv_minhash_pairs": _conv_minhash_sql(0.001),
     "transcript_langid_mix": _transcript_langid_mix_sql(0.001),
