@@ -14263,6 +14263,160 @@ def kg_randomwalk_corpus(sf_dir: str, length: int = 3):
     return out
 
 
+def kg_skipgram_sql_for(sf: float, window: int = 2) -> str:
+    return f"""
+    WITH walks AS ({kg_randomwalk_sql_for(sf)})
+    SELECT a.node AS center, b.node AS context, COUNT(*)::BIGINT AS n
+    FROM walks a JOIN walks b
+      ON a.start = b.start AND a.step <> b.step
+     AND abs(a.step - b.step) <= {window}
+    GROUP BY center, context
+    """
+
+
+@register("kg_walk_skipgram_pairs", kg_skipgram_sql_for(0.01))
+def kg_walk_skipgram_pairs(sf_dir: str, window: int = 2):
+    """(center, context) co-occurrence counts within a +-``window``
+    radius over the deterministic walk corpus — the exact table a
+    skip-gram/word2vec node-embedding trainer consumes as positives.
+    ONE co-location on the walk id (walks are ``length``+1 rows, so the
+    in-bucket pairing is a constant-size merge per walk), then a keyed
+    sum tree over (center, context)."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    walks = kg_randomwalk_corpus(sf_dir)
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "center": pd.Series(dtype="object"),
+                "context": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="start", suffixes=("_a", "_b"))
+        d = (m["step_a"] - m["step_b"]).abs()
+        m = m[(d > 0) & (d <= window)]
+        if m.empty:
+            return empty
+        out = pd.DataFrame(
+            {"center": m["node_a"].to_numpy(),
+             "context": m["node_b"].to_numpy()}
+        )
+        out["n"] = np.int64(1)
+        return (
+            out.groupby(["center", "context"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    partials = keyed_partition_apply(walks, ["start"], pair_kernel)
+    return grouped_sum(partials, ["center", "context"], ["n"])
+
+
+@register(
+    "doc_source_token_kl",
+    r"""
+    WITH toks AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok
+      FROM documents
+    ), st AS (
+      SELECT source, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY source, tok
+    ), s AS (
+      SELECT source, SUM(c) AS n FROM st GROUP BY source
+    ), g AS (
+      SELECT tok, SUM(c) AS cg FROM st GROUP BY tok
+    ), tot AS (
+      SELECT SUM(c) AS nn FROM st
+    )
+    SELECT st.source,
+           SUM((st.c * 1.0 / s.n)
+               * log2((st.c * 1.0 / s.n) / (g.cg * 1.0 / tot.nn))) AS kl_bits
+    FROM st JOIN s USING (source) JOIN g USING (tok) CROSS JOIN tot
+    GROUP BY st.source
+    """,
+)
+def doc_source_token_kl(sf_dir: str):
+    """Distribution-shift detector: KL divergence (bits) of each
+    source's token distribution from the corpus-wide distribution —
+    sources whose language diverges (spam farms, machine translation,
+    template mills) rank to the top for review before they skew the
+    training mix.  Physical plan: explode → combiner tree on
+    (source, tok) materialized once for its three consumers → two
+    small reductions (per-source totals: source-sized; per-token
+    totals: vocab-sized) → keyed join back on tok, per-source totals
+    broadcast, contributions folded through a float sum tree.  Every
+    token a source emits also appears in the global table, so the log
+    argument is never zero."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import broadcast_join, partitioned_hash_join
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def st_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        out = pd.DataFrame({"source": b["source"], "tok": toks}).explode(
+            "tok"
+        )
+        out = out[out["tok"].notna()]
+        out["c"] = 1
+        return (
+            out.groupby(["source", "tok"], sort=False, observed=True)[["c"]]
+            .sum()
+            .reset_index()
+        )
+
+    st = grouped_sum(
+        ds, ["source", "tok"], ["c"], partial_fn=st_partial
+    ).materialize()  # three consumers: source totals, token totals, join
+
+    s_tot = grouped_sum(
+        st.map_batches(
+            lambda b: pd.DataFrame(
+                {"source": b["source"].to_numpy(), "n": b["c"].to_numpy()}
+            ),
+            batch_format="pandas",
+        ),
+        ["source"],
+        ["n"],
+    ).to_pandas()  # source-cardinality — broadcast side
+    nn = float(s_tot["n"].sum())
+
+    g_tot = grouped_sum(
+        st.map_batches(
+            lambda b: pd.DataFrame(
+                {"tok": b["tok"].to_numpy(), "cg": b["c"].to_numpy()}
+            ),
+            batch_format="pandas",
+        ),
+        ["tok"],
+        ["cg"],
+    )
+    joined = broadcast_join(
+        partitioned_hash_join(st, g_tot, on=["tok"]), s_tot, on=["source"]
+    )
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        p = b["c"].to_numpy(np.float64) / b["n"].to_numpy(np.float64)
+        q = b["cg"].to_numpy(np.float64) / nn
+        return pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(),
+                "kl_bits": p * np.log2(p / q),
+            }
+        )
+
+    return grouped_sum(
+        joined.map_batches(contrib, batch_format="pandas"),
+        ["source"],
+        ["kl_bits"],
+    )
+
+
 def _transcript_pii_rate_sql(sf: float) -> str:
     men = f"{kg_mentions_path(sf)}/*.parquet"
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
@@ -14821,7 +14975,8 @@ _R5_PINNED = [
 _R5_FRESH3 = [
     "kg_person_fuzzy_clusters", "kg_canonical_comention_edges",
     "kg_person_phonetic_blocks", "kg_comention_window_edges",
-    "kg_randomwalk_corpus",
+    "kg_randomwalk_corpus", "kg_walk_skipgram_pairs",
+    "doc_source_token_kl",
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
     "doc_char_entropy", "doc_source_quota_sample",
