@@ -14317,6 +14317,70 @@ def kg_walk_skipgram_pairs(sf_dir: str, window: int = 2):
     return grouped_sum(partials, ["center", "context"], ["n"])
 
 
+def kg_negsample_sql_for(sf: float, n_draws: int = 4096) -> str:
+    return f"""
+    WITH walks AS ({kg_randomwalk_sql_for(sf)}),
+    freq AS (
+      SELECT node, COUNT(*)::BIGINT AS c FROM walks GROUP BY node
+    ), cum AS (
+      SELECT node, c,
+             SUM(c) OVER (ORDER BY node ROWS UNBOUNDED PRECEDING) AS hi
+      FROM freq
+    ), tot AS (
+      SELECT SUM(c) AS t FROM freq
+    ), draws AS (
+      SELECT i.v AS draw,
+             ('0x' || substr(md5('neg:' || CAST(i.v AS VARCHAR)), 1, 16))
+               ::UBIGINT % (SELECT CAST(t AS UBIGINT) FROM tot) AS r
+      FROM range({n_draws}) i(v)
+    )
+    SELECT d.draw, c.node
+    FROM draws d JOIN cum c
+      ON d.r >= CAST(c.hi - c.c AS UBIGINT) AND d.r < CAST(c.hi AS UBIGINT)
+    """
+
+
+@register("kg_walk_negative_samples", kg_negsample_sql_for(0.01))
+def kg_walk_negative_samples(sf_dir: str, n_draws: int = 4096):
+    """Deterministic negative-sampling table for the skip-gram trainer:
+    ``n_draws`` nodes drawn proportionally to their walk-corpus
+    frequency, draw i picking the node whose exact-integer cumulative
+    interval contains hash64('neg:' ‖ i) mod total — content-addressed
+    draws (reproducible, SQL-replayable) where an RNG stream is neither.
+    The frequency census reduces through the keyed tree to a
+    vocabulary-sized (node, cum) table that broadcasts into the draw
+    scan (the alias-table discipline every embedding trainer uses);
+    draws themselves are an embarrassingly parallel range map with one
+    searchsorted per batch."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.functions.textfns import stable_hash64_np
+
+    walks = kg_randomwalk_corpus(sf_dir)
+    freq = grouped_sum(
+        walks.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"].to_numpy(),
+                 "c": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"],
+        ["c"],
+    ).to_pandas()  # vocabulary-sized census
+    freq = freq.sort_values("node").reset_index(drop=True)
+    ends = freq["c"].to_numpy(np.uint64).cumsum()
+    nodes = freq["node"].to_numpy()
+    total = np.uint64(ends[-1])
+
+    def draw_batch(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["id"].to_numpy(np.int64)
+        r = stable_hash64_np(pd.Series([f"neg:{i}" for i in ids])) % total
+        idx = np.searchsorted(ends, r, side="right")
+        return pd.DataFrame({"draw": ids, "node": nodes[idx]})
+
+    return rd.range(n_draws).map_batches(draw_batch, batch_format="pandas")
+
+
 @register(
     "doc_source_token_kl",
     r"""
@@ -14976,7 +15040,7 @@ _R5_FRESH3 = [
     "kg_person_fuzzy_clusters", "kg_canonical_comention_edges",
     "kg_person_phonetic_blocks", "kg_comention_window_edges",
     "kg_randomwalk_corpus", "kg_walk_skipgram_pairs",
-    "doc_source_token_kl",
+    "kg_walk_negative_samples", "doc_source_token_kl",
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
     "doc_char_entropy", "doc_source_quota_sample",

@@ -23,6 +23,7 @@ from nerpii_ray.pipelines.queries import (
     kg_canonical_comention_sql_for,
     kg_comention_window_sql_for,
     kg_person_comention_sql_for,
+    kg_negsample_sql_for,
     kg_randomwalk_sql_for,
     kg_skipgram_sql_for,
     kg_person_fuzzy_sql_for,
@@ -48,6 +49,7 @@ SQL_OVERRIDES = {
     "kg_person_comention_edges": kg_person_comention_sql_for(0.001),
     "kg_randomwalk_corpus": kg_randomwalk_sql_for(0.001),
     "kg_walk_skipgram_pairs": kg_skipgram_sql_for(0.001),
+    "kg_walk_negative_samples": kg_negsample_sql_for(0.001),
     "kg_person_fuzzy_clusters": kg_person_fuzzy_sql_for(0.001),
     "transcript_conv_minhash_pairs": _conv_minhash_sql(0.001),
     "transcript_langid_mix": _transcript_langid_mix_sql(0.001),
