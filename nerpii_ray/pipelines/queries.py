@@ -14382,6 +14382,79 @@ def kg_walk_negative_samples(sf_dir: str, n_draws: int = 4096):
 
 
 @register(
+    "doc_zipf_slope",
+    r"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '\w+')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY tok
+    ), r AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rnk FROM c
+    ), p AS (
+      SELECT log2(rnk * 1.0) AS x, log2(c * 1.0) AS y FROM r WHERE rnk <= 100
+    ), s AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM p
+    )
+    SELECT n AS n_terms,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+    FROM s
+    """,
+)
+def doc_zipf_slope(sf_dir: str):
+    """Corpus-health check: least-squares slope of the log-log
+    rank-frequency curve over the top-100 tokens — natural text sits
+    near Zipf's −1; template mills and synthetic spam flatten it, OCR
+    noise steepens the tail.  The token census completes through the
+    cardinality-aware keyed tree BEFORE the top-100 cut (the
+    ``doc_oov_rate`` rule: additive counts are never cut pre-combine);
+    the regression itself runs on 100 driver floats."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def cnt_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        out = pd.DataFrame({"token": toks}).explode("token")
+        out = out[out["token"].notna()]
+        out["c"] = 1
+        return (
+            out.groupby("token", sort=False, observed=True)[["c"]]
+            .sum()
+            .reset_index()
+        )
+
+    cfreq = grouped_sum(ds, ["token"], ["c"], partial_fn=cnt_partial)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["c", "token"], ascending=[False, True], kind="stable"
+        ).head(100)
+
+    top = tree_aggregate(cfreq, topk, topk).to_pandas()
+    top = top.sort_values(
+        ["c", "token"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+    n = len(top)
+    x = np.log2(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log2(top["c"].to_numpy(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame(
+        {
+            "n_terms": pd.Series([n], dtype="int64"),
+            "slope": [slope],
+            "intercept": [(sy - slope * sx) / n],
+        }
+    )
+
+
+@register(
     "doc_source_token_kl",
     r"""
     WITH toks AS (
@@ -15040,7 +15113,7 @@ _R5_FRESH3 = [
     "kg_person_fuzzy_clusters", "kg_canonical_comention_edges",
     "kg_person_phonetic_blocks", "kg_comention_window_edges",
     "kg_randomwalk_corpus", "kg_walk_skipgram_pairs",
-    "kg_walk_negative_samples", "doc_source_token_kl",
+    "kg_walk_negative_samples", "doc_source_token_kl", "doc_zipf_slope",
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
     "doc_char_entropy", "doc_source_quota_sample",

@@ -138,3 +138,30 @@ def test_every_query_has_callable():
     assert len(QUERIES) >= 20
     for name, fn in QUERIES.items():
         assert callable(fn), name
+
+
+def test_randomwalk_walks_are_valid_paths():
+    """Structural invariant the SQL twin cannot express: every
+    consecutive (node, next) pair in every walk is an actual edge of
+    the co-mention graph, and every walk has exactly length+1 steps."""
+    walks = _to_df(QUERIES["kg_randomwalk_corpus"](SF))
+    edges = _to_df(QUERIES["kg_person_comention_edges"](SF))
+    eset = set(zip(edges["node_a"], edges["node_b"]))
+    eset |= {(b, a) for a, b in eset}
+    w = walks.sort_values(["start", "step"])
+    for _, g in w.groupby("start", sort=False):
+        nodes = g["node"].tolist()
+        assert len(nodes) == 4  # length=3 walks emit start + 3 hops
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in eset, (a, b)
+
+
+def test_negative_samples_track_corpus_frequency():
+    """Draw shares follow walk-corpus node frequency (the distribution
+    the trainer needs), within a loose tolerance at 4096 draws."""
+    draws = _to_df(QUERIES["kg_walk_negative_samples"](SF))
+    walks = _to_df(QUERIES["kg_randomwalk_corpus"](SF))
+    want = walks["node"].value_counts(normalize=True)
+    got = draws["node"].value_counts(normalize=True)
+    top = want.index[0]
+    assert abs(got.get(top, 0.0) - want[top]) < 0.05
