@@ -14734,6 +14734,113 @@ def transcript_segment_split(sf_dir: str, gap_sec: int = 90):
     return keyed_partition_apply(ds, ["conv_id"], kernel)
 
 
+def _transcript_tool_funnel_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH s1 AS (
+      SELECT conv_id, MIN(turn_idx) AS t1 FROM '{turns}'
+      WHERE tool = 'crm_lookup' GROUP BY conv_id
+    ), s2 AS (
+      SELECT t.conv_id, MIN(t.turn_idx) AS t2
+      FROM '{turns}' t JOIN s1 ON s1.conv_id = t.conv_id
+       AND t.turn_idx > s1.t1
+      WHERE t.tool = 'send_email' GROUP BY t.conv_id
+    )
+    SELECT c.conv_id,
+           CAST(CASE WHEN s2.conv_id IS NOT NULL THEN 2
+                     WHEN s1.conv_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage
+    FROM (SELECT DISTINCT conv_id FROM '{turns}') c
+    LEFT JOIN s1 USING (conv_id) LEFT JOIN s2 USING (conv_id)
+    """
+
+
+@register("transcript_tool_funnel", _transcript_tool_funnel_sql(0.01))
+def transcript_tool_funnel(sf_dir: str):
+    """Tool-usage conversion funnel inside conversations: how many
+    conversations look something up (crm_lookup) and then act on it
+    (send_email at a strictly later turn) — the agent-behavior metric
+    separating research-only threads from completed workflows.  Reuses
+    the general k-step ``sequential_funnel`` kernel with conv_id as the
+    key and turn_idx as the clock (one co-location, chained conditional
+    groupby-mins)."""
+    from nerpii_ray.stages.window import sequential_funnel
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "tool"])
+    return sequential_funnel(
+        ds,
+        steps=["crm_lookup", "send_email"],
+        user_col="conv_id",
+        ts_col="turn_idx",
+        type_col="tool",
+    )
+
+
+def _transcript_hashed_features_sql(sf: float, dims: int = 16) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH toks AS (
+      SELECT conv_id,
+             unnest(regexp_extract_all(lower(coalesce(text, '')), '\\w+'))
+               AS tok
+      FROM '{turns}'
+    ), h AS (
+      SELECT conv_id,
+             CAST(('0x' || substr(md5(tok), 1, 16))::UBIGINT % {dims}
+                  AS BIGINT) AS dim,
+             CAST((('0x' || substr(md5(tok), 1, 16))::UBIGINT // {dims}) % 2
+                  AS BIGINT) * 2 - 1 AS sign
+      FROM toks
+    )
+    SELECT conv_id, dim, SUM(sign)::BIGINT AS val
+    FROM h GROUP BY conv_id, dim
+    """
+
+
+@register("transcript_hashed_features", _transcript_hashed_features_sql(0.01))
+def transcript_hashed_features(sf_dir: str, dims: int = 16):
+    """Feature-hashed conversation vectors (Weinberger et al., ICML'09):
+    every token lands in dimension hash64(tok) mod ``dims`` with sign
+    from the next hash bit, summed per conversation — the constant-
+    memory featurization that feeds clustering/classification without a
+    vocabulary census or a fit pass.  Exact integers, embarrassingly
+    parallel explode + bounded (conv x dims) sum tree; no broadcast, no
+    shuffle of text."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.functions.textfns import stable_hash64_np
+
+    ds = _turns_ds(sf_dir, ["conv_id", "text"])
+    udims = np.uint64(dims)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        ex = pd.DataFrame({"conv_id": b["conv_id"], "tok": toks}).explode(
+            "tok"
+        )
+        ex = ex[ex["tok"].notna()]
+        if not len(ex):
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype="object"),
+                 "dim": pd.Series(dtype="int64"),
+                 "val": pd.Series(dtype="int64")}
+            )
+        h = stable_hash64_np(ex["tok"])
+        out = pd.DataFrame(
+            {
+                "conv_id": ex["conv_id"].to_numpy(),
+                "dim": (h % udims).astype(np.int64),
+                "val": ((h // udims) % np.uint64(2)).astype(np.int64) * 2 - 1,
+            }
+        )
+        return (
+            out.groupby(["conv_id", "dim"], sort=False)[["val"]]
+            .sum()
+            .reset_index()
+        )
+
+    return grouped_sum(ds, ["conv_id", "dim"], ["val"], partial_fn=partial)
+
+
 def _conv_minhash_sql(sf: float) -> str:
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
     docs_cte = f"""
@@ -15116,6 +15223,7 @@ _R5_FRESH3 = [
     "kg_walk_negative_samples", "doc_source_token_kl", "doc_zipf_slope",
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
+    "transcript_tool_funnel", "transcript_hashed_features",
     "doc_char_entropy", "doc_source_quota_sample",
 ]
 

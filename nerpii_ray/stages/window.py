@@ -358,7 +358,10 @@ def sequential_funnel(
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
-            base = {user_col: pd.Series(dtype="int64"),
+            key_dtype = (
+                g[user_col].dtype if user_col in g.columns else "int64"
+            )
+            base = {user_col: pd.Series(dtype=key_dtype),
                     "funnel_stage": pd.Series(dtype="int64")}
             if emit_times:
                 for i in range(1, len(steps) + 1):
@@ -381,7 +384,16 @@ def sequential_funnel(
             prev = cur
             stage_mins.append(cur)
         out = pd.DataFrame(
-            {user_col: users_s.astype("int64"), "funnel_stage": stage}
+            {
+                # preserve string keys (conversation ids); pin numeric
+                # keys to int64 so empty/typed blocks concatenate clean
+                user_col: (
+                    users_s
+                    if users_s.dtype == object
+                    else users_s.astype("int64")
+                ),
+                "funnel_stage": stage,
+            }
         )
         if emit_times:
             # stage-i min timestamp per user as int64 microseconds,
