@@ -14382,6 +14382,144 @@ def kg_walk_negative_samples(sf_dir: str, n_draws: int = 4096):
 
 
 @register(
+    "doc_bigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS ts
+      FROM documents
+    ), big AS (
+      SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+      FROM (
+        SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        FROM toks WHERE len(ts) >= 2
+      )
+    ), cb AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS c FROM big GROUP BY w1, w2
+    ), cs AS (
+      SELECT w1, SUM(c) AS cs FROM cb GROUP BY w1
+    )
+    SELECT b.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           SUM(log2(cb.c * 1.0 / cs.cs)) / COUNT(*) AS avg_logprob
+    FROM big b
+    JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2
+    JOIN cs ON cs.w1 = b.w1
+    GROUP BY b.doc_id
+    """,
+)
+def doc_bigram_logprob(sf_dir: str):
+    """Perplexity-style curation signal (the CCNet recipe shape): score
+    every document by the mean log2-probability of its bigrams under
+    the corpus's own MLE bigram model — template spam scores high
+    (predictable), gibberish scores low.  Physical plan: ONE text pass
+    emits per-doc bigram multiplicities (combiner-compressed,
+    materialized once for its census and scoring consumers), the bigram
+    and bigram-start censuses reduce through keyed trees, two keyed
+    joins attach model counts, and a per-doc float sum tree finishes
+    the average — the text itself never rides a shuffle."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def big_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(r"\w+")
+        ex = pd.DataFrame({"doc_id": b["doc_id"], "tok": toks}).explode(
+            "tok"
+        )
+        ex = ex[ex["tok"].notna()]
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "w1": pd.Series(dtype="object"),
+             "w2": pd.Series(dtype="object"),
+             "n": pd.Series(dtype="int64")}
+        )
+        if len(ex) < 2:
+            return empty
+        ids = ex["doc_id"].to_numpy()
+        ws = ex["tok"].to_numpy()
+        same = ids[:-1] == ids[1:]  # docs are one row; explode keeps
+        # a document's tokens contiguous, so adjacency = bigram
+        if not same.any():
+            return empty
+        out = pd.DataFrame(
+            {
+                "doc_id": ids[:-1][same],
+                "w1": ws[:-1][same],
+                "w2": ws[1:][same],
+            }
+        )
+        out["n"] = np.int64(1)
+        return (
+            out.groupby(["doc_id", "w1", "w2"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+
+    big = grouped_sum(
+        ds, ["doc_id", "w1", "w2"], ["n"], partial_fn=big_partial
+    ).materialize()  # combiner-compressed; census + scoring consumers
+
+    cb = grouped_sum(
+        big.map_batches(
+            lambda b: pd.DataFrame(
+                {"w1": b["w1"].to_numpy(), "w2": b["w2"].to_numpy(),
+                 "c": b["n"].to_numpy()}
+            ),
+            batch_format="pandas",
+        ),
+        ["w1", "w2"],
+        ["c"],
+    ).materialize()  # model counts: bigram census + start census below
+
+    cs = grouped_sum(
+        cb.map_batches(
+            lambda b: pd.DataFrame(
+                {"w1": b["w1"].to_numpy(), "cs": b["c"].to_numpy()}
+            ),
+            batch_format="pandas",
+        ),
+        ["w1"],
+        ["cs"],
+    )
+    j = partitioned_hash_join(
+        partitioned_hash_join(big, cb, on=["w1", "w2"]), cs, on=["w1"]
+    )
+
+    def contrib(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "doc_id": b["doc_id"].to_numpy(),
+                "lp": n * np.log2(
+                    b["c"].to_numpy(np.float64) / b["cs"].to_numpy(np.float64)
+                ),
+                "n_bigrams": b["n"].to_numpy(np.int64),
+            }
+        )
+
+    sums = grouped_sum(
+        j.map_batches(contrib, batch_format="pandas"),
+        ["doc_id"],
+        ["lp", "n_bigrams"],
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                # empty join buckets degrade int columns to float64 on
+                # concat; inner joins guarantee no NaN, so pin int64
+                "doc_id": b["doc_id"].to_numpy(np.int64),
+                "n_bigrams": b["n_bigrams"].to_numpy(np.int64),
+                "avg_logprob": b["lp"].to_numpy(np.float64)
+                / b["n_bigrams"].to_numpy(np.float64),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+@register(
     "doc_zipf_slope",
     r"""
     WITH toks AS (
@@ -15221,6 +15359,7 @@ _R5_FRESH3 = [
     "kg_person_phonetic_blocks", "kg_comention_window_edges",
     "kg_randomwalk_corpus", "kg_walk_skipgram_pairs",
     "kg_walk_negative_samples", "doc_source_token_kl", "doc_zipf_slope",
+    "doc_bigram_logprob",
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
     "transcript_tool_funnel", "transcript_hashed_features",
