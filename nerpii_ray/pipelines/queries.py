@@ -6930,6 +6930,99 @@ def embedding_knn_self(sf_dir: str):
 
 
 @register(
+    "embedding_knn_label_purity",
+    """
+    WITH knn AS (
+    """
+    + ORACLE_SQL["embedding_knn_self"]  # composed verbatim — cannot drift
+    + """
+    )
+    SELECT l1.label,
+           COUNT(*)::BIGINT AS n_edges,
+           SUM(CASE WHEN l1.label = l2.label THEN 1 ELSE 0 END)::BIGINT
+             AS n_same,
+           CAST(10000 * SUM(CASE WHEN l1.label = l2.label THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS purity_bp
+    FROM knn
+    JOIN embeddings l1 ON l1.vec_id = knn.vec_id
+    JOIN embeddings l2 ON l2.vec_id = knn.nbr_id
+    GROUP BY l1.label
+    """,
+)
+def embedding_knn_label_purity(sf_dir: str):
+    """Embedding-quality evaluation: for each label, the share of 3-NN
+    graph edges whose neighbor carries the SAME label, in exact basis
+    points — the neighborhood-purity metric that tells you whether an
+    embedding space separates classes before you spend a training run
+    on it.  Composes the bit-stable exact k-NN self-join with two keyed
+    label joins and a bounded per-label count tree; all integers, no
+    float thresholds."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.joins import partitioned_hash_join
+    from nerpii_ray.stages.similarity import knn_self_join
+
+    knn = knn_self_join(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=3
+    )
+    labels = _read(sf_dir, "embeddings", ["vec_id", "label"])
+    j1 = partitioned_hash_join(
+        knn.map_batches(
+            lambda b: b[["vec_id", "nbr_id"]], batch_format="pandas"
+        ),
+        labels,
+        on=["vec_id"],
+    )
+    j2 = partitioned_hash_join(
+        j1.map_batches(
+            lambda b: b.rename(columns={"label": "label_q"}),
+            batch_format="pandas",
+        ),
+        labels.map_batches(
+            lambda b: b.rename(columns={"vec_id": "nbr_id",
+                                        "label": "label_n"}),
+            batch_format="pandas",
+        ),
+        on=["nbr_id"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "label": b["label_q"].to_numpy(),
+                "n_edges": np.ones(len(b), dtype=np.int64),
+                "n_same": (
+                    b["label_q"].to_numpy() == b["label_n"].to_numpy()
+                ).astype(np.int64),
+            }
+        )
+        return (
+            out.groupby("label", sort=False)[["n_edges", "n_same"]]
+            .sum()
+            .reset_index()
+        )
+
+    sums = grouped_sum(
+        j2, ["label"], ["n_edges", "n_same"], partial_fn=partial
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n_edges = b["n_edges"].to_numpy(np.int64)
+        n_same = b["n_same"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                # labels are int64 in the table; empty join buckets
+                # degrade them to float64 on concat — pin back
+                "label": b["label"].to_numpy(np.int64),
+                "n_edges": n_edges,
+                "n_same": n_same,
+                "purity_bp": 10000 * n_same // n_edges,
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+@register(
     "orders_price_zscore",
     """
     WITH c AS (
@@ -15359,7 +15452,7 @@ _R5_FRESH3 = [
     "kg_person_phonetic_blocks", "kg_comention_window_edges",
     "kg_randomwalk_corpus", "kg_walk_skipgram_pairs",
     "kg_walk_negative_samples", "doc_source_token_kl", "doc_zipf_slope",
-    "doc_bigram_logprob",
+    "doc_bigram_logprob", "embedding_knn_label_purity",
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
     "transcript_tool_funnel", "transcript_hashed_features",
