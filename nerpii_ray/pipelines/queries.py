@@ -14965,6 +14965,75 @@ def transcript_segment_split(sf_dir: str, gap_sec: int = 90):
     return keyed_partition_apply(ds, ["conv_id"], kernel)
 
 
+def _transcript_sft_pairs_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH o AS (
+      SELECT conv_id, turn_idx, role, coalesce(text, '') AS text,
+             lead(turn_idx) OVER w AS nxt_idx,
+             lead(role) OVER w AS nxt_role,
+             lead(coalesce(text, '')) OVER w AS nxt_text
+      FROM '{turns}'
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    SELECT conv_id, turn_idx AS prompt_idx, text AS prompt_text,
+           nxt_idx AS response_idx, nxt_text AS response_text
+    FROM o
+    WHERE role = 'user' AND nxt_role = 'assistant'
+      AND length(text) > 0 AND length(nxt_text) > 0
+    """
+
+
+@register("transcript_sft_pairs", _transcript_sft_pairs_sql(0.01))
+def transcript_sft_pairs(sf_dir: str):
+    """SFT training-pair mining: every adjacent user→assistant turn
+    pair (both non-empty) becomes a (prompt, response) example — the
+    extraction step between raw transcripts and an instruction-tuning
+    dataset.  ONE conv_id co-location; the in-bucket kernel is a
+    vectorized shift over (conv, turn)-sorted rows, emitting
+    example-sized output (text moves once, never through a groupby)."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"conv_id": pd.Series(dtype="object"),
+             "prompt_idx": pd.Series(dtype="int64"),
+             "prompt_text": pd.Series(dtype="object"),
+             "response_idx": pd.Series(dtype="int64"),
+             "response_text": pd.Series(dtype="object")}
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        idx = g["turn_idx"].to_numpy(np.int64)
+        role = g["role"].to_numpy()
+        text = g["text"].fillna("").to_numpy()
+        same = conv[:-1] == conv[1:]
+        keep = (
+            same
+            & (role[:-1] == "user")
+            & (role[1:] == "assistant")
+            & (text[:-1] != "")
+            & (text[1:] != "")
+        )
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "conv_id": conv[:-1][keep],
+                "prompt_idx": idx[:-1][keep],
+                "prompt_text": text[:-1][keep],
+                "response_idx": idx[1:][keep],
+                "response_text": text[1:][keep],
+            }
+        )
+
+    return keyed_partition_apply(ds, ["conv_id"], kernel)
+
+
 def _transcript_tool_funnel_sql(sf: float) -> str:
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
     return f"""
@@ -15456,6 +15525,7 @@ _R5_FRESH3 = [
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
     "transcript_tool_funnel", "transcript_hashed_features",
+    "transcript_sft_pairs",
     "doc_char_entropy", "doc_source_quota_sample",
 ]
 
