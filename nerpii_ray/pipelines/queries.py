@@ -14613,6 +14613,88 @@ def doc_bigram_logprob(sf_dir: str):
 
 
 @register(
+    "doc_source_dup_stats",
+    r"""
+    WITH f AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ',
+                                           'g')))) AS fp
+      FROM documents
+    )
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT fp)::BIGINT AS n_unique,
+           CAST(10000 * (COUNT(*) - COUNT(DISTINCT fp)) // COUNT(*)
+                AS BIGINT) AS dup_rate_bp
+    FROM f GROUP BY source
+    """,
+)
+def doc_source_dup_stats(sf_dir: str):
+    """Per-source duplication report — the curation dashboard row that
+    tells you WHICH feeds are recycling content before you spend the
+    near-dup pass on them: per source, total docs, distinct normalized
+    fingerprints, duplicate rate in exact basis points.  Same
+    normalize-then-md5 key as ``doc_exact_dedup``; distinct counts ride
+    the (source, fp) dedup tree, totals a bounded count tree, one
+    source-keyed stitch at the end."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+    from nerpii_ray.functions.textfns import md5_of_strings
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def fp_rows(b: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            b["text"].fillna("")
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+            .str.lower()
+        )
+        return pd.DataFrame(
+            {"source": b["source"].to_numpy(),
+             "fp": md5_of_strings(norm).to_numpy()}
+        )
+
+    fps = ds.map_batches(fp_rows, batch_format="pandas")
+    uniq = grouped_sum(
+        tree_dedup(fps, ["source", "fp"]).map_batches(
+            lambda b: pd.DataFrame(
+                {"source": b["source"].to_numpy(),
+                 "n_unique": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["source"],
+        ["n_unique"],
+    )
+    totals = grouped_sum(
+        fps.map_batches(
+            lambda b: pd.DataFrame(
+                {"source": b["source"].to_numpy(),
+                 "n_docs": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["source"],
+        ["n_docs"],
+    )
+    j = partitioned_hash_join(totals, uniq, on=["source"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n_docs"].to_numpy(np.int64)
+        u = b["n_unique"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "source": b["source"].to_numpy(),
+                "n_docs": n,
+                "n_unique": u,
+                "dup_rate_bp": 10000 * (n - u) // n,
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+@register(
     "doc_zipf_slope",
     r"""
     WITH toks AS (
@@ -14961,6 +15043,67 @@ def transcript_segment_split(sf_dir: str, gap_sec: int = 90):
         )
         out["segment"] = out.groupby("conv_id", sort=False)["b"].cumsum()
         return out[["conv_id", "turn_idx", "segment"]]
+
+    return keyed_partition_apply(ds, ["conv_id"], kernel)
+
+
+def _transcript_role_runs_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH o AS (
+      SELECT conv_id, role,
+             row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - row_number() OVER (PARTITION BY conv_id, role
+                                ORDER BY turn_idx) AS isl
+      FROM '{turns}'
+    ), runs AS (
+      SELECT conv_id, role, isl, COUNT(*)::BIGINT AS run_len
+      FROM o GROUP BY conv_id, role, isl
+    )
+    SELECT conv_id, role, MAX(run_len)::BIGINT AS max_run
+    FROM runs GROUP BY conv_id, role
+    """
+
+
+@register("transcript_role_runs", _transcript_role_runs_sql(0.01))
+def transcript_role_runs(sf_dir: str):
+    """Degenerate-loop detector: the longest consecutive same-role run
+    per (conversation, role) — an assistant stuck repeating itself or a
+    tool hammering retries shows up as a long run, the signal a
+    transcript curation pass drops or truncates on.  ONE conv_id
+    co-location; the in-bucket kernel is a vectorized boundary cumsum
+    (gaps-and-islands without window functions)."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(
+                {"conv_id": pd.Series(dtype="object"),
+                 "role": pd.Series(dtype="object"),
+                 "max_run": pd.Series(dtype="int64")}
+            )
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        boundary = np.ones(len(g), dtype=np.int64)
+        boundary[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+        run_id = boundary.cumsum()
+        d = pd.DataFrame(
+            {"conv_id": conv, "role": role, "run_id": run_id}
+        )
+        runs = (
+            d.groupby(["conv_id", "role", "run_id"], sort=False)
+            .size()
+            .reset_index(name="run_len")
+        )
+        out = (
+            runs.groupby(["conv_id", "role"], sort=False, as_index=False)
+            .agg(max_run=("run_len", "max"))
+        )
+        out["max_run"] = out["max_run"].astype("int64")
+        return out
 
     return keyed_partition_apply(ds, ["conv_id"], kernel)
 
@@ -15525,7 +15668,7 @@ _R5_FRESH3 = [
     "transcript_pii_rate", "transcript_conv_minhash_pairs",
     "transcript_langid_mix", "transcript_segment_split",
     "transcript_tool_funnel", "transcript_hashed_features",
-    "transcript_sft_pairs",
+    "transcript_sft_pairs", "transcript_role_runs", "doc_source_dup_stats",
     "doc_char_entropy", "doc_source_quota_sample",
 ]
 

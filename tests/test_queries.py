@@ -31,6 +31,7 @@ from nerpii_ray.pipelines.queries import (
     _transcript_langid_mix_sql,
     _transcript_pii_rate_sql,
     _transcript_segment_split_sql,
+    _transcript_role_runs_sql,
     _transcript_sft_pairs_sql,
     _transcript_tool_funnel_sql,
     _transcript_hashed_features_sql,
@@ -57,6 +58,7 @@ SQL_OVERRIDES = {
     "transcript_conv_minhash_pairs": _conv_minhash_sql(0.001),
     "transcript_langid_mix": _transcript_langid_mix_sql(0.001),
     "transcript_segment_split": _transcript_segment_split_sql(0.001),
+    "transcript_role_runs": _transcript_role_runs_sql(0.001),
     "transcript_sft_pairs": _transcript_sft_pairs_sql(0.001),
     "transcript_tool_funnel": _transcript_tool_funnel_sql(0.001),
     "transcript_hashed_features": _transcript_hashed_features_sql(0.001),
