@@ -165,6 +165,7 @@ def run_bench() -> dict:
         "natid_detect_eu",         # checksum-chain scan family (round 4)
         "doc_ngram_novelty",       # corpus gram attribution (round 5)
         "orders_global_rank",      # range-partitioned total order (round 5)
+        "transcript_sft_pairs",    # transcript-native extraction (round 5)
     ]
 
     # --scaling sets this: the per-level subprocesses measure ONLY the
