@@ -15573,6 +15573,424 @@ def transcript_pack_contexts(sf_dir: str):
                              id_kind="str")
 
 
+def kg_entity_timeline_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH m AS (
+      SELECT conv_id, turn_idx, entity, node_id FROM '{men}'
+    ), t AS (
+      SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us FROM '{turns}'
+    )
+    SELECT m.node_id, m.entity,
+           COUNT(*)::BIGINT AS n_mentions,
+           COUNT(DISTINCT m.conv_id)::BIGINT AS n_convs,
+           MIN(t.ts_us)::BIGINT AS first_us,
+           MAX(t.ts_us)::BIGINT AS last_us
+    FROM m JOIN t USING (conv_id, turn_idx)
+    GROUP BY m.node_id, m.entity
+    """
+
+
+@register("kg_entity_timeline", kg_entity_timeline_sql_for(0.01))
+def kg_entity_timeline(sf_dir: str):
+    """Temporal profile per canonical entity node: mention count,
+    distinct conversations, and first/last mention timestamp (epoch
+    micros) — the freshness/coverage signal an entity-linking pass
+    uses to rank candidates and expire stale nodes.  Timestamps reach
+    the mentions through ONE (conv_id, turn_idx) bucketed hash join
+    (both sides pruned to key + ts); min/max/count fold through a
+    keyed merge tree, distinct-convs through a (node, conv) dedup
+    tree, and the two node-sized aggregates stitch with a keyed join
+    — full rows never pass a groupby."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate, tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["node_id"].notna()]
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "turn_idx": b["turn_idx"].astype("int64").to_numpy(),
+                "entity": b["entity"].astype(str).to_numpy(),
+                "node_id": b["node_id"].to_numpy(),
+            }
+        )
+
+    m = mentions.map_batches(prep, batch_format="pandas")
+
+    def ts_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "turn_idx": b["turn_idx"].astype("int64").to_numpy(),
+                "ts_us": b["ts"].astype("int64").to_numpy(),
+            }
+        )
+
+    t = _turns_ds(sf_dir, ["conv_id", "turn_idx", "ts"]).map_batches(
+        ts_prep, batch_format="pandas"
+    )
+    joined = partitioned_hash_join(m, t, on=["conv_id", "turn_idx"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "node_id": b["node_id"].to_numpy(),
+                "entity": b["entity"].to_numpy(),
+                "n_mentions": np.int64(1),
+                "first_us": b["ts_us"].astype("int64").to_numpy(),
+                "last_us": b["ts_us"].astype("int64").to_numpy(),
+            }
+        )
+        return merge(df)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["node_id", "entity"], sort=False, observed=True)
+            .agg(
+                n_mentions=("n_mentions", "sum"),
+                first_us=("first_us", "min"),
+                last_us=("last_us", "max"),
+            )
+            .reset_index()
+        )
+
+    stats = tree_aggregate(joined, partial, merge, keys=["node_id", "entity"])
+
+    convs = tree_dedup(
+        m.map_batches(
+            lambda b: b[["node_id", "conv_id"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["node_id", "conv_id"],
+    )
+    nconv = grouped_sum(
+        convs.map_batches(
+            lambda b: pd.DataFrame(
+                {"node_id": b["node_id"].to_numpy(),
+                 "n_convs": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["node_id"], ["n_convs"],
+    )
+    out = partitioned_hash_join(stats, nconv, on=["node_id"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # the join's schema-align union passes int columns through a
+        # NaN-padded reindex (float64); restore the exact int64 dtypes
+        # the driver hashes
+        return pd.DataFrame(
+            {
+                "node_id": b["node_id"].to_numpy(),
+                "entity": b["entity"].to_numpy(),
+                "n_mentions": b["n_mentions"].astype("int64").to_numpy(),
+                "n_convs": b["n_convs"].astype("int64").to_numpy(),
+                "first_us": b["first_us"].astype("int64").to_numpy(),
+                "last_us": b["last_us"].astype("int64").to_numpy(),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def kg_predicate_stats_sql_for(sf: float) -> str:
+    return f"""
+    WITH e AS ({kg_edges_sql_for(sf)})
+    SELECT pred,
+           COUNT(*)::BIGINT AS n_edges,
+           COUNT(DISTINCT subj_id)::BIGINT AS n_subj,
+           COUNT(DISTINCT obj_id)::BIGINT AS n_obj,
+           COUNT(DISTINCT conv_id)::BIGINT AS n_convs
+    FROM e GROUP BY pred
+    """
+
+
+@register("kg_predicate_stats", kg_predicate_stats_sql_for(0.01))
+def kg_predicate_stats(sf_dir: str):
+    """Schema-level census of the triple store: per predicate, the edge
+    count and distinct subject / object / conversation cardinalities —
+    the first table a KG consumer reads to understand relation shape
+    (fan-out, provenance breadth).  The pruned edge projection is
+    materialized ONCE (edge-sized, 4 short columns) and feeds one
+    bounded-key sum tree plus three dedup trees; the predicate
+    vocabulary is fixed by the extractor, so the final stitch is a
+    driver-small merge."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    edges = _kg_results(sf)["edges"].select_columns(
+        ["pred", "subj_id", "obj_id", "conv_id"]
+    ).materialize()
+
+    n_edges = grouped_sum(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {"pred": b["pred"].to_numpy(),
+                 "n_edges": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["pred"], ["n_edges"], adaptive=False,
+    ).to_pandas()
+
+    def distinct_count(col: str, out_col: str) -> pd.DataFrame:
+        d = tree_dedup(
+            edges.map_batches(
+                lambda b, c=col: b[["pred", c]].drop_duplicates(),
+                batch_format="pandas",
+            ),
+            ["pred", col],
+        )
+        return grouped_sum(
+            d.map_batches(
+                lambda b, oc=out_col: pd.DataFrame(
+                    {"pred": b["pred"].to_numpy(),
+                     oc: np.ones(len(b), dtype=np.int64)}
+                ),
+                batch_format="pandas",
+            ),
+            ["pred"], [out_col], adaptive=False,
+        ).to_pandas()
+
+    out = n_edges
+    for col, oc in (("subj_id", "n_subj"), ("obj_id", "n_obj"),
+                    ("conv_id", "n_convs")):
+        out = out.merge(distinct_count(col, oc), on="pred", how="inner")
+    return out[["pred", "n_edges", "n_subj", "n_obj", "n_convs"]]
+
+
+def kg_edge_support_sql_for(sf: float) -> str:
+    return f"""
+    WITH e AS ({kg_edges_sql_for(sf)})
+    SELECT subj_id, pred, obj_id,
+           COUNT(*)::BIGINT AS n_support,
+           COUNT(DISTINCT conv_id)::BIGINT AS n_convs
+    FROM e GROUP BY subj_id, pred, obj_id
+    """
+
+
+@register("kg_edge_support", kg_edge_support_sql_for(0.01))
+def kg_edge_support(sf_dir: str):
+    """Provenance strength per distinct triple: how many turn-level
+    extractions and distinct conversations support each (subj, pred,
+    obj) — the confidence input for downstream triple filtering
+    (single-support edges are the noise tail).  One keyed sum tree
+    over the pruned edge projection for supports, one dedup tree +
+    bounded count for conversations, stitched by a triple-keyed
+    bucketed join — each stage moves ~50-byte rows, never text."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    edges = _kg_results(sf)["edges"].select_columns(
+        ["subj_id", "pred", "obj_id", "conv_id"]
+    ).materialize()
+    key = ["subj_id", "pred", "obj_id"]
+
+    support = grouped_sum(
+        edges.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "subj_id": b["subj_id"].to_numpy(),
+                    "pred": b["pred"].to_numpy(),
+                    "obj_id": b["obj_id"].to_numpy(),
+                    "n_support": np.ones(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        key, ["n_support"],
+    )
+    convs = tree_dedup(
+        edges.map_batches(
+            lambda b: b[key + ["conv_id"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        key + ["conv_id"],
+    )
+    nconv = grouped_sum(
+        convs.map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "subj_id": b["subj_id"].to_numpy(),
+                    "pred": b["pred"].to_numpy(),
+                    "obj_id": b["obj_id"].to_numpy(),
+                    "n_convs": np.ones(len(b), dtype=np.int64),
+                }
+            ),
+            batch_format="pandas",
+        ),
+        key, ["n_convs"],
+    )
+    out = partitioned_hash_join(support, nconv, on=key)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # restore int64 after the join's NaN-padded schema-align union
+        b = b[key + ["n_support", "n_convs"]].copy()
+        b["n_support"] = b["n_support"].astype("int64")
+        b["n_convs"] = b["n_convs"].astype("int64")
+        return b
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+#: heuristic dialog-act vocabulary: a user turn whose first word (after
+#: trimming, lowercased) is one of these is a COMMAND unless it ends
+#: with '?' (QUESTION wins).  Shared verbatim by the engine kernel and
+#: the SQL twin.
+_DIALOG_COMMAND_WORDS = (
+    "please", "show", "list", "find", "get", "run", "create", "delete",
+    "update", "send", "give", "tell", "make", "add", "remove", "check",
+    "open", "close", "set", "schedule", "help",
+)
+
+
+def _transcript_dialog_acts_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    words = ", ".join(f"'{w}'" for w in _DIALOG_COMMAND_WORDS)
+    return f"""
+    WITH u AS (
+      SELECT conv_id,
+             trim(coalesce(text, ''), ' \t\n\r') AS t
+      FROM '{turns}' WHERE role = 'user'
+    ), nz AS (
+      SELECT conv_id, t,
+             CASE WHEN t LIKE '%?' THEN 'question'
+                  WHEN lower(split_part(t, ' ', 1)) IN ({words})
+                       THEN 'command'
+                  ELSE 'statement' END AS act
+      FROM u WHERE t <> ''
+    )
+    SELECT conv_id,
+           SUM(CASE WHEN act = 'question' THEN 1 ELSE 0 END)::BIGINT
+               AS n_question,
+           SUM(CASE WHEN act = 'command' THEN 1 ELSE 0 END)::BIGINT
+               AS n_command,
+           SUM(CASE WHEN act = 'statement' THEN 1 ELSE 0 END)::BIGINT
+               AS n_statement
+    FROM nz GROUP BY conv_id
+    """
+
+
+@register("transcript_dialog_acts", _transcript_dialog_acts_sql(0.01))
+def transcript_dialog_acts(sf_dir: str):
+    """Heuristic dialog-act census per conversation: every non-empty
+    USER turn is tagged question (trimmed text ends with '?'), command
+    (first word in the imperative vocabulary), or statement — the
+    cheap structural signal an SFT curation pass uses to balance
+    instruction-style vs chat-style conversations.  Tagging is
+    vectorized pandas string kernels inside the scan; the per-conv
+    histogram folds through one keyed sum tree (three int columns —
+    no text moves past the scan)."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _turns_ds(sf_dir, ["conv_id", "role", "text"])
+    cmd = frozenset(_DIALOG_COMMAND_WORDS)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["role"] == "user"]
+        t = b["text"].fillna("").str.strip(" \t\n\r")
+        keep = t != ""
+        t = t[keep]
+        conv = b.loc[keep, "conv_id"].to_numpy()
+        q = t.str.endswith("?").to_numpy()
+        first = t.str.split(" ", n=1).str[0].str.lower()
+        c = (~q) & first.isin(cmd).to_numpy()
+        df = pd.DataFrame(
+            {
+                "conv_id": conv,
+                "n_question": q.astype("int64"),
+                "n_command": c.astype("int64"),
+                "n_statement": (~q & ~c).astype("int64"),
+            }
+        )
+        return (
+            df.groupby("conv_id", sort=False)[
+                ["n_question", "n_command", "n_statement"]
+            ].sum().reset_index()
+        )
+
+    return grouped_sum(
+        ds, ["conv_id"], ["n_question", "n_command", "n_statement"],
+        partial_fn=partial,
+    )
+
+
+def _transcript_tool_stats_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    SELECT tool,
+           COUNT(*)::BIGINT AS n_calls,
+           COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+           SUM(length(coalesce(text, '')))::BIGINT AS total_chars
+    FROM '{turns}'
+    WHERE tool IS NOT NULL AND tool <> 'none'
+    GROUP BY tool
+    """
+
+
+@register("transcript_tool_stats", _transcript_tool_stats_sql(0.01))
+def transcript_tool_stats(sf_dir: str):
+    """Per-tool usage census over tool-attributed turns: call count,
+    distinct conversations touched, total payload chars — the triage
+    table an agent-transcript pipeline reads before deciding which
+    tool traffic to mine for trajectories.  Calls/chars fold through
+    one sum tree; distinct convs through a (tool, conv) dedup tree +
+    bounded-key count (tool vocabulary is small by construction, so
+    the final stitch is a driver-small merge)."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    ds = _turns_ds(sf_dir, ["conv_id", "tool", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["tool"].notna() & (b["tool"] != "none")]
+        df = pd.DataFrame(
+            {
+                "tool": b["tool"].to_numpy(),
+                "n_calls": np.int64(1),
+                "total_chars": b["text"].fillna("").str.len()
+                .astype("int64").to_numpy(),
+            }
+        )
+        return (
+            df.groupby("tool", sort=False)[["n_calls", "total_chars"]]
+            .sum().reset_index()
+        )
+
+    sums = grouped_sum(
+        ds, ["tool"], ["n_calls", "total_chars"], partial_fn=partial,
+    ).to_pandas()
+
+    def conv_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["tool"].notna() & (b["tool"] != "none")]
+        return b[["tool", "conv_id"]].drop_duplicates()
+
+    pairs = tree_dedup(
+        ds.map_batches(conv_partial, batch_format="pandas"),
+        ["tool", "conv_id"],
+    )
+    nconv = grouped_sum(
+        pairs.map_batches(
+            lambda b: pd.DataFrame(
+                {"tool": b["tool"].to_numpy(),
+                 "n_convs": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["tool"], ["n_convs"],
+    ).to_pandas()
+    out = sums.merge(nconv, on="tool", how="inner")
+    return out[["tool", "n_calls", "n_convs", "total_chars"]]
+
+
 #: stable, already-certified queries that yield their window slot first
 #: when the registry outgrows 50: simple roundtrips, samplers and string
 #: kernels whose semantics are additionally pytest-pinned.  Flagship
@@ -15673,13 +16091,21 @@ _R5_FRESH3 = [
 ]
 
 
+#: closing-session additions — never driver-certified, on-theme (triple
+#: provenance, entity timelines, dialog-act curation)
+_R5_FRESH4 = [
+    "kg_entity_timeline", "kg_predicate_stats", "kg_edge_support",
+    "transcript_dialog_acts", "transcript_tool_stats",
+]
+
+
 def _reorder_for_driver_window() -> None:
     # window layout (first 50 = the driver's sweep): never-certified /
     # plan-changed queries first, then the pinned flagships, then as many
     # r4-deprioritized rotate-ins as still fit — certified-in-r≤3 queries
     # yield their slot to queries with no driver artifact at all
     fresh = [
-        n for n in _R5_FRESH3 + _R5_FRESH + _R5_FRESH2
+        n for n in _R5_FRESH4 + _R5_FRESH3 + _R5_FRESH + _R5_FRESH2
         if n in QUERIES and n in ORACLE_SQL
     ]
     taken = set(fresh)

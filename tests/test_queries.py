@@ -37,6 +37,11 @@ from nerpii_ray.pipelines.queries import (
     _transcript_hashed_features_sql,
     kg_person_phonetic_sql_for,
     transcript_gender_sql_for,
+    kg_entity_timeline_sql_for,
+    kg_predicate_stats_sql_for,
+    kg_edge_support_sql_for,
+    _transcript_dialog_acts_sql,
+    _transcript_tool_stats_sql,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -71,6 +76,11 @@ SQL_OVERRIDES = {
     "transcript_curation_funnel": _transcript_curation_funnel_sql(0.001),
     "transcript_pack_contexts": _transcript_pack_contexts_sql(0.001),
     "transcript_reply_latency": _transcript_reply_latency_sql(0.001),
+    "kg_entity_timeline": kg_entity_timeline_sql_for(0.001),
+    "kg_predicate_stats": kg_predicate_stats_sql_for(0.001),
+    "kg_edge_support": kg_edge_support_sql_for(0.001),
+    "transcript_dialog_acts": _transcript_dialog_acts_sql(0.001),
+    "transcript_tool_stats": _transcript_tool_stats_sql(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
