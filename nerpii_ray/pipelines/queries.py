@@ -15842,6 +15842,294 @@ def kg_edge_support(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def _comention_sym_sql(sf: float) -> str:
+    """Symmetrized person co-mention adjacency as a SQL CTE body."""
+    return f"""
+    e AS ({kg_person_comention_sql_for(sf)}),
+    sym AS (
+      SELECT node_a AS node, node_b AS nbr FROM e
+      UNION ALL
+      SELECT node_b AS node, node_a AS nbr FROM e
+    ),
+    deg AS (SELECT node, COUNT(*)::BIGINT AS degree FROM sym GROUP BY node)
+    """
+
+
+def kg_degree_histogram_sql_for(sf: float) -> str:
+    return f"""
+    WITH {_comention_sym_sql(sf)}
+    SELECT CAST(LENGTH(bin(degree)) AS BIGINT) AS bucket,
+           COUNT(*)::BIGINT AS n_nodes
+    FROM deg GROUP BY bucket
+    """
+
+
+@register("kg_degree_histogram", kg_degree_histogram_sql_for(0.01))
+def kg_degree_histogram(sf_dir: str):
+    """Degree distribution of the person co-mention graph, log2-bucketed
+    (bucket = bit_length(degree), the events_gap idiom) — the shape
+    check that tells a KG pipeline whether entity canonicalization has
+    collapsed the graph into a hub (one fat bucket) or left it
+    fragmented.  Degrees fold through a keyed sum tree over the
+    symmetrized edge list; the ≤64-bucket histogram merges through the
+    bounded combiner tree — nothing driver-sized at any scale."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    edges = kg_person_comention_edges(sf_dir)
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [b["node_a"].to_numpy(), b["node_b"].to_numpy()]
+                ),
+                "degree": np.ones(2 * len(b), dtype=np.int64),
+            }
+        )
+
+    deg = grouped_sum(
+        edges.map_batches(sym, batch_format="pandas"), ["node"], ["degree"],
+    )
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["degree"].to_numpy(np.int64)
+        # frexp exponent on exact-in-double ints IS bit_length
+        bucket = np.frexp(d.astype(np.float64))[1].astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "n_nodes": np.int64(1)})
+        return df.groupby("bucket", sort=False).sum().reset_index()
+
+    return grouped_sum(
+        deg.map_batches(bucketize, batch_format="pandas"),
+        ["bucket"], ["n_nodes"], adaptive=False,  # ≤ 64 buckets
+    )
+
+
+def kg_neighbor_jaccard_sql_for(sf: float, cap: int = 64) -> str:
+    return f"""
+    WITH {_comention_sym_sql(sf)},
+    sz AS (SELECT nbr, COUNT(*) AS s FROM sym GROUP BY nbr),
+    p AS (
+      SELECT a.node AS node_x, b.node AS node_y,
+             COUNT(*)::BIGINT AS n_shared
+      FROM sym a JOIN sz USING (nbr)
+                 JOIN sym b ON a.nbr = b.nbr AND a.node < b.node
+      WHERE s <= {cap}
+      GROUP BY 1, 2
+    )
+    SELECT p.node_x, p.node_y, p.n_shared,
+           da.degree AS deg_x, db.degree AS deg_y
+    FROM p JOIN deg da ON da.node = p.node_x
+           JOIN deg db ON db.node = p.node_y
+    WHERE n_shared >= 2
+      AND 5 * n_shared >= da.degree + db.degree - n_shared
+    """
+
+
+@register("kg_node_neighbor_jaccard", kg_neighbor_jaccard_sql_for(0.01))
+def kg_node_neighbor_jaccard(sf_dir: str):
+    """Structural-equivalence candidates on the person co-mention graph:
+    node pairs whose NEIGHBOR SETS overlap (shared ≥ 2, Jaccard ≥ 0.2)
+    — two people who talk about the same people are entity-resolution /
+    role-duplicate candidates even when never co-mentioned themselves.
+    Same inverted-index shape as the posting-family text joins:
+    candidate pairs come only from shared neighbors (posting lists
+    capped at 64 — a hub's O(d²) pair blowup is pruned as
+    non-discriminative evidence, mirrored in the SQL twin), degrees
+    join in on keyed exchanges, and the Jaccard gate is the INTEGER
+    cross-multiply 5·|∩| ≥ |∪| — no float at the threshold."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    edges = kg_person_comention_edges(sf_dir).select_columns(
+        ["node_a", "node_b"]
+    ).materialize()  # edge-sized; serves the posting pass AND degrees
+
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(
+                    [b["node_a"].to_numpy(), b["node_b"].to_numpy()]
+                ),
+                "nbr": np.concatenate(
+                    [b["node_b"].to_numpy(), b["node_a"].to_numpy()]
+                ),
+            }
+        )
+
+    symds = edges.map_batches(sym, batch_format="pandas")
+
+    deg = grouped_sum(
+        symds.map_batches(
+            lambda b: pd.DataFrame(
+                {"node": b["node"].to_numpy(),
+                 "degree": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["node"], ["degree"],
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"node_x": pd.Series([], dtype="object"),
+             "node_y": pd.Series([], dtype="object"),
+             "n_shared": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        sz = g.groupby("nbr", sort=False)["node"].transform("size")
+        g = g[sz <= 64]
+        if not len(g):
+            return empty
+        m = g.merge(g, on="nbr")  # pandas suffixes → node_x / node_y
+        m = m[m["node_x"] < m["node_y"]]
+        part = pd.DataFrame(
+            {
+                "node_x": m["node_x"].to_numpy(),
+                "node_y": m["node_y"].to_numpy(),
+                "n_shared": np.ones(len(m), dtype=np.int64),
+            }
+        )
+        return (
+            part.groupby(["node_x", "node_y"], sort=False)
+            .sum().reset_index()
+        )
+
+    shared = grouped_sum(
+        keyed_partition_apply(symds, ["nbr"], pair_kernel),
+        ["node_x", "node_y"], ["n_shared"],
+    )
+
+    da = deg.map_batches(
+        lambda b: b.rename(columns={"node": "node_x", "degree": "deg_x"}),
+        batch_format="pandas",
+    )
+    db = deg.map_batches(
+        lambda b: b.rename(columns={"node": "node_y", "degree": "deg_y"}),
+        batch_format="pandas",
+    )
+    joined = partitioned_hash_join(
+        partitioned_hash_join(shared, da, on=["node_x"], path="exchange"),
+        db, on=["node_y"], path="exchange",
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        ns = b["n_shared"].astype("int64").to_numpy()
+        dx = b["deg_x"].astype("int64").to_numpy()
+        dy = b["deg_y"].astype("int64").to_numpy()
+        keep = (ns >= 2) & (5 * ns >= dx + dy - ns)
+        out = b.loc[keep]
+        return pd.DataFrame(
+            {
+                "node_x": out["node_x"].to_numpy(),
+                "node_y": out["node_y"].to_numpy(),
+                "n_shared": ns[keep],
+                "deg_x": dx[keep],
+                "deg_y": dy[keep],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def kg_comention_lift_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH e AS ({kg_person_comention_sql_for(sf)}),
+    pm AS (
+      SELECT DISTINCT conv_id, node_id FROM '{men}' WHERE entity = 'PERSON'
+    ),
+    nx AS (SELECT node_id, COUNT(*)::BIGINT AS n FROM pm GROUP BY node_id),
+    tot AS (SELECT COUNT(DISTINCT conv_id)::BIGINT AS n_total FROM pm)
+    SELECT e.node_a, e.node_b, e.n_convs AS n_xy,
+           a.n AS n_x, b.n AS n_y, tot.n_total,
+           CAST((e.n_convs::HUGEINT * tot.n_total * 1000000)
+                // (a.n::HUGEINT * b.n) AS BIGINT) AS lift_ppm
+    FROM e JOIN nx a ON a.node_id = e.node_a
+           JOIN nx b ON b.node_id = e.node_b, tot
+    """
+
+
+@register("kg_comention_lift", kg_comention_lift_sql_for(0.01))
+def kg_comention_lift(sf_dir: str):
+    """Association strength per co-mention edge: observed-over-expected
+    co-occurrence lift, P(x,y)/(P(x)P(y)) in exact parts-per-million —
+    the PMI-family score (integer, so hash-stable) that separates
+    genuinely-linked people from pairs that co-occur because both are
+    frequent.  Per-node conversation counts ride one dedup tree over
+    the mention scan; the corpus total is one scalar; the two
+    node-keyed joins attach marginals to edges; the ppm divide runs in
+    PYTHON INTS (the exact-big-int moments discipline: n_xy·N·10⁶
+    overflows int64 once N is cluster-scale)."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    sf = _sf_of(sf_dir)
+    edges = kg_person_comention_edges(sf_dir)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        return b[["conv_id", "node_id"]].drop_duplicates()
+
+    pm = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "node_id"],
+    ).materialize()  # (conv, person) pairs: marginals + the N scalar
+
+    nx = grouped_sum(
+        pm.map_batches(
+            lambda b: pd.DataFrame(
+                {"node_id": b["node_id"].to_numpy(),
+                 "n": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["node_id"], ["n"],
+    )
+    n_total = int(
+        tree_dedup(pm.select_columns(["conv_id"]), ["conv_id"]).count()
+    )
+
+    na = nx.map_batches(
+        lambda b: b.rename(columns={"node_id": "node_a", "n": "n_x"}),
+        batch_format="pandas",
+    )
+    nb = nx.map_batches(
+        lambda b: b.rename(columns={"node_id": "node_b", "n": "n_y"}),
+        batch_format="pandas",
+    )
+    joined = partitioned_hash_join(
+        partitioned_hash_join(edges, na, on=["node_a"], path="exchange"),
+        nb, on=["node_b"], path="exchange",
+    )
+
+    def finish(b: pd.DataFrame, N: int) -> pd.DataFrame:
+        n_xy = b["n_convs"].astype("int64")
+        n_x = b["n_x"].astype("int64")
+        n_y = b["n_y"].astype("int64")
+        lift = (
+            (n_xy.astype(object) * (N * 1000000))
+            // (n_x.astype(object) * n_y.astype(object))
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "node_a": b["node_a"].to_numpy(),
+                "node_b": b["node_b"].to_numpy(),
+                "n_xy": n_xy.to_numpy(),
+                "n_x": n_x.to_numpy(),
+                "n_y": n_y.to_numpy(),
+                "n_total": np.full(len(b), N, dtype=np.int64),
+                "lift_ppm": lift.to_numpy(),
+            }
+        )
+
+    return joined.map_batches(
+        finish, fn_kwargs=dict(N=n_total), batch_format="pandas"
+    )
+
+
 #: heuristic dialog-act vocabulary: a user turn whose first word (after
 #: trimming, lowercased) is one of these is a COMMAND unless it ends
 #: with '?' (QUESTION wins).  Shared verbatim by the engine kernel and
@@ -16096,6 +16384,7 @@ _R5_FRESH3 = [
 _R5_FRESH4 = [
     "kg_entity_timeline", "kg_predicate_stats", "kg_edge_support",
     "transcript_dialog_acts", "transcript_tool_stats",
+    "kg_degree_histogram", "kg_node_neighbor_jaccard", "kg_comention_lift",
 ]
 
 

@@ -42,6 +42,9 @@ from nerpii_ray.pipelines.queries import (
     kg_edge_support_sql_for,
     _transcript_dialog_acts_sql,
     _transcript_tool_stats_sql,
+    kg_degree_histogram_sql_for,
+    kg_neighbor_jaccard_sql_for,
+    kg_comention_lift_sql_for,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -81,6 +84,9 @@ SQL_OVERRIDES = {
     "kg_edge_support": kg_edge_support_sql_for(0.001),
     "transcript_dialog_acts": _transcript_dialog_acts_sql(0.001),
     "transcript_tool_stats": _transcript_tool_stats_sql(0.001),
+    "kg_degree_histogram": kg_degree_histogram_sql_for(0.001),
+    "kg_node_neighbor_jaccard": kg_neighbor_jaccard_sql_for(0.001),
+    "kg_comention_lift": kg_comention_lift_sql_for(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
