@@ -16130,6 +16130,236 @@ def kg_comention_lift(sf_dir: str):
     )
 
 
+def kg_temporal_edges_sql_for(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH e AS ({kg_edges_sql_for(sf)}),
+    t AS (
+      SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us FROM '{turns}'
+    )
+    SELECT subj_id, pred, obj_id,
+           MIN(t.ts_us)::BIGINT AS first_us,
+           MAX(t.ts_us)::BIGINT AS last_us
+    FROM e JOIN t USING (conv_id, turn_idx)
+    GROUP BY subj_id, pred, obj_id
+    """
+
+
+@register("kg_temporal_edges", kg_temporal_edges_sql_for(0.01))
+def kg_temporal_edges(sf_dir: str):
+    """Temporal knowledge graph: each distinct triple annotated with its
+    first/last supporting-turn timestamp (epoch micros) — the validity
+    interval a temporal-KG consumer queries ("who did X work for IN
+    MARCH").  Support timestamps reach the edges through one
+    (conv_id, turn_idx) bucketed hash join against the pruned turns
+    projection; min/max fold through a triple-keyed merge tree."""
+    from nerpii_ray.stages.agg import tree_aggregate
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    edges = _kg_results(sf)["edges"].select_columns(
+        ["subj_id", "pred", "obj_id", "conv_id", "turn_idx"]
+    )
+
+    def ts_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "turn_idx": b["turn_idx"].astype("int64").to_numpy(),
+                "ts_us": b["ts"].astype("int64").to_numpy(),
+            }
+        )
+
+    t = _turns_ds(sf_dir, ["conv_id", "turn_idx", "ts"]).map_batches(
+        ts_prep, batch_format="pandas"
+    )
+
+    def edge_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["turn_idx"] = b["turn_idx"].astype("int64")
+        return b
+
+    joined = partitioned_hash_join(
+        edges.map_batches(edge_prep, batch_format="pandas"), t,
+        on=["conv_id", "turn_idx"],
+    )
+    key = ["subj_id", "pred", "obj_id"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "subj_id": b["subj_id"].to_numpy(),
+                "pred": b["pred"].to_numpy(),
+                "obj_id": b["obj_id"].to_numpy(),
+                "first_us": b["ts_us"].astype("int64").to_numpy(),
+                "last_us": b["ts_us"].astype("int64").to_numpy(),
+            }
+        )
+        return merge(df)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(key, sort=False, observed=True)
+            .agg(first_us=("first_us", "min"), last_us=("last_us", "max"))
+            .reset_index()
+        )
+
+    return tree_aggregate(joined, partial, merge, keys=key)
+
+
+def kg_conv_overlap_sql_for(sf: float, cap: int = 64) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH pm AS (
+      SELECT DISTINCT conv_id, node_id FROM '{men}' WHERE entity = 'PERSON'
+    ),
+    sz AS (SELECT node_id, COUNT(*) AS s FROM pm GROUP BY node_id)
+    SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+           COUNT(*)::BIGINT AS n_shared
+    FROM pm a JOIN sz USING (node_id)
+              JOIN pm b ON a.node_id = b.node_id AND a.conv_id < b.conv_id
+    WHERE s <= {cap}
+    GROUP BY 1, 2
+    """
+
+
+@register("kg_conv_entity_overlap", kg_conv_overlap_sql_for(0.01))
+def kg_conv_entity_overlap(sf_dir: str):
+    """Conversation linking through the graph: pairs of conversations
+    that mention the SAME canonical people, weighted by how many they
+    share — the cross-document coreference signal that groups
+    transcripts into cases/threads for context assembly.  Person-node
+    posting lists (capped at 64 — a celebrity node links everything to
+    everything and is pruned as non-discriminative, mirrored in SQL)
+    generate candidates inside the node-keyed exchange; pair counts
+    fold through a keyed sum tree."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        return b[["conv_id", "node_id"]].drop_duplicates()
+
+    pm = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "node_id"],
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"conv_a": pd.Series([], dtype="object"),
+             "conv_b": pd.Series([], dtype="object"),
+             "n_shared": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        sz = g.groupby("node_id", sort=False)["conv_id"].transform("size")
+        g = g[sz <= 64]
+        if not len(g):
+            return empty
+        m = g.merge(g, on="node_id")
+        m = m[m["conv_id_x"] < m["conv_id_y"]]
+        part = pd.DataFrame(
+            {
+                "conv_a": m["conv_id_x"].to_numpy(),
+                "conv_b": m["conv_id_y"].to_numpy(),
+                "n_shared": np.ones(len(m), dtype=np.int64),
+            }
+        )
+        return (
+            part.groupby(["conv_a", "conv_b"], sort=False)
+            .sum().reset_index()
+        )
+
+    return grouped_sum(
+        keyed_partition_apply(pm, ["node_id"], pair_kernel),
+        ["conv_a", "conv_b"], ["n_shared"],
+    )
+
+
+def kg_type_cooccurrence_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH tt AS (
+      SELECT DISTINCT conv_id, turn_idx, entity FROM '{men}'
+    )
+    SELECT a.entity AS type_a, b.entity AS type_b,
+           COUNT(*)::BIGINT AS n_turns
+    FROM tt a JOIN tt b
+      ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+     AND a.entity < b.entity
+    GROUP BY 1, 2
+    """
+
+
+@register("kg_type_cooccurrence", kg_type_cooccurrence_sql_for(0.01))
+def kg_type_cooccurrence(sf_dir: str):
+    """Entity-type co-occurrence matrix: for each unordered type pair,
+    how many turns mention both — the schema-discovery table that
+    tells the triple extractor which per-turn type pairs are frequent
+    enough to deserve a predicate (the works_for / located_in rules
+    are exactly its top PERSON rows).  Distinct per-turn types fold
+    through a dedup tree; within-turn pairs form in the turn-keyed
+    co-location (≤ |type vocabulary| per turn, so no blowup); the
+    bounded pair histogram merges through the combiner tree."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["node_id"].notna()]
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "turn_idx": b["turn_idx"].astype("int64").to_numpy(),
+                "entity": b["entity"].astype(str).to_numpy(),
+            }
+        ).drop_duplicates()
+
+    tt = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "turn_idx", "entity"],
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"type_a": pd.Series([], dtype="object"),
+             "type_b": pd.Series([], dtype="object"),
+             "n_turns": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        m = g.merge(g, on=["conv_id", "turn_idx"])
+        m = m[m["entity_x"] < m["entity_y"]]
+        if not len(m):
+            return empty
+        part = pd.DataFrame(
+            {
+                "type_a": m["entity_x"].to_numpy(),
+                "type_b": m["entity_y"].to_numpy(),
+                "n_turns": np.ones(len(m), dtype=np.int64),
+            }
+        )
+        return (
+            part.groupby(["type_a", "type_b"], sort=False)
+            .sum().reset_index()
+        )
+
+    pairs = keyed_partition_apply(tt, ["conv_id"], pair_kernel)
+    return grouped_sum(
+        pairs, ["type_a", "type_b"], ["n_turns"],
+        adaptive=False,  # ≤ |types|² pairs
+    )
+
+
 #: heuristic dialog-act vocabulary: a user turn whose first word (after
 #: trimming, lowercased) is one of these is a COMMAND unless it ends
 #: with '?' (QUESTION wins).  Shared verbatim by the engine kernel and
@@ -16385,6 +16615,7 @@ _R5_FRESH4 = [
     "kg_entity_timeline", "kg_predicate_stats", "kg_edge_support",
     "transcript_dialog_acts", "transcript_tool_stats",
     "kg_degree_histogram", "kg_node_neighbor_jaccard", "kg_comention_lift",
+    "kg_temporal_edges", "kg_conv_entity_overlap", "kg_type_cooccurrence",
 ]
 
 

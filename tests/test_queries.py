@@ -45,6 +45,9 @@ from nerpii_ray.pipelines.queries import (
     kg_degree_histogram_sql_for,
     kg_neighbor_jaccard_sql_for,
     kg_comention_lift_sql_for,
+    kg_temporal_edges_sql_for,
+    kg_conv_overlap_sql_for,
+    kg_type_cooccurrence_sql_for,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -87,6 +90,9 @@ SQL_OVERRIDES = {
     "kg_degree_histogram": kg_degree_histogram_sql_for(0.001),
     "kg_node_neighbor_jaccard": kg_neighbor_jaccard_sql_for(0.001),
     "kg_comention_lift": kg_comention_lift_sql_for(0.001),
+    "kg_temporal_edges": kg_temporal_edges_sql_for(0.001),
+    "kg_conv_entity_overlap": kg_conv_overlap_sql_for(0.001),
+    "kg_type_cooccurrence": kg_type_cooccurrence_sql_for(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
