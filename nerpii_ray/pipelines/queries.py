@@ -16360,6 +16360,241 @@ def kg_type_cooccurrence(sf_dir: str):
     )
 
 
+def kg_incremental_nodes_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH m AS (
+      SELECT node_id, entity, norm_surface, conv_id,
+             substr(md5(conv_id), 1, 1) = '0' AS is_delta
+      FROM '{men}'
+    ),
+    base AS (SELECT DISTINCT node_id FROM m WHERE NOT is_delta),
+    delta AS (
+      SELECT node_id, MIN(entity) AS entity_type,
+             MIN(norm_surface) AS canonical_name,
+             COUNT(*)::BIGINT AS n_delta_mentions
+      FROM m WHERE is_delta GROUP BY node_id
+    )
+    SELECT d.node_id, d.entity_type, d.canonical_name, d.n_delta_mentions
+    FROM delta d LEFT JOIN base b USING (node_id)
+    WHERE b.node_id IS NULL
+    """
+
+
+@register("kg_incremental_nodes", kg_incremental_nodes_sql_for(0.01))
+def kg_incremental_nodes(sf_dir: str):
+    """Incremental graph update: which entity nodes does a NEW batch of
+    conversations introduce that the existing graph has never seen?
+    (md5(conv_id) first hex digit = '0' stands in for the fresh ~1/16
+    shard — the doc_incremental_dedup split idiom.)  One mention scan
+    serves both sides; the delta reduces per node through the
+    cardinality-aware tree, and novelty is decided inside the
+    node-keyed co-location against the base's distinct node set — no
+    broadcast of a graph-sized key set, so the same plan applies a
+    daily delta to a trillion-turn base."""
+    from nerpii_ray.functions.textfns import md5_of_strings
+    from nerpii_ray.stages.agg import tree_aggregate, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["node_id"].notna()]
+        return pd.DataFrame(
+            {
+                "node_id": b["node_id"].to_numpy(),
+                "entity": b["entity"].astype(str).to_numpy(),
+                "norm_surface": b["norm_surface"].to_numpy(),
+                "is_delta": (
+                    md5_of_strings(b["conv_id"].astype(str)).str[0] == "0"
+                ).to_numpy(),
+            }
+        )
+
+    m = mentions.map_batches(prep, batch_format="pandas").materialize()
+    # ^ ~60-byte rows; serves the base distinct AND the delta reduce
+
+    base = tree_dedup(
+        m.map_batches(
+            lambda b: b.loc[~b["is_delta"], ["node_id"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["node_id"],
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["is_delta"]]
+        return b.groupby("node_id", as_index=False).agg(
+            entity_type=("entity", "min"),
+            canonical_name=("norm_surface", "min"),
+            n_delta_mentions=("node_id", "size"),
+        )
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        return b.groupby("node_id", as_index=False).agg(
+            entity_type=("entity_type", "min"),
+            canonical_name=("canonical_name", "min"),
+            n_delta_mentions=("n_delta_mentions", "sum"),
+        )
+
+    delta = tree_aggregate(m, partial, merge, keys=["node_id"])
+
+    cols = ["node_id", "entity_type", "canonical_name", "n_delta_mentions"]
+
+    def tag(side: str, frame_cols):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.reindex(columns=frame_cols)
+            b["__side"] = side
+            return b
+
+        return fn
+
+    both = delta.map_batches(tag("D", cols), batch_format="pandas").union(
+        base.map_batches(tag("B", cols), batch_format="pandas")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        seen = set(g.loc[g["__side"] == "B", "node_id"])
+        out = g[(g["__side"] == "D") & ~g["node_id"].isin(seen)]
+        out = out[cols].copy()
+        out["n_delta_mentions"] = out["n_delta_mentions"].astype("int64")
+        return out
+
+    return keyed_partition_apply(both, ["node_id"], anti)
+
+
+def _transcript_role_vocab_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return rf"""
+    WITH t AS (
+      SELECT role, unnest(regexp_extract_all(
+               lower(coalesce(text, '')), '\w+')) AS token
+      FROM '{turns}'
+    )
+    SELECT role, COUNT(*)::BIGINT AS n_tokens,
+           COUNT(DISTINCT token)::BIGINT AS n_distinct
+    FROM t GROUP BY role
+    """
+
+
+@register("transcript_role_vocab", _transcript_role_vocab_sql(0.01))
+def transcript_role_vocab(sf_dir: str):
+    """Vocabulary census per speaker role: total tokens and distinct
+    vocabulary size — the Heaps-law style diversity check that flags a
+    degenerate role (e.g. an assistant stuck on a template) before its
+    text is mined for training pairs.  Token totals fold through a
+    bounded sum tree; distinct vocabulary through a (role, token)
+    dedup tree + bounded count — token text crosses the wire once,
+    deduped per batch first."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    ds = _turns_ds(sf_dir, ["role", "text"])
+    tok = re.compile(r"\w+")
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.lower().str.findall(tok)
+        ex = pd.DataFrame({"role": b["role"], "token": toks}).explode("token")
+        return ex[ex["token"].notna()].reset_index(drop=True)
+
+    exploded = ds.map_batches(explode, batch_format="pandas").materialize()
+    # ^ serves both the total-count and distinct-vocab consumers
+
+    totals = grouped_sum(
+        exploded.map_batches(
+            lambda b: pd.DataFrame(
+                {"role": b["role"].to_numpy(),
+                 "n_tokens": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["role"], ["n_tokens"], adaptive=False,  # ≤ |roles|
+    ).to_pandas()
+
+    vocab = tree_dedup(
+        exploded.map_batches(
+            lambda b: b[["role", "token"]].drop_duplicates(),
+            batch_format="pandas",
+        ),
+        ["role", "token"],
+    )
+    distinct = grouped_sum(
+        vocab.map_batches(
+            lambda b: pd.DataFrame(
+                {"role": b["role"].to_numpy(),
+                 "n_distinct": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["role"], ["n_distinct"], adaptive=False,
+    ).to_pandas()
+    out = totals.merge(distinct, on="role", how="inner")
+    return out[["role", "n_tokens", "n_distinct"]]
+
+
+def _transcript_len_ratio_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH c AS (
+      SELECT conv_id,
+             SUM(CASE WHEN role = 'user'
+                 THEN length(coalesce(text, '')) ELSE 0 END)::BIGINT
+               AS user_chars,
+             SUM(CASE WHEN role = 'assistant'
+                 THEN length(coalesce(text, '')) ELSE 0 END)::BIGINT
+               AS asst_chars
+      FROM '{turns}' GROUP BY conv_id
+    )
+    SELECT conv_id, user_chars, asst_chars,
+           (user_chars * 1000000) // asst_chars AS ratio_ppm
+    FROM c WHERE asst_chars > 0
+    """
+
+
+@register("transcript_len_ratio", _transcript_len_ratio_sql(0.01))
+def transcript_len_ratio(sf_dir: str):
+    """Verbosity balance per conversation: user chars vs assistant
+    chars and their exact ppm ratio — the cheap curation feature that
+    flags monologue conversations (assistant-only walls or user-only
+    rants) before SFT-pair mining.  Per-conv char sums fold through
+    one keyed sum tree; the ratio is integer floor division
+    (hash-stable, no float)."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    ds = _turns_ds(sf_dir, ["conv_id", "role", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.len().astype("int64").to_numpy()
+        role = b["role"].to_numpy()
+        df = pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "user_chars": np.where(role == "user", n, 0),
+                "asst_chars": np.where(role == "assistant", n, 0),
+            }
+        )
+        return (
+            df.groupby("conv_id", sort=False)[["user_chars", "asst_chars"]]
+            .sum().reset_index()
+        )
+
+    sums = grouped_sum(
+        ds, ["conv_id"], ["user_chars", "asst_chars"], partial_fn=partial,
+    )
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["asst_chars"] > 0].copy()
+        b["ratio_ppm"] = (
+            b["user_chars"].astype("int64") * 1000000
+        ) // b["asst_chars"].astype("int64")
+        return b[["conv_id", "user_chars", "asst_chars", "ratio_ppm"]]
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
 #: heuristic dialog-act vocabulary: a user turn whose first word (after
 #: trimming, lowercased) is one of these is a COMMAND unless it ends
 #: with '?' (QUESTION wins).  Shared verbatim by the engine kernel and
@@ -16616,6 +16851,7 @@ _R5_FRESH4 = [
     "transcript_dialog_acts", "transcript_tool_stats",
     "kg_degree_histogram", "kg_node_neighbor_jaccard", "kg_comention_lift",
     "kg_temporal_edges", "kg_conv_entity_overlap", "kg_type_cooccurrence",
+    "kg_incremental_nodes", "transcript_role_vocab", "transcript_len_ratio",
 ]
 
 

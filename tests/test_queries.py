@@ -48,6 +48,9 @@ from nerpii_ray.pipelines.queries import (
     kg_temporal_edges_sql_for,
     kg_conv_overlap_sql_for,
     kg_type_cooccurrence_sql_for,
+    kg_incremental_nodes_sql_for,
+    _transcript_role_vocab_sql,
+    _transcript_len_ratio_sql,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -93,6 +96,9 @@ SQL_OVERRIDES = {
     "kg_temporal_edges": kg_temporal_edges_sql_for(0.001),
     "kg_conv_entity_overlap": kg_conv_overlap_sql_for(0.001),
     "kg_type_cooccurrence": kg_type_cooccurrence_sql_for(0.001),
+    "kg_incremental_nodes": kg_incremental_nodes_sql_for(0.001),
+    "transcript_role_vocab": _transcript_role_vocab_sql(0.001),
+    "transcript_len_ratio": _transcript_len_ratio_sql(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
