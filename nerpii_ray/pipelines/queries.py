@@ -16606,6 +16606,227 @@ _DIALOG_COMMAND_WORDS = (
 )
 
 
+def kg_entity_role_matrix_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    SELECT role, entity, COUNT(*)::BIGINT AS n_mentions
+    FROM '{men}' GROUP BY role, entity
+    """
+
+
+@register("kg_entity_role_matrix", kg_entity_role_matrix_sql_for(0.01))
+def kg_entity_role_matrix(sf_dir: str):
+    """Who talks about what: speaker-role × entity-type mention counts
+    — the provenance census that tells a KG consumer whether PERSON
+    facts come from users (self-reported) or from tool output
+    (verified), which changes how much the triples are trusted.
+    Bounded (|roles| × |types|) histogram through the combiner tree
+    riding the recognizer scan."""
+    from nerpii_ray.stages.agg import grouped_sum
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["node_id"].notna()]
+        df = pd.DataFrame(
+            {
+                "role": b["role"].to_numpy(),
+                "entity": b["entity"].astype(str).to_numpy(),
+                "n_mentions": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return (
+            df.groupby(["role", "entity"], sort=False)["n_mentions"]
+            .sum().reset_index()
+        )
+
+    return grouped_sum(
+        mentions.map_batches(partial, batch_format="pandas"),
+        ["role", "entity"], ["n_mentions"], adaptive=False,
+    )
+
+
+def kg_triangles_sql_for(sf: float) -> str:
+    return f"""
+    WITH e AS (
+      SELECT node_a, node_b FROM ({kg_person_comention_sql_for(sf)})
+    )
+    SELECT COUNT(*)::BIGINT AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.node_a = e1.node_a
+                       AND e2.node_b > e1.node_b
+              JOIN e e3 ON e3.node_a = e1.node_b
+                       AND e3.node_b = e2.node_b
+    """
+
+
+@register("kg_comention_triangles", kg_triangles_sql_for(0.01))
+def kg_comention_triangles(sf_dir: str):
+    """Global triangle count of the person co-mention graph — the
+    closure statistic (with the degree histogram) that says whether
+    canonicalization produced a socially-plausible graph (triadic
+    closure) or star-shaped hash noise.  Node-iterator plan: each
+    ordered edge posts to its lower endpoint, ordered neighbor pairs
+    form inside the node-keyed co-location (bounded by max-degree²,
+    which the capped census has already profiled), and candidates
+    meet the edge set in a pair-keyed co-location — one counted row
+    per closed wedge, folded to a scalar.  No cap: the count is
+    exact, matching the SQL twin's 3-way self-join."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    edges = kg_person_comention_edges(sf_dir).select_columns(
+        ["node_a", "node_b"]
+    ).materialize()  # serves the wedge pass AND the edge-set meet
+
+    def wedge_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"x": pd.Series([], dtype="object"),
+             "y": pd.Series([], dtype="object"),
+             "w": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        m = g.merge(g, on="node_a")
+        m = m[m["node_b_x"] < m["node_b_y"]]
+        if not len(m):
+            return empty
+        return pd.DataFrame(
+            {
+                "x": m["node_b_x"].to_numpy(),
+                "y": m["node_b_y"].to_numpy(),
+                "w": np.ones(len(m), dtype=np.int64),
+            }
+        )
+
+    wedges = keyed_partition_apply(edges, ["node_a"], wedge_kernel)
+
+    cols = ["x", "y", "w"]
+
+    def tag(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            if side == "E":
+                b = pd.DataFrame(
+                    {"x": b["node_a"].to_numpy(),
+                     "y": b["node_b"].to_numpy(),
+                     "w": np.zeros(len(b), dtype=np.int64)}
+                )
+            b = b.reindex(columns=cols)
+            b["__side"] = side
+            return b
+
+        return fn
+
+    both = wedges.map_batches(tag("W"), batch_format="pandas").union(
+        edges.map_batches(tag("E"), batch_format="pandas")
+    )
+
+    def close_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # per (x, y) bucket: wedges count only if (x, y) is an edge
+        w = g[g["__side"] == "W"]
+        e = g.loc[g["__side"] == "E", ["x", "y"]].drop_duplicates()
+        n = int(w.merge(e, on=["x", "y"])["w"].sum())
+        return pd.DataFrame({"n_triangles": pd.Series([n], dtype="int64")})
+
+    closed = keyed_partition_apply(both, ["x", "y"], close_kernel)
+    return grouped_sum(
+        closed.map_batches(
+            lambda b: b.assign(__k=np.int64(0)), batch_format="pandas"
+        ),
+        ["__k"], ["n_triangles"], adaptive=False,
+    ).map_batches(
+        lambda b: b[["n_triangles"]], batch_format="pandas"
+    )
+
+
+def _prompt_response_matrix_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    words = ", ".join(f"'{w}'" for w in _DIALOG_COMMAND_WORDS)
+    return f"""
+    WITH o AS (
+      SELECT conv_id, role, trim(coalesce(text, ''), ' \t\n\r') AS t,
+             lead(role) OVER w AS nxt_role,
+             lead(length(coalesce(text, ''))) OVER w AS nxt_len
+      FROM '{turns}'
+      WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ), p AS (
+      SELECT CASE WHEN t LIKE '%?' THEN 'question'
+                  WHEN lower(split_part(t, ' ', 1)) IN ({words})
+                       THEN 'command'
+                  ELSE 'statement' END AS act,
+             CASE WHEN nxt_len = 0 THEN 0
+                  ELSE LENGTH(bin(nxt_len)) END AS len_bucket
+      FROM o
+      WHERE role = 'user' AND nxt_role = 'assistant' AND t <> ''
+    )
+    SELECT act, CAST(len_bucket AS BIGINT) AS len_bucket,
+           COUNT(*)::BIGINT AS n_pairs
+    FROM p GROUP BY act, len_bucket
+    """
+
+
+@register("transcript_prompt_response_matrix",
+          _prompt_response_matrix_sql(0.01))
+def transcript_prompt_response_matrix(sf_dir: str):
+    """Prompt-style × response-length matrix: for every adjacent
+    user→assistant pair, the user turn's dialog act crossed with the
+    log2 length bucket of the reply — the shape check that shows
+    whether commands get walls of text and questions get one-liners
+    before an SFT mix is locked.  One conv co-location (the sft_pairs
+    shift kernel), act tagging and bit_length bucketing vectorized,
+    bounded (3 × ~64) histogram through the combiner tree."""
+    from nerpii_ray.stages.agg import grouped_sum
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "role", "text"])
+    cmd = frozenset(_DIALOG_COMMAND_WORDS)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"act": pd.Series([], dtype="object"),
+             "len_bucket": pd.Series([], dtype="int64"),
+             "n_pairs": pd.Series([], dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        role = g["role"].to_numpy()
+        raw = g["text"].fillna("")
+        t = raw.str.strip(" \t\n\r").to_numpy()
+        nlen = raw.str.len().astype("int64").to_numpy()
+        same = conv[:-1] == conv[1:]
+        keep = (
+            same & (role[:-1] == "user") & (role[1:] == "assistant")
+            & (t[:-1] != "")
+        )
+        if not keep.any():
+            return empty
+        tt = pd.Series(t[:-1][keep])
+        q = tt.str.endswith("?").to_numpy()
+        first = tt.str.split(" ", n=1).str[0].str.lower()
+        c = (~q) & first.isin(cmd).to_numpy()
+        act = np.where(q, "question", np.where(c, "command", "statement"))
+        rl = nlen[1:][keep]
+        bucket = np.where(
+            rl == 0, 0, np.frexp(rl.astype(np.float64))[1]
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"act": act, "len_bucket": bucket,
+             "n_pairs": np.ones(len(act), dtype=np.int64)}
+        )
+        return (
+            df.groupby(["act", "len_bucket"], sort=False)["n_pairs"]
+            .sum().reset_index()
+        )
+
+    pairs = keyed_partition_apply(ds, ["conv_id"], kernel)
+    return grouped_sum(
+        pairs, ["act", "len_bucket"], ["n_pairs"], adaptive=False,
+    )
+
+
 def _transcript_dialog_acts_sql(sf: float) -> str:
     turns = f"{_transcripts_path_for(sf)}/*.parquet"
     words = ", ".join(f"'{w}'" for w in _DIALOG_COMMAND_WORDS)
@@ -16852,6 +17073,8 @@ _R5_FRESH4 = [
     "kg_degree_histogram", "kg_node_neighbor_jaccard", "kg_comention_lift",
     "kg_temporal_edges", "kg_conv_entity_overlap", "kg_type_cooccurrence",
     "kg_incremental_nodes", "transcript_role_vocab", "transcript_len_ratio",
+    "kg_entity_role_matrix", "kg_comention_triangles",
+    "transcript_prompt_response_matrix",
 ]
 
 

@@ -51,6 +51,9 @@ from nerpii_ray.pipelines.queries import (
     kg_incremental_nodes_sql_for,
     _transcript_role_vocab_sql,
     _transcript_len_ratio_sql,
+    kg_entity_role_matrix_sql_for,
+    kg_triangles_sql_for,
+    _prompt_response_matrix_sql,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -99,6 +102,9 @@ SQL_OVERRIDES = {
     "kg_incremental_nodes": kg_incremental_nodes_sql_for(0.001),
     "transcript_role_vocab": _transcript_role_vocab_sql(0.001),
     "transcript_len_ratio": _transcript_len_ratio_sql(0.001),
+    "kg_entity_role_matrix": kg_entity_role_matrix_sql_for(0.001),
+    "kg_comention_triangles": kg_triangles_sql_for(0.001),
+    "transcript_prompt_response_matrix": _prompt_response_matrix_sql(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
