@@ -16606,6 +16606,90 @@ _DIALOG_COMMAND_WORDS = (
 )
 
 
+def kg_node_gender_census_sql_for(sf: float) -> str:
+    from nerpii_ray.gazetteers import FIRST_NAME_GENDER
+
+    buckets: Dict[str, list] = {}
+    for name, g in FIRST_NAME_GENDER.items():
+        buckets.setdefault(g, []).append(name.lower())
+    whens = " ".join(
+        f"WHEN split_part(canonical_name, ' ', 1) IN "
+        f"({', '.join(repr(n) for n in sorted(names))}) THEN '{g}'"
+        for g, names in sorted(buckets.items())
+    )
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH n AS (
+      SELECT node_id, MIN(norm_surface) AS canonical_name,
+             COUNT(*)::BIGINT AS n_mentions
+      FROM '{men}' WHERE entity = 'PERSON' GROUP BY node_id
+    )
+    SELECT CASE {whens} ELSE 'unknown' END AS first_name_gender,
+           COUNT(*)::BIGINT AS n_nodes,
+           SUM(n_mentions)::BIGINT AS n_mentions
+    FROM n GROUP BY 1
+    """
+
+
+@register("kg_node_gender_census", kg_node_gender_census_sql_for(0.01))
+def kg_node_gender_census(sf_dir: str):
+    """Demographic audit of the canonical PERSON nodes: gender
+    inferred from the canonical first name (M5's get_gender gazetteer,
+    node-level rather than mention-level) with node and mention counts
+    per bucket — the representation-balance check a training-data
+    curator runs on the entity layer.  Per-node mention counts fold
+    through the cardinality-aware tree; gender tagging is one
+    vectorized gazetteer lookup over node-sized rows; the ≤6-bucket
+    census merges through the bounded combiner tree."""
+    from nerpii_ray.functions.textfns import gender_of_first_names
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        df = pd.DataFrame(
+            {
+                "node_id": b["node_id"].to_numpy(),
+                "canonical_name": b["norm_surface"].to_numpy(),
+                "n_mentions": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return merge(df)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return df.groupby("node_id", as_index=False).agg(
+            canonical_name=("canonical_name", "min"),
+            n_mentions=("n_mentions", "sum"),
+        )
+
+    nodes = tree_aggregate(mentions, partial, merge, keys=["node_id"])
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        first = b["canonical_name"].str.split().str[0]
+        df = pd.DataFrame(
+            {
+                "first_name_gender": gender_of_first_names(first).to_numpy(),
+                "n_nodes": np.ones(len(b), dtype=np.int64),
+                "n_mentions": b["n_mentions"].astype("int64").to_numpy(),
+            }
+        )
+        return (
+            df.groupby("first_name_gender", sort=False)[
+                ["n_nodes", "n_mentions"]
+            ].sum().reset_index()
+        )
+
+    return grouped_sum(
+        nodes.map_batches(census, batch_format="pandas"),
+        ["first_name_gender"], ["n_nodes", "n_mentions"], adaptive=False,
+    )
+
+
 def kg_entity_role_matrix_sql_for(sf: float) -> str:
     men = f"{kg_mentions_path(sf)}/*.parquet"
     return f"""
@@ -17074,7 +17158,7 @@ _R5_FRESH4 = [
     "kg_temporal_edges", "kg_conv_entity_overlap", "kg_type_cooccurrence",
     "kg_incremental_nodes", "transcript_role_vocab", "transcript_len_ratio",
     "kg_entity_role_matrix", "kg_comention_triangles",
-    "transcript_prompt_response_matrix",
+    "transcript_prompt_response_matrix", "kg_node_gender_census",
 ]
 
 

@@ -54,6 +54,7 @@ from nerpii_ray.pipelines.queries import (
     kg_entity_role_matrix_sql_for,
     kg_triangles_sql_for,
     _prompt_response_matrix_sql,
+    kg_node_gender_census_sql_for,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -105,6 +106,7 @@ SQL_OVERRIDES = {
     "kg_entity_role_matrix": kg_entity_role_matrix_sql_for(0.001),
     "kg_comention_triangles": kg_triangles_sql_for(0.001),
     "transcript_prompt_response_matrix": _prompt_response_matrix_sql(0.001),
+    "kg_node_gender_census": kg_node_gender_census_sql_for(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
