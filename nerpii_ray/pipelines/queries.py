@@ -16606,6 +16606,264 @@ _DIALOG_COMMAND_WORDS = (
 )
 
 
+def kg_email_domain_census_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH n AS (
+      SELECT DISTINCT node_id, norm_surface
+      FROM '{men}' WHERE entity = 'EMAIL_ADDRESS'
+    )
+    SELECT split_part(norm_surface, '@', 2) AS domain,
+           COUNT(*)::BIGINT AS n_addresses
+    FROM n GROUP BY domain
+    """
+
+
+@register("kg_email_domain_census", kg_email_domain_census_sql_for(0.01))
+def kg_email_domain_census(sf_dir: str):
+    """Identity-resolution census over the EMAIL_ADDRESS nodes: distinct
+    addresses per domain — the grouping signal that decides whether
+    addresses sharing a domain should hint entity merges (corporate
+    domains) or not (freemail).  One dedup tree over the mention scan,
+    then a vectorized '@'-split and a keyed count."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "EMAIL_ADDRESS")
+              & b["node_id"].notna()]
+        return b[["node_id", "norm_surface"]].drop_duplicates()
+
+    nodes = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["node_id", "norm_surface"],
+    )
+
+    def domains(b: pd.DataFrame) -> pd.DataFrame:
+        dom = b["norm_surface"].str.split("@", n=1).str[1].fillna("")
+        df = pd.DataFrame(
+            {"domain": dom.to_numpy(),
+             "n_addresses": np.ones(len(b), dtype=np.int64)}
+        )
+        return df.groupby("domain", sort=False).sum().reset_index()
+
+    return grouped_sum(
+        nodes.map_batches(domains, batch_format="pandas"),
+        ["domain"], ["n_addresses"],
+    )
+
+
+def kg_org_location_affinity_sql_for(sf: float) -> str:
+    return f"""
+    WITH e AS ({kg_edges_sql_for(sf)}),
+    w AS (SELECT DISTINCT subj_id AS p, obj_id AS org
+          FROM e WHERE pred = 'works_for'),
+    l AS (SELECT DISTINCT subj_id AS p, obj_id AS loc
+          FROM e WHERE pred = 'located_in')
+    SELECT org, loc, COUNT(*)::BIGINT AS n_persons
+    FROM w JOIN l USING (p) GROUP BY org, loc
+    """
+
+
+@register("kg_org_location_affinity", kg_org_location_affinity_sql_for(0.01))
+def kg_org_location_affinity(sf_dir: str):
+    """Triple COMPOSITION — the first genuinely inferential KG query:
+    works_for(p, org) ⋈ located_in(p, loc) on the shared person gives
+    (org, loc, people count), i.e. where each organization's people
+    live — a fact stated in NO single turn.  Distinct role pairs fold
+    through two dedup trees off the pruned edge projection; the
+    person-keyed bucketed join composes them; the (org, loc) count
+    folds through a keyed sum tree."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    edges = _kg_results(sf)["edges"].select_columns(
+        ["subj_id", "pred", "obj_id"]
+    ).materialize()  # serves both role projections
+
+    def role(pred: str, out: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[b["pred"] == pred]
+            return pd.DataFrame(
+                {"p": b["subj_id"].to_numpy(), out: b["obj_id"].to_numpy()}
+            ).drop_duplicates()
+
+        return fn
+
+    w = tree_dedup(
+        edges.map_batches(role("works_for", "org"), batch_format="pandas"),
+        ["p", "org"],
+    )
+    loc = tree_dedup(
+        edges.map_batches(role("located_in", "loc"), batch_format="pandas"),
+        ["p", "loc"],
+    )
+    joined = partitioned_hash_join(w, loc, on=["p"])
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"org": b["org"].to_numpy(), "loc": b["loc"].to_numpy(),
+             "n_persons": np.ones(len(b), dtype=np.int64)}
+        )
+        return df.groupby(["org", "loc"], sort=False).sum().reset_index()
+
+    return grouped_sum(
+        joined.map_batches(count, batch_format="pandas"),
+        ["org", "loc"], ["n_persons"],
+    )
+
+
+def kg_works_for_conflicts_sql_for(sf: float) -> str:
+    return f"""
+    WITH e AS ({kg_edges_sql_for(sf)}),
+    w AS (SELECT DISTINCT subj_id AS person, obj_id AS org
+          FROM e WHERE pred = 'works_for')
+    SELECT person, COUNT(*)::BIGINT AS n_orgs
+    FROM w GROUP BY person HAVING COUNT(*) >= 2
+    """
+
+
+@register("kg_works_for_conflicts", kg_works_for_conflicts_sql_for(0.01))
+def kg_works_for_conflicts(sf_dir: str):
+    """Conflicting-fact detector: people the graph claims work for TWO
+    OR MORE distinct organizations — either a job change (resolve by
+    kg_temporal_edges intervals) or a canonicalization error (two
+    people merged); either way the triage list a KB consumer needs
+    before answering employment questions.  One dedup tree over the
+    works_for projection, a person-keyed count, and the ≥2 gate."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    edges = _kg_results(sf)["edges"].select_columns(
+        ["subj_id", "pred", "obj_id"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["pred"] == "works_for"]
+        return pd.DataFrame(
+            {"person": b["subj_id"].to_numpy(),
+             "org": b["obj_id"].to_numpy()}
+        ).drop_duplicates()
+
+    w = tree_dedup(
+        edges.map_batches(prep, batch_format="pandas"), ["person", "org"],
+    )
+    counts = grouped_sum(
+        w.map_batches(
+            lambda b: pd.DataFrame(
+                {"person": b["person"].to_numpy(),
+                 "n_orgs": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["person"], ["n_orgs"],
+    )
+    return counts.map_batches(
+        lambda b: b[b["n_orgs"] >= 2], batch_format="pandas"
+    )
+
+
+def kg_conv_graph_stats_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    return f"""
+    WITH e AS ({kg_edges_sql_for(sf)}),
+    m AS (
+      SELECT conv_id, COUNT(*)::BIGINT AS n_mentions,
+             COUNT(DISTINCT node_id)::BIGINT AS n_nodes
+      FROM '{men}' GROUP BY conv_id
+    ),
+    g AS (SELECT conv_id, COUNT(*)::BIGINT AS n_edges FROM e GROUP BY conv_id)
+    SELECT m.conv_id, m.n_mentions, m.n_nodes,
+           COALESCE(g.n_edges, 0)::BIGINT AS n_edges
+    FROM m LEFT JOIN g USING (conv_id)
+    """
+
+
+@register("kg_conv_graph_stats", kg_conv_graph_stats_sql_for(0.01))
+def kg_conv_graph_stats(sf_dir: str):
+    """Graph contribution per conversation: mention rows, distinct
+    entity nodes, and extracted edges — the per-source yield profile
+    that spots conversations producing lots of text but no graph (skip
+    them) or implausibly many edges (extraction noise).  Mention
+    counts and distinct nodes fold through per-conv trees, edge counts
+    through another; the conv-keyed bucketed join stitches them (left:
+    a conversation can mention entities yet yield no edges)."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.joins import partitioned_hash_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    res = _kg_results(sf)
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["node_id"].notna()]
+        return pd.DataFrame(
+            {"conv_id": b["conv_id"].to_numpy(),
+             "node_id": b["node_id"].to_numpy()}
+        )
+
+    pm = res["mentions"].map_batches(
+        pairs, batch_format="pandas"
+    ).materialize()  # ~40-byte rows; serves the count AND the dedup
+
+    nmen = grouped_sum(
+        pm.map_batches(
+            lambda b: pd.DataFrame(
+                {"conv_id": b["conv_id"].to_numpy(),
+                 "n_mentions": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["conv_id"], ["n_mentions"],
+    )
+    nnode = grouped_sum(
+        tree_dedup(
+            pm.map_batches(
+                lambda b: b.drop_duplicates(), batch_format="pandas"
+            ),
+            ["conv_id", "node_id"],
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {"conv_id": b["conv_id"].to_numpy(),
+                 "n_nodes": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["conv_id"], ["n_nodes"],
+    )
+    m = partitioned_hash_join(nmen, nnode, on=["conv_id"])
+
+    g = grouped_sum(
+        res["edges"].select_columns(["conv_id"]).map_batches(
+            lambda b: pd.DataFrame(
+                {"conv_id": b["conv_id"].to_numpy(),
+                 "n_edges": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["conv_id"], ["n_edges"],
+    )
+    out = partitioned_hash_join(m, g, on=["conv_id"], how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": b["conv_id"].to_numpy(),
+                "n_mentions": b["n_mentions"].astype("int64").to_numpy(),
+                "n_nodes": b["n_nodes"].astype("int64").to_numpy(),
+                "n_edges": b["n_edges"].fillna(0).astype("int64").to_numpy(),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def kg_node_gender_census_sql_for(sf: float) -> str:
     from nerpii_ray.gazetteers import FIRST_NAME_GENDER
 
@@ -17159,6 +17417,8 @@ _R5_FRESH4 = [
     "kg_incremental_nodes", "transcript_role_vocab", "transcript_len_ratio",
     "kg_entity_role_matrix", "kg_comention_triangles",
     "transcript_prompt_response_matrix", "kg_node_gender_census",
+    "kg_email_domain_census", "kg_org_location_affinity",
+    "kg_works_for_conflicts", "kg_conv_graph_stats",
 ]
 
 

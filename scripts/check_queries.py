@@ -51,10 +51,24 @@ def main() -> int:
     rc = 0
     for name in names:
         try:
+            import ray.data as _rd
+
             out = qs[name](sf_dir)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out
             if hasattr(df, "to_pandas"):
                 df = df.to_pandas()
+            if (isinstance(out, _rd.Dataset) and df.shape[1] == 0
+                    and not len(df)):
+                # empty Dataset → rebuild typed columns from its schema
+                import pyarrow as _pa
+
+                sch = out.schema()
+                df = pd.DataFrame({
+                    n: pd.Series(dtype=(
+                        t.to_pandas_dtype()
+                        if isinstance(t, _pa.DataType) else t))
+                    for n, t in zip(sch.names, sch.types)
+                })
             if name not in sqls:
                 print(f"{name}: rows-only, {len(df)} rows")
                 continue

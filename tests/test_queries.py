@@ -55,6 +55,10 @@ from nerpii_ray.pipelines.queries import (
     kg_triangles_sql_for,
     _prompt_response_matrix_sql,
     kg_node_gender_census_sql_for,
+    kg_email_domain_census_sql_for,
+    kg_org_location_affinity_sql_for,
+    kg_works_for_conflicts_sql_for,
+    kg_conv_graph_stats_sql_for,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -107,6 +111,10 @@ SQL_OVERRIDES = {
     "kg_comention_triangles": kg_triangles_sql_for(0.001),
     "transcript_prompt_response_matrix": _prompt_response_matrix_sql(0.001),
     "kg_node_gender_census": kg_node_gender_census_sql_for(0.001),
+    "kg_email_domain_census": kg_email_domain_census_sql_for(0.001),
+    "kg_org_location_affinity": kg_org_location_affinity_sql_for(0.001),
+    "kg_works_for_conflicts": kg_works_for_conflicts_sql_for(0.001),
+    "kg_conv_graph_stats": kg_conv_graph_stats_sql_for(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -138,12 +146,31 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _typed_empty(ds) -> pd.DataFrame:
+    """Ray's to_pandas() on an empty Dataset drops the column schema;
+    rebuild a typed empty frame from ds.schema() instead."""
+    import pyarrow as pa
+
+    sch = ds.schema()
+    cols = {}
+    for name, t in zip(sch.names, sch.types):
+        dt = t.to_pandas_dtype() if isinstance(t, pa.DataType) else t
+        try:
+            cols[name] = pd.Series(dtype=dt)
+        except Exception:
+            cols[name] = pd.Series(dtype="object")
+    return pd.DataFrame(cols)
+
+
 def _to_df(result) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if df.shape[1] == 0 and not len(df):
+            return _typed_empty(result)
+        return df
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result
