@@ -16864,6 +16864,192 @@ def kg_conv_graph_stats(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def _transcript_ts_inversions_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    WITH o AS (
+      SELECT conv_id,
+             CASE WHEN epoch_us(ts) < epoch_us(lag(ts) OVER (
+                    PARTITION BY conv_id ORDER BY turn_idx))
+                  THEN 1 ELSE 0 END AS inv
+      FROM '{turns}'
+    )
+    SELECT conv_id,
+           COUNT(*)::BIGINT AS n_turns,
+           SUM(inv)::BIGINT AS n_inversions
+    FROM o GROUP BY conv_id
+    HAVING SUM(inv) > 0
+    """
+
+
+@register("transcript_ts_inversions", _transcript_ts_inversions_sql(0.01))
+def transcript_ts_inversions(sf_dir: str):
+    """Ordering-invariant audit: conversations where wall-clock ts runs
+    BACKWARD against the turn_idx order — the per-turn stable-ordering
+    invariant every downstream window/funnel/session op assumes, so a
+    violation here (clock skew between collectors, replayed logs) must
+    be triaged before any of them are trusted.  One conv co-location;
+    inversions are a vectorized shifted compare; only violating
+    conversations are emitted."""
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+
+    ds = _turns_ds(sf_dir, ["conv_id", "turn_idx", "ts"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"conv_id": pd.Series(dtype="object"),
+             "n_turns": pd.Series(dtype="int64"),
+             "n_inversions": pd.Series(dtype="int64")}
+        )
+        if g.empty:
+            return empty
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        inv = np.zeros(len(g), dtype=np.int64)
+        same = conv[1:] == conv[:-1]
+        inv[1:] = (same & (ts[1:] < ts[:-1])).astype(np.int64)
+        df = pd.DataFrame(
+            {"conv_id": conv, "n_turns": np.int64(1), "n_inversions": inv}
+        )
+        out = (
+            df.groupby("conv_id", sort=False)[["n_turns", "n_inversions"]]
+            .sum().reset_index()
+        )
+        return out[out["n_inversions"] > 0]
+
+    return keyed_partition_apply(ds, ["conv_id"], kernel)
+
+
+def kg_org_size_histogram_sql_for(sf: float) -> str:
+    return f"""
+    WITH e AS ({kg_edges_sql_for(sf)}),
+    w AS (SELECT DISTINCT subj_id AS p, obj_id AS org
+          FROM e WHERE pred = 'works_for'),
+    r AS (SELECT org, COUNT(*)::BIGINT AS roster FROM w GROUP BY org)
+    SELECT CAST(LENGTH(bin(roster)) AS BIGINT) AS bucket,
+           COUNT(*)::BIGINT AS n_orgs
+    FROM r GROUP BY bucket
+    """
+
+
+@register("kg_org_size_histogram", kg_org_size_histogram_sql_for(0.01))
+def kg_org_size_histogram(sf_dir: str):
+    """Organization roster-size distribution, log2-bucketed — with the
+    degree histogram, the shape check on the works_for relation: a fat
+    top bucket means canonicalization merged employers (or one ORG
+    surface absorbed everything).  Distinct (person, org) pairs fold
+    through a dedup tree, rosters through an org-keyed count, and the
+    ≤64-bucket histogram through the bounded combiner tree."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    edges = _kg_results(sf)["edges"].select_columns(
+        ["subj_id", "pred", "obj_id"]
+    )
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["pred"] == "works_for"]
+        return pd.DataFrame(
+            {"p": b["subj_id"].to_numpy(), "org": b["obj_id"].to_numpy()}
+        ).drop_duplicates()
+
+    w = tree_dedup(
+        edges.map_batches(prep, batch_format="pandas"), ["p", "org"],
+    )
+    roster = grouped_sum(
+        w.map_batches(
+            lambda b: pd.DataFrame(
+                {"org": b["org"].to_numpy(),
+                 "roster": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["org"], ["roster"],
+    )
+
+    def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["roster"].to_numpy(np.int64)
+        bucket = np.frexp(r.astype(np.float64))[1].astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "n_orgs": np.int64(1)})
+        return df.groupby("bucket", sort=False).sum().reset_index()
+
+    return grouped_sum(
+        roster.map_batches(bucketize, batch_format="pandas"),
+        ["bucket"], ["n_orgs"], adaptive=False,  # ≤ 64 buckets
+    )
+
+
+def _transcript_daily_volume_sql(sf: float) -> str:
+    turns = f"{_transcripts_path_for(sf)}/*.parquet"
+    return f"""
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           role,
+           COUNT(*)::BIGINT AS n_turns,
+           COUNT(DISTINCT conv_id)::BIGINT AS n_convs
+    FROM '{turns}' GROUP BY day, role
+    """
+
+
+@register("transcript_daily_volume", _transcript_daily_volume_sql(0.01))
+def transcript_daily_volume(sf_dir: str):
+    """Ingest-monitoring census: turns and active conversations per
+    (UTC day, role) — the dashboard table that shows collection gaps
+    or a role's volume falling off a cliff before the corpus is cut.
+    Day = integer epoch-µs floor division (hash-stable); turn counts
+    fold through a bounded sum tree, active conversations through a
+    (day, role, conv) dedup tree + bounded count."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+
+    ds = _turns_ds(sf_dir, ["conv_id", "role", "ts"])
+    day_us = 86_400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "day": b["ts"].astype("int64").to_numpy() // day_us,
+                "role": b["role"].to_numpy(),
+                "n_turns": np.ones(len(b), dtype=np.int64),
+            }
+        )
+        return (
+            df.groupby(["day", "role"], sort=False)["n_turns"]
+            .sum().reset_index()
+        )
+
+    turns_ct = grouped_sum(
+        ds, ["day", "role"], ["n_turns"], partial_fn=partial,
+    ).to_pandas()
+
+    def conv_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "day": b["ts"].astype("int64").to_numpy() // day_us,
+                "role": b["role"].to_numpy(),
+                "conv_id": b["conv_id"].to_numpy(),
+            }
+        ).drop_duplicates()
+
+    convs = tree_dedup(
+        ds.map_batches(conv_prep, batch_format="pandas"),
+        ["day", "role", "conv_id"],
+    )
+    nconv = grouped_sum(
+        convs.map_batches(
+            lambda b: pd.DataFrame(
+                {"day": b["day"].astype("int64").to_numpy(),
+                 "role": b["role"].to_numpy(),
+                 "n_convs": np.ones(len(b), dtype=np.int64)}
+            ),
+            batch_format="pandas",
+        ),
+        ["day", "role"], ["n_convs"],
+    ).to_pandas()
+    out = turns_ct.merge(nconv, on=["day", "role"], how="inner")
+    return out[["day", "role", "n_turns", "n_convs"]]
+
+
 def kg_node_gender_census_sql_for(sf: float) -> str:
     from nerpii_ray.gazetteers import FIRST_NAME_GENDER
 
@@ -17419,6 +17605,8 @@ _R5_FRESH4 = [
     "transcript_prompt_response_matrix", "kg_node_gender_census",
     "kg_email_domain_census", "kg_org_location_affinity",
     "kg_works_for_conflicts", "kg_conv_graph_stats",
+    "transcript_ts_inversions", "kg_org_size_histogram",
+    "transcript_daily_volume",
 ]
 
 

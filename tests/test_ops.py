@@ -3813,3 +3813,40 @@ def test_quota_topk_filter_matches_groupby_head():
     pd.testing.assert_frame_equal(got, want)
     # sub-k group survives intact
     assert (got["key"] == "tiny").sum() == (df["key"] == "tiny").sum()
+
+
+def test_transcript_ts_inversions_detects_crafted_skew(monkeypatch):
+    """The corpus' clocks are monotone by construction, so the
+    registered query is empty on testdata — pin the detection path on
+    a crafted conversation whose ts runs backward mid-dialogue."""
+    import ray.data as rd
+
+    from nerpii_ray.pipelines import queries as q
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4 + ["b"] * 3,
+            "turn_idx": [0, 1, 2, 3, 0, 1, 2],
+            # conv a: one inversion (t2 < t1); conv b: monotone
+            "ts": pd.to_datetime(
+                np.array(
+                    [base, base + 10_000_000, base + 5_000_000,
+                     base + 20_000_000,
+                     base, base + 1_000_000, base + 2_000_000],
+                    dtype="int64",
+                ),
+                unit="us",
+            ),
+        }
+    )
+    monkeypatch.setattr(
+        q, "_turns_ds",
+        lambda sf_dir, columns=None: rd.from_pandas(df[columns or df.columns]),
+    )
+    out = q.QUERIES["transcript_ts_inversions"]("/ignored").to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["conv_id"] == "a"
+    assert row["n_turns"] == 4
+    assert row["n_inversions"] == 1

@@ -59,6 +59,9 @@ from nerpii_ray.pipelines.queries import (
     kg_org_location_affinity_sql_for,
     kg_works_for_conflicts_sql_for,
     kg_conv_graph_stats_sql_for,
+    _transcript_ts_inversions_sql,
+    kg_org_size_histogram_sql_for,
+    _transcript_daily_volume_sql,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -115,6 +118,9 @@ SQL_OVERRIDES = {
     "kg_org_location_affinity": kg_org_location_affinity_sql_for(0.001),
     "kg_works_for_conflicts": kg_works_for_conflicts_sql_for(0.001),
     "kg_conv_graph_stats": kg_conv_graph_stats_sql_for(0.001),
+    "transcript_ts_inversions": _transcript_ts_inversions_sql(0.001),
+    "kg_org_size_histogram": kg_org_size_histogram_sql_for(0.001),
+    "transcript_daily_volume": _transcript_daily_volume_sql(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
