@@ -14125,6 +14125,182 @@ def kg_canonical_comention_edges(sf_dir: str):
     return grouped_sum(partials, ["node_a", "node_b"], ["n_convs"])
 
 
+def kg_cluster_modularity_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    # {{labels}} is the fuzzy-ER fixpoint CTE injected by
+    # kg_person_fuzzy_sql_for's composition hook.  Each d_c sums BOTH
+    # endpoints of every incident edge (an intra edge contributes its
+    # weight twice — the weighted-degree convention), and w_c is the
+    # DOUBLED intra weight for the same reason, so with m = SUM(d_c)/2:
+    #   Q·4m² = Σ_c(4m·intra_c − d_c²) = SUM(d_c)·SUM(w_c) − SUM(d_c²)
+    # — all exact integers, no division until the reader divides.
+    final = f"""
+    , men AS MATERIALIZED (
+      SELECT DISTINCT conv_id, norm_surface FROM '{men}'
+      WHERE entity = 'PERSON'
+    ), ed AS MATERIALIZED (
+      SELECT a.norm_surface AS s_a, b.norm_surface AS s_b,
+             COUNT(*)::BIGINT AS w
+      FROM men a JOIN men b
+        ON a.conv_id = b.conv_id AND a.norm_surface < b.norm_surface
+      GROUP BY 1, 2
+    ), el AS MATERIALIZED (
+      SELECT la.lbl AS c_a, lb.lbl AS c_b, e.w
+      FROM ed e JOIN {{labels}} la ON la.s = e.s_a
+                JOIN {{labels}} lb ON lb.s = e.s_b
+    ), dc AS MATERIALIZED (
+      SELECT cluster, SUM(w)::BIGINT AS d_c,
+             SUM(CASE WHEN intra THEN w ELSE 0 END)::BIGINT AS w_c
+      FROM (
+        SELECT c_a AS cluster, w, c_a = c_b AS intra FROM el
+        UNION ALL
+        SELECT c_b AS cluster, w, c_a = c_b AS intra FROM el
+      ) GROUP BY cluster
+    )
+    SELECT (SUM(d_c) // 2)::BIGINT AS m_total,
+           COUNT(*)::BIGINT AS n_clusters,
+           (SUM(d_c) * SUM(w_c) - SUM(d_c * d_c))::BIGINT AS q_times_4m2
+    FROM dc
+    """
+    return kg_person_fuzzy_sql_for(sf, final=final)
+
+
+@register("kg_cluster_modularity", kg_cluster_modularity_sql_for(0.01))
+def kg_cluster_modularity(sf_dir: str):
+    """Newman modularity of the fuzzy entity-resolution partition over
+    the surface-level PERSON co-mention graph — the clustering-quality
+    gate a KG canonicalization stage ships with: Q near 0 means the
+    Levenshtein-2 clusters are no better than random at explaining who
+    co-occurs with whom; strongly positive Q means canonicalization is
+    merging surfaces that really do share a social neighborhood.
+    Reported in EXACT integer arithmetic as (m_total, n_clusters,
+    q_times_4m2) with Q = q_times_4m2 / (4·m_total²), so the engine and
+    the DuckDB twin can hash-match bit-for-bit (the moments-operator
+    discipline, stages/agg.py).
+
+    Scale shape: distinct (conv, surface) pairs ride the dedup tree, ONE
+    conv_id co-location forms the edges (bounded by persons-per-conv),
+    the vocab-sized label table broadcasts onto the edge stream (no
+    shuffle to attach labels), per-cluster (d_c, w_c) fold through the
+    cardinality-aware keyed sum tree, and the final reduce carries four
+    Python-object ints per block through the merge tree — nothing
+    driver-sized at any scale, no overflow at any d_c (object-int
+    partials, the lineitem_price_moments discipline)."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_aggregate, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import broadcast_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        return b[["conv_id", "norm_surface"]].drop_duplicates()
+
+    pers = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "norm_surface"],
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "s_a": pd.Series(dtype="object"),
+                "s_b": pd.Series(dtype="object"),
+                "w": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="conv_id", suffixes=("_x", "_y"))
+        m = m[m["norm_surface_x"] < m["norm_surface_y"]]
+        if m.empty:
+            return empty
+        out = pd.DataFrame(
+            {
+                "s_a": m["norm_surface_x"].to_numpy(),
+                "s_b": m["norm_surface_y"].to_numpy(),
+            }
+        )
+        out["w"] = np.int64(1)
+        return out.groupby(["s_a", "s_b"], sort=False)["w"].sum().reset_index()
+
+    edges = grouped_sum(
+        keyed_partition_apply(pers, ["conv_id"], pair_kernel),
+        ["s_a", "s_b"], ["w"],
+    )
+
+    labels = _person_fuzzy_labels_df(sf_dir)
+    la = labels.rename(columns={"surface": "s_a", "cluster": "c_a"})
+    lb = labels.rename(columns={"surface": "s_b", "cluster": "c_b"})
+    lab_edges = broadcast_join(
+        broadcast_join(edges, la, on=["s_a"]), lb, on=["s_b"]
+    )
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["w"].to_numpy(np.int64)
+        intra = b["c_a"].to_numpy() == b["c_b"].to_numpy()
+        wi = np.where(intra, w, 0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "cluster": np.concatenate(
+                    [b["c_a"].to_numpy(), b["c_b"].to_numpy()]
+                ),
+                "d_c": np.concatenate([w, w]),
+                "w_c": np.concatenate([wi, wi]),
+            }
+        )
+        return (
+            df.groupby("cluster", sort=False)[["d_c", "w_c"]]
+            .sum()
+            .reset_index()
+        )
+
+    percluster = grouped_sum(
+        lab_edges, ["cluster"], ["d_c", "w_c"], partial_fn=endpoints
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = [int(x) for x in df["d_c"]]
+        w = [int(x) for x in df["w_c"]]
+        return pd.DataFrame(
+            {
+                "n_clusters": pd.Series([len(df)], dtype="object"),
+                "s_d": pd.Series([sum(d)], dtype="object"),
+                "s_w": pd.Series([sum(w)], dtype="object"),
+                "s_d2": pd.Series([sum(x * x for x in d)], dtype="object"),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["n_clusters", "s_d", "s_w", "s_d2"]
+        if df.empty:  # repartition can hand a schema-less empty block
+            return pd.DataFrame(
+                {c: pd.Series([0], dtype="object") for c in cols}
+            )
+        return pd.DataFrame(
+            {c: pd.Series([sum(int(x) for x in df[c])], dtype="object")
+             for c in cols}
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s_d, s_w = int(df["s_d"].iloc[0]), int(df["s_w"].iloc[0])
+        return pd.DataFrame(
+            {
+                "m_total": pd.Series([s_d // 2], dtype="int64"),
+                "n_clusters": pd.Series(
+                    [int(df["n_clusters"].iloc[0])], dtype="int64"
+                ),
+                "q_times_4m2": pd.Series(
+                    [s_d * s_w - int(df["s_d2"].iloc[0])], dtype="int64"
+                ),
+            }
+        )
+
+    return tree_aggregate(percluster, partial, merge, final_fn=finish)
+
+
 def kg_comention_window_sql_for(sf: float, window: int = 3) -> str:
     men = f"{kg_mentions_path(sf)}/*.parquet"
     return f"""
@@ -16918,7 +17094,18 @@ def transcript_ts_inversions(sf_dir: str):
         )
         return out[out["n_inversions"] > 0]
 
-    return keyed_partition_apply(ds, ["conv_id"], kernel)
+    out = keyed_partition_apply(ds, ["conv_id"], kernel)
+    # anomaly-audit output (clean corpora emit ZERO rows); collect it,
+    # repairing the schema Ray drops when every block is empty — the
+    # customers_without_orders discipline
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {"conv_id": pd.Series(dtype="object"),
+             "n_turns": pd.Series(dtype="int64"),
+             "n_inversions": pd.Series(dtype="int64")}
+        )
+    return df
 
 
 def kg_org_size_histogram_sql_for(sf: float) -> str:
@@ -17596,6 +17783,7 @@ _R5_FRESH3 = [
 #: closing-session additions — never driver-certified, on-theme (triple
 #: provenance, entity timelines, dialog-act curation)
 _R5_FRESH4 = [
+    "kg_cluster_modularity",
     "kg_entity_timeline", "kg_predicate_stats", "kg_edge_support",
     "transcript_dialog_acts", "transcript_tool_stats",
     "kg_degree_histogram", "kg_node_neighbor_jaccard", "kg_comention_lift",

@@ -62,6 +62,7 @@ from nerpii_ray.pipelines.queries import (
     _transcript_ts_inversions_sql,
     kg_org_size_histogram_sql_for,
     _transcript_daily_volume_sql,
+    kg_cluster_modularity_sql_for,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -121,6 +122,7 @@ SQL_OVERRIDES = {
     "transcript_ts_inversions": _transcript_ts_inversions_sql(0.001),
     "kg_org_size_histogram": kg_org_size_histogram_sql_for(0.001),
     "transcript_daily_volume": _transcript_daily_volume_sql(0.001),
+    "kg_cluster_modularity": kg_cluster_modularity_sql_for(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
