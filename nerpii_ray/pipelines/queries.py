@@ -5747,6 +5747,95 @@ def events_transitions(sf_dir: str):
     )
 
 
+def _events_stationary_sql(rounds: int = 12, scale: int = 10**12) -> str:
+    # Substochastic integer power iteration, one CTE per round: each
+    # (a,b) term floors independently (order-independent), so mass at
+    # floors and at types with no outgoing edge evaporates — the engine
+    # applies the identical arithmetic with Python ints, the twin in
+    # HUGEINT (pi*n can exceed int64 at scale).
+    parts = [f"""
+    WITH c AS MATERIALIZED (
+      SELECT event_type AS a, next_type AS b, COUNT(*)::BIGINT AS n
+      FROM (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+      ) WHERE next_type IS NOT NULL
+      GROUP BY a, b
+    ), r AS MATERIALIZED (
+      SELECT a, SUM(n)::HUGEINT AS r FROM c GROUP BY a
+    ), t AS MATERIALIZED (
+      SELECT DISTINCT t FROM (
+        SELECT a AS t FROM c UNION SELECT b FROM c
+      )
+    ), p0 AS MATERIALIZED (
+      SELECT t.t, ({scale}::HUGEINT // (SELECT COUNT(*) FROM t)) AS pi
+      FROM t
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    p{i} AS MATERIALIZED (
+      SELECT c.b AS t, SUM((p.pi * c.n) // r.r) AS pi
+      FROM p{i - 1} p JOIN c ON c.a = p.t JOIN r ON r.a = p.t
+      GROUP BY c.b
+    )""")
+    parts.append(f"""
+    SELECT t.t AS event_type, COALESCE(p.pi, 0)::BIGINT AS pi_fixed
+    FROM t LEFT JOIN p{rounds} p ON p.t = t.t
+    """)
+    return "".join(parts)
+
+
+@register("events_type_stationary", _events_stationary_sql())
+def events_type_stationary(sf_dir: str, rounds: int = 12,
+                           scale: int = 10**12):
+    """Stationary distribution of the first-order event-type Markov
+    chain — where a user's session settles if the observed transition
+    behavior runs forever, the global complement to per-user path ops
+    like ``events_funnel``.  Exact integer fixed-point (the
+    ``doc_pagerank`` discipline): pi starts uniform at scale/|types|,
+    each round floors every (a, b) term independently
+    (pi'(b) = sum_a (pi(a)*C(a,b)) // R(a)), so the iteration is
+    order-independent and the DuckDB twin unrolls the identical
+    arithmetic in HUGEINT.  Types without outgoing edges evaporate
+    their mass each round (substochastic chain) — stated, matched on
+    both paths.
+
+    Scale shape: the distributed work is the transition census (one
+    user co-location + bounded |types|^2 sum tree, the
+    ``events_transitions`` plan); the power iteration itself runs on a
+    driver-held |types|^2 integer matrix — bounded by the type
+    vocabulary, not the data."""
+    counts = events_transitions(sf_dir).to_pandas()
+    types = sorted(
+        set(counts["event_type"].astype(str))
+        | set(counts["next_type"].astype(str))
+    )
+    edges: dict = {}
+    rowsum: dict = {t: 0 for t in types}
+    for a, b, n in zip(
+        counts["event_type"].astype(str),
+        counts["next_type"].astype(str),
+        counts["n"],
+    ):
+        edges[(a, b)] = int(n)
+        rowsum[a] += int(n)
+    pi = {t: scale // len(types) for t in types}
+    for _ in range(rounds):
+        nxt = {t: 0 for t in types}
+        for (a, b), n in edges.items():
+            if rowsum[a]:
+                nxt[b] += (pi[a] * n) // rowsum[a]
+        pi = nxt
+    return pd.DataFrame(
+        {
+            "event_type": pd.Series(types, dtype="object"),
+            "pi_fixed": pd.Series([pi[t] for t in types], dtype="int64"),
+        }
+    )
+
+
 @register(
     "events_dow_hour",
     """
@@ -17783,7 +17872,7 @@ _R5_FRESH3 = [
 #: closing-session additions — never driver-certified, on-theme (triple
 #: provenance, entity timelines, dialog-act curation)
 _R5_FRESH4 = [
-    "kg_cluster_modularity",
+    "kg_cluster_modularity", "events_type_stationary",
     "kg_entity_timeline", "kg_predicate_stats", "kg_edge_support",
     "transcript_dialog_acts", "transcript_tool_stats",
     "kg_degree_histogram", "kg_node_neighbor_jaccard", "kg_comention_lift",
