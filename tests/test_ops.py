@@ -3844,7 +3844,8 @@ def test_transcript_ts_inversions_detects_crafted_skew(monkeypatch):
         q, "_turns_ds",
         lambda sf_dir, columns=None: rd.from_pandas(df[columns or df.columns]),
     )
-    out = q.QUERIES["transcript_ts_inversions"]("/ignored").to_pandas()
+    out = q.QUERIES["transcript_ts_inversions"]("/ignored")
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert len(out) == 1
     row = out.iloc[0]
     assert row["conv_id"] == "a"
