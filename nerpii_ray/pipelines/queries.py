@@ -14390,6 +14390,156 @@ def kg_cluster_modularity(sf_dir: str):
     return tree_aggregate(percluster, partial, merge, final_fn=finish)
 
 
+def kg_cluster_conductance_sql_for(sf: float) -> str:
+    men = f"{kg_mentions_path(sf)}/*.parquet"
+    # Same doubled-endpoint algebra as kg_cluster_modularity: vol(c) is
+    # the weighted degree sum d_c, cut(c) counts each inter-cluster edge
+    # once per incident cluster, and conductance is the integer floor
+    # phi_bp = 10000*cut // min(vol, 2m - vol) (−1 when the denominator
+    # degenerates: a cluster owning every edge endpoint).
+    final = f"""
+    , men AS MATERIALIZED (
+      SELECT DISTINCT conv_id, norm_surface FROM '{men}'
+      WHERE entity = 'PERSON'
+    ), ed AS MATERIALIZED (
+      SELECT a.norm_surface AS s_a, b.norm_surface AS s_b,
+             COUNT(*)::BIGINT AS w
+      FROM men a JOIN men b
+        ON a.conv_id = b.conv_id AND a.norm_surface < b.norm_surface
+      GROUP BY 1, 2
+    ), el AS MATERIALIZED (
+      SELECT la.lbl AS c_a, lb.lbl AS c_b, e.w
+      FROM ed e JOIN {{labels}} la ON la.s = e.s_a
+                JOIN {{labels}} lb ON lb.s = e.s_b
+    ), dc AS MATERIALIZED (
+      SELECT cluster, SUM(w)::BIGINT AS vol,
+             SUM(CASE WHEN inter THEN w ELSE 0 END)::BIGINT AS cut_w
+      FROM (
+        SELECT c_a AS cluster, w, c_a <> c_b AS inter FROM el
+        UNION ALL
+        SELECT c_b AS cluster, w, c_a <> c_b AS inter FROM el
+      ) GROUP BY cluster
+    ), tot AS (SELECT SUM(vol)::BIGINT AS two_m FROM dc)
+    SELECT cluster, cut_w, vol,
+           CASE WHEN LEAST(vol, two_m - vol) = 0 THEN -1
+                ELSE (10000 * cut_w) // LEAST(vol, two_m - vol)
+           END::BIGINT AS phi_bp
+    FROM dc CROSS JOIN tot
+    """
+    return kg_person_fuzzy_sql_for(sf, final=final)
+
+
+@register("kg_cluster_conductance", kg_cluster_conductance_sql_for(0.01))
+def kg_cluster_conductance(sf_dir: str):
+    """Per-cluster conductance over the surface-level PERSON co-mention
+    graph — the LOCAL counterpart to ``kg_cluster_modularity``'s global
+    score: for each fuzzy-ER cluster, how much of its edge volume leaks
+    across the cut (phi near 10000 bp = the cluster is a random slice of
+    the graph; near 0 = a genuine community).  The canonicalization
+    triage view: sort by phi_bp to find the merges that DIDN'T earn
+    their keep.  Exact integers throughout: vol(c) is the weighted
+    degree sum, cut(c) counts each inter-cluster edge once per incident
+    cluster, phi_bp = 10000·cut // min(vol, 2m−vol) (−1 on a degenerate
+    denominator), so both paths hash-match.
+
+    Scale shape: identical to the modularity op through the per-cluster
+    sum tree (one conv co-location, label broadcast, keyed tree); the
+    only global scalar (2m) folds from the cluster table's own
+    partials, and the finish is a vectorized map over cluster-sized
+    blocks — nothing driver-sized beyond one integer."""
+    from nerpii_ray.stages.agg import grouped_sum, tree_dedup
+    from nerpii_ray.stages.colocate import keyed_partition_apply
+    from nerpii_ray.stages.joins import broadcast_join
+
+    sf = _sf_of(sf_dir)
+    _write_kg_mentions(sf)
+    mentions = _kg_results(sf)["mentions"]
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["entity"].astype(str) == "PERSON") & b["node_id"].notna()]
+        return b[["conv_id", "norm_surface"]].drop_duplicates()
+
+    pers = tree_dedup(
+        mentions.map_batches(prep, batch_format="pandas"),
+        ["conv_id", "norm_surface"],
+    )
+
+    def pair_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "s_a": pd.Series(dtype="object"),
+                "s_b": pd.Series(dtype="object"),
+                "w": pd.Series(dtype="int64"),
+            }
+        )
+        if g.empty:
+            return empty
+        m = g.merge(g, on="conv_id", suffixes=("_x", "_y"))
+        m = m[m["norm_surface_x"] < m["norm_surface_y"]]
+        if m.empty:
+            return empty
+        out = pd.DataFrame(
+            {
+                "s_a": m["norm_surface_x"].to_numpy(),
+                "s_b": m["norm_surface_y"].to_numpy(),
+            }
+        )
+        out["w"] = np.int64(1)
+        return out.groupby(["s_a", "s_b"], sort=False)["w"].sum().reset_index()
+
+    edges = grouped_sum(
+        keyed_partition_apply(pers, ["conv_id"], pair_kernel),
+        ["s_a", "s_b"], ["w"],
+    )
+
+    labels = _person_fuzzy_labels_df(sf_dir)
+    la = labels.rename(columns={"surface": "s_a", "cluster": "c_a"})
+    lb = labels.rename(columns={"surface": "s_b", "cluster": "c_b"})
+    lab_edges = broadcast_join(
+        broadcast_join(edges, la, on=["s_a"]), lb, on=["s_b"]
+    )
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        w = b["w"].to_numpy(np.int64)
+        inter = b["c_a"].to_numpy() != b["c_b"].to_numpy()
+        wc = np.where(inter, w, 0).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "cluster": np.concatenate(
+                    [b["c_a"].to_numpy(), b["c_b"].to_numpy()]
+                ),
+                "vol": np.concatenate([w, w]),
+                "cut_w": np.concatenate([wc, wc]),
+            }
+        )
+        return (
+            df.groupby("cluster", sort=False)[["vol", "cut_w"]]
+            .sum()
+            .reset_index()
+        )
+
+    percluster = grouped_sum(
+        lab_edges, ["cluster"], ["vol", "cut_w"], partial_fn=endpoints
+    ).materialize()
+    two_m = int(percluster.sum(on="vol"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        vol = b["vol"].to_numpy(np.int64)
+        cut = b["cut_w"].to_numpy(np.int64)
+        den = np.minimum(vol, two_m - vol)
+        phi = np.where(den > 0, (10000 * cut) // np.maximum(den, 1), -1)
+        return pd.DataFrame(
+            {
+                "cluster": b["cluster"].to_numpy(),
+                "cut_w": cut,
+                "vol": vol,
+                "phi_bp": phi.astype(np.int64),
+            }
+        )
+
+    return percluster.map_batches(finish, batch_format="pandas")
+
+
 def kg_comention_window_sql_for(sf: float, window: int = 3) -> str:
     men = f"{kg_mentions_path(sf)}/*.parquet"
     return f"""
@@ -17873,6 +18023,7 @@ _R5_FRESH3 = [
 #: provenance, entity timelines, dialog-act curation)
 _R5_FRESH4 = [
     "kg_cluster_modularity", "events_type_stationary",
+    "kg_cluster_conductance",
     "kg_entity_timeline", "kg_predicate_stats", "kg_edge_support",
     "transcript_dialog_acts", "transcript_tool_stats",
     "kg_degree_histogram", "kg_node_neighbor_jaccard", "kg_comention_lift",

@@ -63,6 +63,7 @@ from nerpii_ray.pipelines.queries import (
     kg_org_size_histogram_sql_for,
     _transcript_daily_volume_sql,
     kg_cluster_modularity_sql_for,
+    kg_cluster_conductance_sql_for,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -123,6 +124,7 @@ SQL_OVERRIDES = {
     "kg_org_size_histogram": kg_org_size_histogram_sql_for(0.001),
     "transcript_daily_volume": _transcript_daily_volume_sql(0.001),
     "kg_cluster_modularity": kg_cluster_modularity_sql_for(0.001),
+    "kg_cluster_conductance": kg_cluster_conductance_sql_for(0.001),
 }
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
